@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check_oracles.py <verify_out_dir> <sf_dir> [query...]
+
+Reads each <out_dir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the sf_dir
+tables, and compares: schema (column names sorted), row count, and a
+hash of all values (columns sorted by name, rows sorted by all
+columns). Floats are rounded to 9 significant decimals before hashing
+so that last-ulp noise can't flip the compare (the real driver is
+assumed to do something similar; our queries round explicitly anyway).
+"""
+import sys, json, glob, os, math, hashlib
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "b:%d" % v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return "f:%.9g" % v
+    if isinstance(v, int):
+        return "i:%d" % v
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return "s:" + str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        res = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        scols, srows = list(res.columns), res.fetchall()
+        if name not in oracle:
+            print(f"  ?? {name}: no oracle (rows={len(srows)})")
+            n_noracle += 1
+            continue
+        try:
+            ores = con.sql(oracle[name])
+            ocols, orows = list(ores.columns), ores.fetchall()
+        except Exception as e:
+            print(f"  FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_rows = len(srows) == len(orows)
+        ok_hash = ok_schema and ok_rows and \
+            table_hash(scols, srows) == table_hash(ocols, orows)
+        if ok_hash:
+            print(f"  ok   {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  FAIL {name}: schema={ok_schema} rows={len(srows)}vs{len(orows)} hash={ok_hash}")
+            if not ok_schema:
+                print(f"       spark  cols: {sorted(scols)}")
+                print(f"       oracle cols: {sorted(ocols)}")
+            elif len(srows) and len(orows):
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
+                lo = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        print(f"       first diff:\n       spark : {a[:300]}\n       oracle: {b[:300]}")
+                        break
+    print(f"PASS {n_pass} / FAIL {n_fail} / NO-ORACLE {n_noracle}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
