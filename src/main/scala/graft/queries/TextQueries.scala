@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+import graft.text.{EntityRuler, Sentiment, TextStats}
+
+/** Text-analysis operator surface over the `documents` table:
+  * dictionary NER (the reference's custom operator, SURVEY.md §2.8),
+  * lexicon sentiment, token statistics, language ID, quality scoring,
+  * fingerprinting, rolling hash, shingling. All except NER are
+  * oracle-checked; the NER matcher is not ANSI-SQL-expressible
+  * (longest-match trie) and gets the driver's rows-only check — its
+  * semantics are pinned by RulerMatcherSpec instead.
+  */
+object TextQueries {
+
+  /** Committed demo pattern set over the documents vocabulary:
+    * exercises multi-token LOWER patterns, longest-match priority,
+    * exact-case Text patterns, and id-vs-surface emission. */
+  def demoPatterns: Seq[EntityRuler.Pattern] = {
+    import EntityRuler._
+    Seq(
+      Pattern("Op", Seq(LowerTok("hash"), LowerTok("join")), Some("Hash Join")),
+      Pattern("Op", Seq(LowerTok("sort"), LowerTok("merge")), Some("Sort-Merge")),
+      Pattern("Op", Seq(LowerTok("table"), LowerTok("scan")), Some("Table Scan")),
+      Pattern("Op", Seq(LowerTok("sort")), Some("Sort")),
+      Pattern("Op", Seq(LowerTok("merge")), Some("Merge")),
+      Pattern("Op", Seq(LowerTok("filter")), Some("Filter")),
+      Pattern("Sys", Seq(ExactTok("spark")), Some("Spark")),
+      Pattern("Sys", Seq(ExactTok("Spark")), Some("SparkTitleCase")),
+      Pattern("Kind", Seq(LowerTok("stream")), None) // no id → surface
+    )
+  }
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "db" -> Seq("table", "row", "column"),
+    "bigdata" -> Seq("spark", "stream", "batch"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // NER trie matcher (broadcast-dictionary extraction). Rows-only
+    // driver check; semantics pinned by unit specs.
+    "q30_ner_topics" -> ((s, dir) => {
+      val m = new EntityRuler.Matcher(demoPatterns)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(",", EntityRuler.nerColumn(m)(col("text"))).as("topics"))
+    }),
+
+    // Lexicon sentiment with prev-token negator/intensifier handling;
+    // integer per-mille arithmetic → bit-stable vs the SQL oracle.
+    "q31_sentiment_docs" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), Sentiment.sentimentColumn(col("text")).as("sentiment"))
+    }),
+
+    // Token statistics: whitespace tokens, BPE-ish subwords, distinct.
+    "q32_token_stats" -> ((s, dir) => {
+      val t = col("text")
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(t).as("n_tokens"),
+          TextStats.subwordCount(t).as("n_subwords"),
+          size(array_distinct(TextStats.tokens(t))).as("n_distinct"))
+    }),
+
+    // Stopword-profile language ID with deterministic first-wins ties.
+    "q33_lang_id" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.langId(TextStats.tokens(col("text")), langProfiles).as("pred_lang"))
+    }),
+
+    // Integer-banded quality score.
+    "q34_quality_score" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.qualityScoreMilli(col("text")).as("quality"))
+        .groupBy("quality").agg(count(lit(1)).as("n"))
+    }),
+
+    // Fingerprint dedup: canonical-key grouping (sorted distinct token
+    // bag) — exact dedup over a normalization, keep lowest doc_id.
+    "q35_fingerprint_dedup" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+    }),
+
+    // Order-sensitive rolling hash (positional fingerprint).
+    "q36_rolling_hash" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.rollingHash(col("text")).as("rhash"))
+    }),
+
+    // Word-3-gram shingling (the dedup building block).
+    "q37_shingles" -> ((s, dir) => {
+      val toks = TextStats.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextStats.shingles(toks, 3)).as("n_shingles"),
+          size(array_distinct(TextStats.shingles(toks, 3))).as("n_distinct_shingles"))
+    })
+  )
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** CASE expression translating [[Sentiment.lexicon]] to SQL. */
+  private def lexiconCaseSql(tokExpr: String): String =
+    "CASE " + tokExpr + " " + Sentiment.lexicon.toSeq.sortBy(_._1)
+      .map { case (w, p) => s"WHEN ${sq(w)} THEN $p" }.mkString(" ") + " ELSE NULL END"
+
+  private def modifierCaseSql(prevExpr: String): String = {
+    val negs = Sentiment.negators.toSeq.sorted.map(sq).mkString(", ")
+    val ints = Sentiment.intensifiers.toSeq.sortBy(_._1)
+      .map { case (w, m) => s"WHEN $prevExpr = ${sq(w)} THEN $m" }.mkString(" ")
+    s"CASE WHEN $prevExpr IN ($negs) THEN -500 $ints ELSE 1000 END"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q31_sentiment_docs" -> {
+      val pol = lexiconCaseSql("lower(p[1])")
+      val mod = modifierCaseSql("lower(p[2])")
+      s"""WITH z AS (
+            SELECT doc_id,
+              list_zip(string_split(text, ' '),
+                       list_prepend('', (string_split(text, ' '))[:len(string_split(text, ' ')) - 1])) AS pairs
+            FROM documents),
+          adj AS (
+            SELECT doc_id,
+              list_filter(list_transform(pairs,
+                p -> CAST($pol AS BIGINT) * ($mod)), x -> x IS NOT NULL) AS a
+            FROM z)
+          SELECT doc_id,
+            CASE WHEN len(a) = 0 THEN 0.0
+                 ELSE (CAST(list_sum(a) AS DOUBLE) / len(a)) / 1000000.0 END AS sentiment
+          FROM adj"""
+    },
+
+    "q32_token_stats" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+         FROM documents""",
+
+    "q33_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(w, x -> x IN ('the', 'a'))) AS s_en,
+             len(list_filter(w, x -> x IN ('table', 'row', 'column'))) AS s_db,
+             len(list_filter(w, x -> x IN ('spark', 'stream', 'batch'))) AS s_big
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN s_en >= s_db AND s_en >= s_big AND s_en > 0 THEN 'en'
+                WHEN s_db >= s_big AND s_db > 0 THEN 'db'
+                WHEN s_big > 0 THEN 'bigdata'
+                ELSE 'und' END AS pred_lang
+         FROM sc""",
+
+    "q34_quality_score" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CASE WHEN len(text) BETWEEN 200 AND 2000 THEN 400
+                  WHEN len(text) >= 50 THEN 250 ELSE 50 END
+             + CASE WHEN (len(text) * 10) / greatest(len(string_split(text, ' ')), 1) BETWEEN 35 AND 80 THEN 300
+                    WHEN (len(text) * 10) / greatest(len(string_split(text, ' ')), 1) BETWEEN 20 AND 120 THEN 200
+                    ELSE 50 END
+             + CASE WHEN (len(list_distinct(string_split(text, ' '))) * 1000) / greatest(len(string_split(text, ' ')), 1) >= 500 THEN 300
+                    WHEN (len(list_distinct(string_split(text, ' '))) * 1000) / greatest(len(string_split(text, ' ')), 1) >= 200 THEN 200
+                    ELSE 80 END AS quality
+           FROM documents)
+         SELECT quality, count(*) AS n FROM q GROUP BY quality""",
+
+    "q35_fingerprint_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "q36_rolling_hash" -> {
+      val powers = (0 until 64).map(i => math.pow(31.0, (i % 8).toDouble).toLong)
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_zip((string_split(text, ' '))[:64], $powers) AS z
+            FROM documents)
+          SELECT doc_id,
+            coalesce(list_sum(list_transform(z,
+              p -> CASE WHEN p[1] IS NULL THEN 0
+                        ELSE len(p[1]) * p[2] END)), 0) % 2147483647 AS rhash
+          FROM t"""
+    },
+
+    "q37_shingles" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+           FROM t)
+         SELECT doc_id, len(sh) AS n_shingles,
+           len(list_distinct(sh)) AS n_distinct_shingles
+         FROM s"""
+  )
+}

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Lexicon sentiment scorer — TextBlob-like polarity (SURVEY.md §2.8:
+  * ref demo.py:162-163 uses TextBlob's PatternAnalyzer). Contract
+  * (range-compatible [-1,1], not bit-level TextBlob parity — the
+  * reference inputs are missing so bit parity is untestable):
+  *
+  *  - lowercase token lookup in a polarity lexicon;
+  *  - the token immediately before a hit modifies it: a negator
+  *    multiplies by -0.5 (pattern's published negation rule), an
+  *    intensifier scales it;
+  *  - score = mean over matched tokens; no hits ⇒ 0.0.
+  *
+  * Polarities are kept in integer per-mille so aggregation is exact
+  * integer arithmetic until one final division — the same trick the
+  * oracle-checked queries use for bit-stable cross-engine compares.
+  */
+object Sentiment {
+
+  /** Compact English polarity lexicon (per-mille), authored for this
+    * engine from common-knowledge sentiment vocabulary. */
+  val lexicon: Map[String, Int] = Map(
+    "good" -> 700, "great" -> 800, "excellent" -> 1000, "amazing" -> 600,
+    "awesome" -> 1000, "love" -> 500, "like" -> 200, "best" -> 1000,
+    "nice" -> 600, "happy" -> 800, "fantastic" -> 400, "wonderful" -> 1000,
+    "delicious" -> 1000, "fresh" -> 300, "tasty" -> 1000, "perfect" -> 1000,
+    "fun" -> 300, "cool" -> 350, "sweet" -> 350, "favorite" -> 1000,
+    "better" -> 500, "beautiful" -> 850, "win" -> 400, "right" -> 286,
+    "bad" -> -700, "terrible" -> -1000, "awful" -> -1000, "worst" -> -1000,
+    "hate" -> -800, "horrible" -> -1000, "gross" -> -600, "nasty" -> -800,
+    "disgusting" -> -1000, "sad" -> -500, "angry" -> -500, "wrong" -> -500,
+    "poor" -> -400, "disappointing" -> -600, "boring" -> -1000,
+    "worse" -> -400, "sick" -> -700, "flat" -> -125, "stale" -> -500,
+    "bitter" -> -300, "sour" -> -250, "expensive" -> -300, "cheap" -> -400,
+    "slow" -> -300, "fast" -> 200, "dirty" -> -600, "clean" -> 300,
+    "weird" -> -250, "fake" -> -500, "real" -> 200, "new" -> 136,
+    "old" -> -100, "hot" -> 200, "cold" -> -100, "dry" -> -200,
+    "smooth" -> 400, "rich" -> 400, "strong" -> 300, "weak" -> -300)
+
+  val negators: Set[String] =
+    Set("not", "no", "never", "n't", "cannot", "neither", "nor", "hardly")
+
+  /** intensifier → per-mille multiplier (1000 = ×1). */
+  val intensifiers: Map[String, Int] = Map(
+    "very" -> 1300, "really" -> 1300, "extremely" -> 1500, "so" -> 1200,
+    "too" -> 1200, "totally" -> 1300, "absolutely" -> 1500,
+    "slightly" -> 700, "somewhat" -> 800, "barely" -> 600)
+
+  /** Integer core: Σ adjusted per-mille² and hit count. Final score =
+    * sumAdj / (n * 1e6). */
+  def scoreParts(tokens: Seq[String]): (Long, Int) = {
+    var sum = 0L
+    var n = 0
+    var i = 0
+    val lower = tokens.map(t => if (t == null) "" else t.toLowerCase)
+    while (i < lower.length) {
+      lexicon.get(lower(i)).foreach { pol =>
+        val mod =
+          if (i > 0 && negators(lower(i - 1))) -500
+          else if (i > 0) intensifiers.getOrElse(lower(i - 1), 1000)
+          else 1000
+        sum += pol.toLong * mod
+        n += 1
+      }
+      i += 1
+    }
+    (sum, n)
+  }
+
+  def score(tokens: Seq[String]): Double = {
+    val (sum, n) = scoreParts(tokens)
+    if (n == 0) 0.0 else sum.toDouble / n / 1000000.0
+  }
+
+  def scoreText(text: String): Double =
+    score(Tokenizer.tokenize(text).toSeq)
+
+  /** Column form (whitespace-token variant so the same contract is
+    * SQL-expressible for oracles; the pipeline uses scoreText). */
+  def sentimentColumn(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) 0.0 else score(s.split(" ").toSeq))
+    f(text)
+  }
+}

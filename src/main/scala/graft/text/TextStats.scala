@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder
+  * brief: language-ID, quality scoring, token counting, document
+  * fingerprinting) — all pure native Column expressions, codegen'd,
+  * no UDFs, so they are SQL-expressible for the DuckDB oracle and
+  * scale as narrow per-row maps.
+  */
+object TextStats {
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or a
+    * single other non-space char — the classic pre-tokenizer shape. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword-hit count against a small inline set. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** N-gram-heuristic language ID: score = stopword-set hits per
+    * language, argmax with first-wins tiebreak (deterministic). */
+  def langId(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scored = profiles.map { case (lang, sw) => (lang, stopwordHits(toks, sw)) }
+    // first language with score == max(scores), max>0; else "und"
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1000], integer-exact: combines length band,
+    * mean token length band, and distinct-token ratio. All integer
+    * arithmetic until the caller divides — bit-stable cross-engine. */
+  def qualityScoreMilli(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nDist = size(array_distinct(toks))
+    val lenBand = when(length(text) >= 200 && length(text) <= 2000, lit(400))
+      .when(length(text) >= 50, lit(250))
+      .otherwise(lit(50))
+    val meanTokLenX10 = (length(text) * 10) / greatest(nTok, lit(1)) // avg chars/token ×10 (int div)
+    val tokBand = when(meanTokLenX10.between(35, 80), lit(300))
+      .when(meanTokLenX10.between(20, 120), lit(200))
+      .otherwise(lit(50))
+    val distinctMilli = (nDist * 1000) / greatest(nTok, lit(1)) // int div
+    val distBand = when(distinctMilli >= 500, lit(300))
+      .when(distinctMilli >= 200, lit(200))
+      .otherwise(lit(80))
+    lenBand + tokBand + distBand
+  }
+
+  /** Document fingerprint (OpenRefine-style key collision): md5 of
+    * the sorted distinct token bag. Rolling/positional variant below. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Polynomial rolling hash over the first `cap` tokens
+    * (order-sensitive, unlike [[fingerprint]]):
+    * h = (Σ len(tok_i)·31^(i mod 8)) mod 2^31-1 — integer-exact, no
+    * overflow at cap=64, single mod at the end so the stepwise order
+    * can't matter. The cap bounds per-row work at scale. */
+  def rollingHash(text: Column, cap: Int = 64): Column = {
+    val toks = slice(tokens(text), 1, cap)
+    val powers = array((0 until cap).map(i => lit(math.pow(31.0, (i % 8).toDouble).toLong)): _*)
+    val terms = zip_with(toks, powers, (t, p) =>
+      when(t.isNull, lit(0L)).otherwise(length(t).cast("long") * p))
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % 2147483647L
+  }
+
+  /** Word n-gram shingles of the token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+}
