@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, TextQueries, TweetOps}
+import graft.queries.{DedupSim, EventQueries, MultimodalQueries, Relational, TextQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,10 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (TweetOps.queries, TweetOps.oracles),
-      (TextQueries.queries, TextQueries.oracles)
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupSim.queries, DedupSim.oracles),
+      (EventQueries.queries, EventQueries.oracles),
+      (MultimodalQueries.queries, MultimodalQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (builder brief): exact/canonical dedup, MinHash+LSH, SimHash, and
+  * n-gram Jaccard. All pure Column expressions over md5-derived
+  * integer hashing, so every step is SQL-expressible for the DuckDB
+  * oracle AND stays inside whole-stage codegen.
+  *
+  * Scale shapes:
+  *  - exact dedup = hash groupBy: partial+final agg, shuffle width =
+  *    #distinct keys.
+  *  - minhash: explode(shingles) is a narrow generate; the signature
+  *    groupBy shuffles (doc, k) pairs — k rows per doc, constant
+  *    factor over the corpus.
+  *  - LSH candidates: self-join on (band, bandHash) buckets only —
+  *    never the full cross product. Bucket sizes bound the join; a
+  *    skewed bucket (all-identical docs) is the data's own signal,
+  *    handled by AQE skew-join at scale.
+  *  - pairwise Jaccard is restricted to an explicit bucket column
+  *    (here `source`) — the quadratic stays within buckets.
+  */
+object Dedup {
+
+  /** Large prime modulus for the hash family (fits in a long with
+    * 32-bit multipliers without overflow). */
+  val P: Long = 1000000007L
+
+  /** multiplier/offset per hash function (fixed small primes). */
+  val HashA: Seq[Long] = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  val HashB: Seq[Long] = Seq(1L, 101L, 1009L, 10007L, 100003L, 12345L, 54321L, 999983L)
+
+  /** md5-derived 60-bit integer of a string column (first 15 hex
+    * chars), the base hash H(s) shared by minhash/simhash. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** h_k(s) = (a_k·(H(s) mod P) + b_k) mod P. */
+  def hashK(c: Column, k: Int): Column =
+    (lit(HashA(k)) * (md5Long(c) % P) + lit(HashB(k))) % P
+
+  /** Exact duplicate groups over a canonical key: returns one row per
+    * key with the surviving (minimum) id and the duplicate count. */
+  def exactDupGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Long-form MinHash signatures: one row per (id, k) with the
+    * per-hash minimum over the shingle set. `shingles` must be an
+    * array column. */
+  def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String,
+                        numHashes: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol), explode(col(shinglesCol)).as("shingle"))
+    val ks = explode(array((0 until numHashes).map(lit): _*)).as("k")
+    sh.select(col(idCol), col("shingle"), ks)
+      .withColumn("h",
+        (element_at(array(HashA.map(lit): _*), col("k") + 1) * (md5Long(col("shingle")) % P)
+          + element_at(array(HashB.map(lit): _*), col("k") + 1)) % P)
+      .groupBy(idCol, "k")
+      .agg(min("h").as("minhash"))
+  }
+
+  /** LSH banding over long-form signatures: band b combines
+    * `rowsPerBand` consecutive hash rows into one band key; docs
+    * sharing any (band, key) are candidates. Returns (band, band_key,
+    * id) — self-join upstream of this gives candidate pairs. */
+  def lshBandKeys(sigs: DataFrame, idCol: String,
+                  rowsPerBand: Int = 2): DataFrame =
+    sigs.withColumn("band", (col("k") / rowsPerBand).cast("int"))
+      .groupBy(idCol, "band")
+      // band key: order-sensitive combine of the band's minhashes
+      .agg(((sum((col("k") % rowsPerBand + 1) * col("minhash"))) % P).as("band_key"))
+
+  /** Candidate duplicate pairs from LSH band keys (id1 < id2). */
+  def lshCandidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {
+    val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id1"))
+    val b = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** 32-bit SimHash over a token array: bit j of H(token) votes ±1;
+    * the sign of the vote sum sets bit j of the fingerprint. */
+  def simhash32(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(col(tokensCol))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    val bits = toks.select(col(idCol), col("h"),
+      explode(array((0 until 32).map(lit): _*)).as("j"))
+      // functions.shiftright only takes a literal shift; the SQL
+      // expression form accepts a column
+      .withColumn("vote", expr("shiftright(h, j)").bitwiseAND(1) * 2 - 1)
+      .groupBy(idCol, "j")
+      .agg(sum("vote").as("s"))
+    bits.groupBy(idCol)
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Pairwise token-set Jaccard within a bucket column; emits pairs
+    * with similarity ≥ threshold (id1 < id2). */
+  def jaccardPairs(df: DataFrame, idCol: String, tokenSetCol: String,
+                   bucketCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(bucketCol).as("bkt"), col(idCol).as("id1"), col(tokenSetCol).as("s1"))
+    val b = df.select(col(bucketCol).as("bkt"), col(idCol).as("id2"), col(tokenSetCol).as("s2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("uni", size(col("s1")) + size(col("s2")) - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("bkt", "id1", "id2", "jaccard")
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.io.Sources.table
+import graft.similarity.Similarity
+import graft.text.TextStats
+
+/** Dedup + similarity-search operator surface (builder brief:
+  * first-class alongside SURVEY §2): exact dedup, MinHash signatures,
+  * LSH candidate pairs, SimHash, bucketed pairwise Jaccard,
+  * embedding nearest-neighbor, brute-force cosine top-k, and
+  * hyperplane-LSH bucketing. Every query is oracle-checked — the
+  * hash families are md5-derived integer arithmetic expressible in
+  * both engines, and all float folds are explicit left-to-right.
+  */
+object DedupSim {
+
+  private val P = Dedup.P
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via hash-groupBy on a canonical key (lineitem has
+    // real duplicate (partkey, suppkey, quantity) triples).
+    "q40_dedup_exact" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      Dedup.exactDupGroups(li,
+        md5(concat_ws("|", col("l_partkey"), col("l_suppkey"), col("l_quantity"))),
+        col("l_orderkey") * 8 + col("l_linenumber"))
+        .filter(col("n_dups") > 1)
+    }),
+
+    // MinHash signatures over word-3-gram shingles (long form).
+    "q41_minhash_sigs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
+    }),
+
+    // Full MinHash→LSH chain: banded signatures → candidate pairs.
+    "q42_lsh_candidates" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
+      Dedup.lshCandidatePairs(Dedup.lshBandKeys(sigs, "doc_id", 2), "doc_id")
+    }),
+
+    // 32-bit SimHash fingerprints.
+    "q43_simhash" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("toks", TextStats.tokens(col("text")))
+        .select("doc_id", "toks")
+      Dedup.simhash32(d, "doc_id", "toks")
+    }),
+
+    // Bucketed pairwise n-gram (token-set) Jaccard near-dup pairs.
+    "q44_jaccard_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("tokset", array_sort(array_distinct(TextStats.tokens(col("text")))))
+        .select("doc_id", "source", "tokset")
+      Dedup.jaccardPairs(d, "doc_id", "tokset", "source", 0.5)
+    }),
+
+    // Embedding nearest neighbor within label (cosine argmax).
+    "q45_embedding_nn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      val pairs = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id_a").orderBy(col("cos").desc, col("id_b").asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"), col("cos"))
+    }),
+
+    // Brute-force cosine top-20 against the vec_id=0 query vector.
+    "q46_cosine_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", Similarity.cosine(col("v"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(20)
+        .select("vec_id", "cos")
+    }),
+
+    // Hyperplane-LSH bucket histogram (the ANN scale path).
+    "q47_lsh_ann_buckets" -> ((s, dir) => {
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+    })
+  )
+
+  /** Shared SQL fragments (kept in lockstep with the Scala ops). */
+  private val shinglesSql =
+    """CASE WHEN len(string_split(text, ' ')) >= 3
+       THEN [array_to_string((string_split(text, ' '))[i:i+2], ' ')
+             for i in generate_series(1, len(string_split(text, ' ')) - 2)]
+       ELSE [] END"""
+
+  private def md5LongSql(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val aList = Dedup.HashA.mkString("[", ", ", "]")
+  private val bList = Dedup.HashB.mkString("[", ", ", "]")
+
+  private val sigsSql =
+    s"""WITH sh AS (
+          SELECT doc_id, s.shingle
+          FROM (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+               unnest(shingles) AS s(shingle)),
+        sigs AS (
+          SELECT doc_id, g.k,
+            min(($aList[g.k + 1] * (${md5LongSql("shingle")} % $P) + $bList[g.k + 1]) % $P) AS minhash
+          FROM sh, generate_series(0, 7) g(k)
+          GROUP BY doc_id, g.k)"""
+
+  def oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT md5(l_partkey || '|' || l_suppkey || '|' || l_quantity) AS dup_key,
+           min(l_orderkey * 8 + l_linenumber) AS keep_id,
+           count(*) AS n_dups
+         FROM lineitem
+         GROUP BY 1 HAVING count(*) > 1""",
+
+    "q41_minhash_sigs" ->
+      s"""$sigsSql SELECT doc_id, k, minhash FROM sigs""",
+
+    "q42_lsh_candidates" ->
+      s"""$sigsSql,
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT))
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id""",
+
+    "q43_simhash" -> {
+      s"""WITH toks AS (
+            SELECT doc_id, t.tok, ${md5LongSql("t.tok")} AS h
+            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+                 unnest(w) AS t(tok)),
+          votes AS (
+            SELECT doc_id, g.j,
+              sum(((h >> g.j) & 1) * 2 - 1) AS s
+            FROM toks, generate_series(0, 31) g(j)
+            GROUP BY doc_id, g.j)
+          SELECT doc_id,
+            sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id"""
+    },
+
+    "q44_jaccard_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             list_sort(list_distinct(string_split(text, ' '))) AS s
+           FROM documents)
+         SELECT a.source AS bkt, a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5""",
+
+    "q45_embedding_nn" ->
+      """WITH e AS (
+           SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         SELECT id_a AS vec_id, id_b AS nn_id, cos FROM (
+           SELECT id_a, id_b, cos,
+             row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
+           FROM pairs) t
+         WHERE rn = 1""",
+
+    "q46_cosine_topk" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT e.vec_id,
+           list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) /
+           (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+            sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+         FROM e, q WHERE e.vec_id <> 0
+         ORDER BY cos DESC, e.vec_id ASC LIMIT 20""",
+
+    "q47_lsh_ann_buckets" -> {
+      val dots = (0 until 8).map { k =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(k, d).toDouble)
+          .mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(list_zip(v, $w), p -> p[1] * p[2])) > 0 THEN ${1L << k} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          b AS (SELECT vec_id, $dots AS bucket FROM e)
+          SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
+          FROM b GROUP BY bucket"""
+    }
+  )
+}

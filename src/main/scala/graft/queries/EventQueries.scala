@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+import graft.streaming.EventWindows
+
+/** Event-time operators over the `events` table: tumbling/sliding
+  * windows, gap sessionization, JSON payload extraction — each
+  * oracle-checked (DuckDB reads the ns-precision parquet truncated
+  * to µs exactly like Spark, so window boundaries agree).
+  */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_window_tumbling" -> ((s, dir) =>
+      EventWindows.tumbling(table(s, dir, "events"), "1 hour")),
+
+    "q51_window_sliding" -> ((s, dir) =>
+      EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
+
+    "q52_sessionize" -> ((s, dir) =>
+      EventWindows.sessions(table(s, dir, "events"), "5 minutes")),
+
+    "q53_json_props" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      e.withColumn("k", EventWindows.propsField(col("props"), "k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(when(col("k") > 50, 1)).as("n_high"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q50_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           round(sum(value) * 100) / 100 AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    // each event belongs to two 1h/30min sliding windows:
+    // starts floor30(ts) and floor30(ts) - 30min
+    "q51_window_sliding" ->
+      """WITH m AS (
+           SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b,
+                  event_type
+           FROM events),
+         x AS (
+           SELECT b AS window_start, event_type FROM m
+           UNION ALL
+           SELECT b - INTERVAL '30 minutes' AS window_start, event_type FROM m)
+         SELECT window_start, event_type, count(*) AS n
+         FROM x GROUP BY 1, 2""",
+
+    // gaps-and-islands sessionization: a session breaks when the gap
+    // to the previous event is >= 5 minutes (Spark session windows
+    // are [start, start+gap) half-open)
+    "q52_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM o),
+         per AS (
+           SELECT user_id, sess_id, count(*) AS n_events
+           FROM sess GROUP BY user_id, sess_id)
+         SELECT user_id, count(*) AS n_sessions,
+           sum(n_events) AS n_events,
+           max(n_events) AS max_session_events
+         FROM per GROUP BY user_id""",
+
+    "q53_json_props" ->
+      """SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
+           count(*) AS n
+         FROM events GROUP BY event_type"""
+  )
+}

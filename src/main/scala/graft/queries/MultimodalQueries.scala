@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing exercised end-to-end: binary column → batched
+  * stub decode → typed metadata → aggregation. Oracle-checked because
+  * the stub's metadata is pure arithmetic over the payload length
+  * (== len(text): the corpus is ASCII). */
+object MultimodalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_media_meta" -> ((s, dir) => {
+      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
+      Multimodal.decodeMeta(docs).toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+          sum("width").as("sum_w"), sum("height").as("sum_h"),
+          max("n_frames").as("max_frames"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_media_meta" ->
+      """WITH m AS (
+           SELECT doc_id,
+             (strlen(text) % 64 + 1) * 8 AS width,
+             (strlen(text) % 48 + 1) * 8 AS height,
+             strlen(text) % 30 + 1 AS n_frames,
+             CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+           FROM documents)
+         SELECT format, count(*) AS n,
+           sum(width) AS sum_w, sum(height) AS sum_h,
+           max(n_frames) AS max_frames
+         FROM m GROUP BY format"""
+  )
+}

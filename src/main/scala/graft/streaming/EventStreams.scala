@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming wiring (SURVEY.md §2.9: the reference is
+  * batch-only; this is the engine's streaming surface). The windowed
+  * transformations are the SAME functions as the batch path
+  * ([[EventWindows]]) — `readStream → transform → writeStream` with a
+  * watermark bounding state.
+  *
+  * Scale notes: watermark + append output keeps per-window state
+  * bounded (windows close and evict once the watermark passes);
+  * `flatMapGroupsWithState` state is per-key and explicitly
+  * timeout-evicted — the knobs that keep a 100 TB/day stream's state
+  * from growing without bound.
+  */
+object EventStreams {
+
+  final case class Event(ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Watermarked tumbling-window counts; append-mode compatible
+    * (finalized windows only). */
+  def tumblingCounts(stream: DataFrame, width: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Custom stateful operator: running per-user totals via
+    * flatMapGroupsWithState. Pass `evictAfter` in production to evict
+    * idle keys via processing-time timeout (bounded state); note that
+    * with a timeout set the engine schedules continuous
+    * timeout-evaluation micro-batches, so tests use NoTimeout. */
+  def runningUserTotals(events: Dataset[Event],
+                        evictAfter: Option[String] = None): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), timeoutConf) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption
+            state.remove()
+            last.iterator
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+            var n = prev.n_events
+            var sv = prev.sum_value
+            batch.foreach { e => n += 1; sv += e.value }
+            val next = UserRunning(user, n, sv)
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window counts over a MemoryStream, watermark finalizes windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 00:45:00"), 2, "click", 2.0),
+        Event(ts("2024-01-01 00:50:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark past hour 0 so its windows finalize
+      mem.addData(Event(ts("2024-01-01 02:30:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows === Set(
+        (ts("2024-01-01 00:00:00"), "click", 2L),
+        (ts("2024-01-01 00:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals update per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Event(ts("2024-01-01 00:00:01"), 7, "click", 10.0),
+        Event(ts("2024-01-01 00:00:02"), 7, "view", 5.0),
+        Event(ts("2024-01-01 00:00:03"), 9, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2024-01-01 00:10:00"), 7, "click", 2.5))
+      q.processAllAvailable()
+      val byUser = spark.table("running_test")
+        .as[UserRunning].collect().groupBy(_.user_id)
+      // latest state for user 7 reflects all three events
+      assert(byUser(7L).map(_.n_events).max === 3L)
+      assert(byUser(7L).map(_.sum_value).max === 17.5)
+      assert(byUser(9L).map(_.n_events).max === 1L)
+    } finally q.stop()
+  }
+}
