@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, EventQueries, MultimodalQueries, Relational, TextQueries, TweetOps}
+import graft.queries.{DedupSim, EventQueries, MultimodalQueries, PipelineQueries, Relational, TextQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,15 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupSim.queries, DedupSim.oracles),
       (EventQueries.queries, EventQueries.oracles),
-      (MultimodalQueries.queries, MultimodalQueries.oracles)
+      (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: the full reference pipeline (cleanse → NER → weighted
+    * monthly frequency pivot) over a tweet-shaped frame. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg_pricing")(spark, "/root/testdata/sf0.001")
+    queries("q70_tweet_pipeline_freq")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
