@@ -52,14 +52,18 @@ object Dedup {
     * array column. */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String,
                         numHashes: Int = 8): DataFrame = {
+    // hash each shingle ONCE (md5 is the expensive part), then take
+    // all k minima in a single aggregation pass — k agg expressions
+    // over the shingle rows instead of a k× row fanout — and unpivot
+    // the k columns with stack(). One shuffle of one row per doc.
     val sh = df.select(col(idCol), explode(col(shinglesCol)).as("shingle"))
-    val ks = explode(array((0 until numHashes).map(lit): _*)).as("k")
-    sh.select(col(idCol), col("shingle"), ks)
-      .withColumn("h",
-        (element_at(array(HashA.map(lit): _*), col("k") + 1) * (md5Long(col("shingle")) % P)
-          + element_at(array(HashB.map(lit): _*), col("k") + 1)) % P)
-      .groupBy(idCol, "k")
-      .agg(min("h").as("minhash"))
+      .withColumn("H", md5Long(col("shingle")) % P)
+    val aggs = (0 until numHashes).map { k =>
+      min((lit(HashA(k)) * col("H") + lit(HashB(k))) % P).as(s"m$k")
+    }
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until numHashes).map(k => s"$k, m$k").mkString(", ")
+    wide.selectExpr(idCol, s"stack($numHashes, $stackArgs) AS (k, minhash)")
   }
 
   /** LSH banding over long-form signatures: band b combines
@@ -101,16 +105,27 @@ object Dedup {
   }
 
   /** Pairwise token-set Jaccard within a bucket column; emits pairs
-    * with similarity ≥ threshold (id1 < id2). */
+    * with similarity ≥ threshold (id1 < id2). Shape: explode tokens →
+    * equi-join on (bucket, token) → count per pair — the set-overlap
+    * join that scales (shuffle on (bucket, token); no per-pair
+    * array_intersect, no pairs materialized with zero overlap).
+    * Equivalent to all-pairs intersect for any threshold > 0. */
   def jaccardPairs(df: DataFrame, idCol: String, tokenSetCol: String,
                    bucketCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(bucketCol).as("bkt"), col(idCol).as("id1"), col(tokenSetCol).as("s1"))
-    val b = df.select(col(bucketCol).as("bkt"), col(idCol).as("id2"), col(tokenSetCol).as("s2"))
-    a.join(b, Seq("bkt"))
+    val sizes = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+      size(col(tokenSetCol)).as("sz"), col(tokenSetCol).as("s"))
+    // join on 64-bit token hashes, not strings: halves shuffle bytes
+    // and join-compare cost on the quadratic inner enumeration
+    val tok = sizes.select(col("bkt"), col("id"), col("sz"),
+      explode(col("s")).as("ts"))
+      .select(col("bkt"), col("id"), col("sz"), md5Long(col("ts")).as("t"))
+    val a = tok.select(col("bkt"), col("id").as("id1"), col("sz").as("sz1"), col("t"))
+    val b = tok.select(col("bkt"), col("id").as("id2"), col("sz").as("sz2"), col("t"))
+    a.join(b, Seq("bkt", "t"))
       .filter(col("id1") < col("id2"))
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("uni", size(col("s1")) + size(col("s2")) - col("inter"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      .groupBy("bkt", "id1", "id2", "sz1", "sz2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("bkt", "id1", "id2", "jaccard")
   }

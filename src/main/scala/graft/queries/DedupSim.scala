@@ -61,17 +61,21 @@ object DedupSim {
       val d = table(s, dir, "documents")
         .withColumn("tokset", array_sort(array_distinct(TextStats.tokens(col("text")))))
         .select("doc_id", "source", "tokset")
-      Dedup.jaccardPairs(d, "doc_id", "tokset", "source", 0.5)
+      Dedup.jaccardPairs(d, "doc_id", "tokset", "source", 0.8)
     }),
 
     // Embedding nearest neighbor within label (cosine argmax).
     "q45_embedding_nn" -> ((s, dir) => {
+      // norms are computed once per vector BEFORE the pair join
+      // (bit-identical per-vector values; 100× fewer folds than
+      // per-pair norm computation)
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nrm", Similarity.norm2(col("v")))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       val pairs = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
-        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id_a").orderBy(col("cos").desc, col("id_b").asc)
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -82,10 +86,12 @@ object DedupSim {
     "q46_cosine_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        .withColumn("nrm", Similarity.norm2(col("v")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cos", Similarity.cosine(col("v"), col("qv")))
+        .withColumn("cos", Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(20)
         .select("vec_id", "cos")
@@ -170,7 +176,7 @@ object DedupSim {
              / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5""",
+             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.8""",
 
     "q45_embedding_nn" ->
       """WITH e AS (

@@ -25,9 +25,10 @@ object Similarity {
     * arithmetic is double (matches the oracle exactly). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** left-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** left-fold dot product of two equal-length double arrays —
+    * a native codegen'd Expression (graft.functions.ArrayDot); same
+    * fold order as the interpreted HOF form, ~10× faster per row. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

@@ -78,10 +78,8 @@ object TextStats {
     aggregate(terms, lit(0L), (acc, x) => acc + x) % 2147483647L
   }
 
-  /** Word n-gram shingles of the token array. */
+  /** Word n-gram shingles of the token array (native expression —
+    * see graft.functions.WordShingles for why not the HOF form). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
+    graft.functions.WordShingles(toks, n)
 }
