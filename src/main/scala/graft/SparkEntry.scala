@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, EventQueries, MultimodalQueries, PipelineQueries, Relational, TextQueries, TweetOps}
+import graft.queries.{DedupSim, EventQueries, MultimodalQueries, PipelineQueries, Relational, Relational2, TextQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
+      (Relational2.queries, Relational2.oracles),
       (TweetOps.queries, TweetOps.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (DedupSim.queries, DedupSim.oracles),

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+
+/** Second relational batch: running/ranking window functions, cube
+  * grouping sets, approximate distinct (HLL), as-of join, and range
+  * join. The as-of join is composed from built-ins (union + last_value
+  * over an ordered window) — preference (a) of the custom-operator
+  * ladder; no custom SparkPlan needed for these semantics. DuckDB's
+  * native ASOF JOIN serves as the oracle.
+  */
+object Relational2 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Window family beyond row_number: rank/dense_rank/lag + running
+    // sum over an ordered partition.
+    "q16_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1)).as("prev_order"),
+          (round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) * 100) / 100)
+            .as("running_spend"))
+    }),
+
+    // CUBE grouping sets with grouping_id.
+    "q17_cube" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
+    }),
+
+    // As-of join composed from built-ins: for every 'click' event,
+    // the most recent 'purchase' by the same user at or before it.
+    // Shape: union the two streams tagged, one shuffle on user_id,
+    // last_value(ignoreNulls) over (user, ts) — scales as a single
+    // sort-merge pass, no per-row probing.
+    "q18_asof_join" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(null).cast("timestamp").as("p_ts"), lit(0).as("is_p"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(-1L).as("event_id"), col("ts").as("p_ts"), lit(1).as("is_p"))
+      // purchases sort before clicks at identical ts so "at or
+      // before" includes the same-instant purchase
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_p").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("last_purchase_ts")).as("n_attributed"),
+          max(col("last_purchase_ts")).as("last_attr_ts"))
+    }),
+
+    // Range (non-equi band) join against a small broadcast dim.
+    "q19_range_join" -> ((s, dir) => {
+      val bands = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high"))
+      val dim = s.createDataFrame(bands).toDF("lo", "hi", "band")
+      table(s, dir, "events")
+        .join(broadcast(dim), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band", "event_type")
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")) * 100) / 100).as("sum_value"))
+    }),
+
+    // HLL approximate distinct — deterministic in Spark but engine-
+    // specific, so the driver's rows-only check applies; the exact
+    // spine (q10) is the hash-checked counterpart.
+    "q1A_approx_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           COALESCE(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) / 100 AS running_spend
+         FROM orders
+         WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    "q17_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q18_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT user_id, count(*) AS n_clicks,
+           count(p_ts) AS n_attributed,
+           max(p_ts) AS last_attr_ts
+         FROM (
+           SELECT c.user_id, c.event_id, p.ts AS p_ts
+           FROM clicks c ASOF LEFT JOIN purchases p
+             ON c.user_id = p.user_id AND p.ts <= c.ts) t
+         GROUP BY user_id""",
+
+    "q19_range_join" ->
+      """WITH dim(lo, hi, band) AS (
+           VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1e9, 'high'))
+         SELECT band, event_type, count(*) AS n,
+           round(sum(value) * 100) / 100 AS sum_value
+         FROM events JOIN dim ON value >= lo AND value < hi
+         GROUP BY band, event_type"""
+  )
+}
