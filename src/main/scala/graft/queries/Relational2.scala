@@ -75,6 +75,17 @@ object Relational2 {
           (round(sum(col("value")) * 100) / 100).as("sum_value"))
     }),
 
+    // Salted two-phase aggregation (skew mitigation): exact integer
+    // cents so the per-salt partial sums re-combine bit-identically
+    // to the direct groupBy the oracle runs.
+    "q1B_salted_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long"))
+      graft.ops.Skew.saltedSum(li, Seq("l_returnflag"), col("l_orderkey"),
+        16, ("cents", "sum_cents"))
+        .select(col("l_returnflag"), col("sum_cents"))
+    }),
+
     // HLL approximate distinct — deterministic in Spark but engine-
     // specific, so the driver's rows-only check applies; the exact
     // spine (q10) is the hash-checked counterpart.
@@ -119,6 +130,11 @@ object Relational2 {
            FROM clicks c ASOF LEFT JOIN purchases p
              ON c.user_id = p.user_id AND p.ts <= c.ts) t
          GROUP BY user_id""",
+
+    "q1B_salted_agg" ->
+      """SELECT l_returnflag,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q19_range_join" ->
       """WITH dim(lo, hi, band) AS (

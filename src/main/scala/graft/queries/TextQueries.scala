@@ -49,6 +49,22 @@ object TextQueries {
           concat_ws(",", EntityRuler.nerColumn(m)(col("text"))).as("topics"))
     }),
 
+    // NER with the FULL reference dictionary (25k spaCy patterns)
+    // when the reference tree is mounted — exercises the broadcast
+    // trie at production dictionary size; falls back to the demo
+    // patterns otherwise. Rows-only check either way.
+    "q38_ner_full_dict" -> ((s, dir) => {
+      val path = "/root/reference/NER_model/entity_ruler/patterns.jsonl"
+      val pats =
+        if (new java.io.File(path).exists()) EntityRuler.loadPatternsJsonl(s, path)
+        else demoPatterns
+      val m = new EntityRuler.Matcher(pats)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(EntityRuler.nerColumn(m)(col("text"))).as("n_topics"))
+        .groupBy("n_topics").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Lexicon sentiment with prev-token negator/intensifier handling;
     // integer per-mille arithmetic → bit-stable vs the SQL oracle.
     "q31_sentiment_docs" -> ((s, dir) => {
