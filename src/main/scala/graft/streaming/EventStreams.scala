@@ -21,6 +21,22 @@ object EventStreams {
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** File-source stream over an events parquet directory — the
+    * readStream twin of [[graft.io.Sources.table]]'s batch reader,
+    * with the same TIMESTAMP(NANOS) handling (read int64 nanos,
+    * floor-divide to µs). Streaming sources need an explicit schema. */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Watermarked tumbling-window counts; append-mode compatible

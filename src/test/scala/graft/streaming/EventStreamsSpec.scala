@@ -36,6 +36,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events parquet produces windowed counts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // stage the parquet in a directory (streaming sources read dirs)
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = tumblingCounts(EventStreams.readEventsStream(spark, dir.toString), "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_stream_test").count()
+      assert(n > 100) // ~30 days × 24 windows × 5 event types at sf0.001
+      // spot-check against the batch path over the same data
+      val batch = graft.streaming.EventWindows
+        .tumbling(graft.io.Sources.table(spark, "/root/testdata/sf0.001", "events"), "1 hour")
+      assert(n === batch.count())
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals update per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
