@@ -72,6 +72,12 @@ object TextQueries {
         .select(col("doc_id"), Sentiment.sentimentColumn(col("text")).as("sentiment"))
     }),
 
+    // Same sentiment contract, UDF-free: posexplode + broadcast
+    // lexicon join + lag window — the Catalyst-native shape.
+    "q39_sentiment_native" -> ((s, dir) => {
+      graft.text.Sentiment.scoreNative(table(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Token statistics: whitespace tokens, BPE-ish subwords, distinct.
     "q32_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -135,11 +141,10 @@ object TextQueries {
     s"CASE WHEN $prevExpr IN ($negs) THEN -500 $ints ELSE 1000 END"
   }
 
-  def oracles: Map[String, String] = Map(
-    "q31_sentiment_docs" -> {
-      val pol = lexiconCaseSql("lower(p[1])")
-      val mod = modifierCaseSql("lower(p[2])")
-      s"""WITH z AS (
+  private lazy val sentimentOracleSql: String = {
+    val pol = lexiconCaseSql("lower(p[1])")
+    val mod = modifierCaseSql("lower(p[2])")
+    s"""WITH z AS (
             SELECT doc_id,
               list_zip(string_split(text, ' '),
                        list_prepend('', (string_split(text, ' '))[:len(string_split(text, ' ')) - 1])) AS pairs
@@ -153,7 +158,11 @@ object TextQueries {
             CASE WHEN len(a) = 0 THEN 0.0
                  ELSE (CAST(list_sum(a) AS DOUBLE) / len(a)) / 1000000.0 END AS sentiment
           FROM adj"""
-    },
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q31_sentiment_docs" -> sentimentOracleSql,
+    "q39_sentiment_native" -> sentimentOracleSql,
 
     "q32_token_stats" ->
       """SELECT doc_id,

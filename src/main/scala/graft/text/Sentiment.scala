@@ -85,4 +85,40 @@ object Sentiment {
       if (s == null) 0.0 else score(s.split(" ").toSeq))
     f(text)
   }
+
+  /** UDF-free scoring as a DataFrame transform: posexplode tokens,
+    * broadcast-join the lexicon, lag() for the preceding-token
+    * modifier, integer aggregation per id. Same contract/values as
+    * [[sentimentColumn]] but fully inside Catalyst — the shape that
+    * scales (narrow generate + broadcast join + one shuffle on id,
+    * which the downstream per-doc aggregate needs anyway). */
+  def scoreNative(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toSeq.toDF("word", "pol"))
+    val negArr = array(negators.toSeq.sorted.map(lit): _*)
+    val intsDf = intensifiers.toSeq.map { case (w, m) => (w, m) }
+    val toks = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("tok", lower(col("tok")))
+      .withColumn("prev", lag(col("tok"), 1, null)
+        .over(Window.partitionBy(idCol).orderBy("pos")))
+    val intLex = broadcast(intsDf.toDF("iword", "imult"))
+    val scored = toks
+      .join(lex, toks("tok") === lex("word"), "inner")
+      .join(intLex, col("prev") === col("iword"), "left")
+      .withColumn("mod",
+        when(array_contains(negArr, col("prev")), lit(-500))
+          .otherwise(coalesce(col("imult"), lit(1000))))
+      .withColumn("adj", col("pol").cast("long") * col("mod"))
+    val perDoc = scored.groupBy(idCol)
+      .agg(sum("adj").as("s"), count(lit(1)).as("n"))
+      .withColumn("sentiment", (col("s").cast("double") / col("n")) / 1000000.0)
+      .select(col(idCol), col("sentiment"))
+    // docs with zero lexicon hits score 0.0
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0.0, Seq("sentiment"))
+  }
 }

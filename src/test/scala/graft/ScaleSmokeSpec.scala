@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{Sentiment, TextStats}
+
+/** Scale smoke (builder brief: "would this still work at 1000×?"):
+  * run the dedup/text hot paths over a 200k-row synthetic corpus
+  * generated distributively with spark.range — 40× the sf0.1
+  * documents table — and sanity-check output shapes. Catches
+  * accidental driver-side materialization or quadratic blowups that
+  * the 5k-row test tables would hide. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    // 200k docs × 30 tokens from a 1000-word vocabulary, built
+    // entirely from codegen'd expressions (no data movement)
+    val words = transform(sequence(lit(0), lit(29)),
+      i => concat(lit("w"), pmod(hash(col("id") * 31 + i), lit(1000))))
+    spark.range(200000)
+      .withColumn("text", concat_ws(" ", words))
+      .select(col("id").as("doc_id"), col("text"))
+  }
+
+  test("minhash + LSH over 200k docs completes with sane shapes") {
+    val d = corpus
+      .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+      .select("doc_id", "shingles")
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
+    assert(sigs.count() === 200000L * 8)
+    val cands = Dedup.lshCandidatePairs(Dedup.lshBandKeys(sigs, "doc_id", 2), "doc_id")
+    // random 30-token docs from a 1k vocab shouldn't look near-identical
+    val n = cands.count()
+    assert(n < 1000, s"LSH produced implausibly many candidates: $n")
+  }
+
+  test("native sentiment over 200k docs stays distributed") {
+    val out = Sentiment.scoreNative(
+      corpus.withColumn("text", concat(col("text"), lit(" good not bad"))),
+      "doc_id", "text")
+    assert(out.count() === 200000)
+    // every doc got the appended 'good'(+700) and 'not bad'(-(-700*0.5)=+350)
+    val one = out.filter(col("doc_id") === 42).collect().head.getDouble(1)
+    assert(one === (700 * 1000 + -700 * -500).toDouble / 2 / 1000000.0)
+  }
+}
