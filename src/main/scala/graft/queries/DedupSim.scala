@@ -97,6 +97,12 @@ object DedupSim {
         .select("vec_id", "cos")
     }),
 
+    // IVF-style ANN: deterministic coarse cells, probe-and-search.
+    "q48_ivf_ann" -> ((s, dir) => {
+      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0, kCentroids = 16, nProbe = 4, topK = 10)
+    }),
+
     // Hyperplane-LSH bucket histogram (the ANN scale path).
     "q47_lsh_ann_buckets" -> ((s, dir) => {
       table(s, dir, "embeddings")
@@ -205,6 +211,36 @@ object DedupSim {
             sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
          FROM e, q WHERE e.vec_id <> 0
          ORDER BY cos DESC, e.vec_id ASC LIMIT 20""",
+
+    "q48_ivf_ann" ->
+      """WITH e AS (
+           SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         en AS (
+           SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         c AS (
+           SELECT id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cc
+           FROM e WHERE id < 16),
+         asg AS (
+           SELECT id, v, nrm, cid AS cell FROM (
+             SELECT en.id, en.v, en.nrm, c.cid,
+               row_number() OVER (PARTITION BY en.id ORDER BY
+                 c.cc - 2.0 * list_sum(list_transform(list_zip(en.v, c.cv), p -> p[1] * p[2])) ASC,
+                 c.cid ASC) AS rn
+             FROM en, c) t
+           WHERE rn = 1),
+         q AS (SELECT v AS qv, nrm AS qn FROM en WHERE id = 0),
+         probes AS (
+           SELECT cid AS cell FROM c, q
+           ORDER BY c.cc - 2.0 * list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) ASC,
+                    cid ASC
+           LIMIT 4)
+         SELECT asg.id AS vec_id, asg.cell,
+           list_sum(list_transform(list_zip(asg.v, q.qv), p -> p[1] * p[2])) / (asg.nrm * q.qn) AS cos
+         FROM asg JOIN probes USING (cell), q
+         WHERE asg.id <> 0
+         ORDER BY cos DESC, asg.id ASC
+         LIMIT 10""",
 
     "q47_lsh_ann_buckets" -> {
       val dots = (0 until 8).map { k =>

@@ -49,6 +49,49 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** IVF-style ANN: deterministic coarse quantizer (centroids = the
+    * first k vectors by id), cell assignment by argmin squared-L2,
+    * query probes the nProbe nearest cells and searches only their
+    * members. Fully deterministic ⇒ DuckDB-oracle-checkable, unlike
+    * trained k-means; swap the centroid source for real k-means
+    * centers in production without touching the search path.
+    *
+    * Scale: assignment is a broadcast of k centroid rows + a narrow
+    * map (k dots/row); search touches |corpus|·nProbe/k vectors in
+    * expectation instead of all of them. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, kCentroids: Int = 16, nProbe: Int = 4,
+              topK: Int = 10): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val cents = e.filter(col("id") < kCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    // cell assignment: argmin_c (|c|² − 2·v·c)  (|v|² constant per v)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("d2").asc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2", col("cc") - lit(2.0) * dot(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+    // probe cells: the nProbe centroids nearest to the query vector
+    val q = e.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val probes = broadcast(cents).crossJoin(broadcast(q))
+      .withColumn("d2", col("cc") - lit(2.0) * dot(col("qv"), col("cv")))
+      .orderBy(col("d2").asc, col("cid").asc)
+      .limit(nProbe)
+      .select(col("cid").as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as("vec_id"), col("cell"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight (LCG over the
     * (plane, dim) index): integer in [-1000, 1000]. */
   def planeWeight(k: Int, d: Int): Long =

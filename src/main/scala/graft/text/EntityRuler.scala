@@ -126,10 +126,15 @@ object EntityRuler {
       matchTokens(Tokenizer.tokenize(text))
   }
 
-  /** Column form: tokenize + match as one scalar function (a Scala
-    * UDF over the compiled matcher — SURVEY.md §7.3; an Expression
-    * upgrade is an optimization, not a semantic need). */
-  def nerColumn(matcher: Matcher)(text: Column): Column = {
+  /** Column form: tokenize + match as one scalar expression
+    * (graft.functions.NerExtract — skips the UDF layer's per-row
+    * encode/decode; a plain-UDF fallback is a one-liner if needed). */
+  def nerColumn(matcher: Matcher)(text: Column): Column =
+    graft.functions.NerExtract(text, matcher)
+
+  /** The original registered-UDF form (kept for API parity with the
+    * survey's ladder; same results as [[nerColumn]]). */
+  def nerColumnUdf(matcher: Matcher)(text: Column): Column = {
     val f = udf((s: String) => matcher.extract(s))
     f(text)
   }
