@@ -86,6 +86,32 @@ object Relational2 {
         .select(col("l_returnflag"), col("sum_cents"))
     }),
 
+    // Exact interpolated percentiles (both engines use the standard
+    // (n-1)·p linear interpolation over sorted values — order-
+    // independent, so doubles compare exactly).
+    "q1C_percentiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("approx_median"),
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .drop("approx_median") // engine-specific; exact percentiles are the checked surface
+    }),
+
+    // String function family over part names.
+    "q1D_string_funcs" -> ((s, dir) => {
+      table(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("nlen"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          reverse(col("p_name")).as("rname"),
+          levenshtein(col("p_name"), col("p_type")).as("edit_dist"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tname"))
+    }),
+
     // HLL approximate distinct — deterministic in Spark but engine-
     // specific, so the driver's rows-only check applies; the exact
     // spine (q10) is the hash-checked counterpart.
@@ -130,6 +156,23 @@ object Relational2 {
            FROM clicks c ASOF LEFT JOIN purchases p
              ON c.user_id = p.user_id AND p.ts <= c.ts) t
          GROUP BY user_id""",
+
+    "q1C_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q1D_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_name) AS uname,
+           strlen(p_name) AS nlen,
+           substring(p_name, 1, 5) AS prefix,
+           reverse(p_name) AS rname,
+           levenshtein(p_name, p_type) AS edit_dist,
+           translate(p_name, 'aeiou', 'AEIOU') AS tname
+         FROM part""",
 
     "q1B_salted_agg" ->
       """SELECT l_returnflag,

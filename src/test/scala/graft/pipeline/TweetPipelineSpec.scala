@@ -1,6 +1,8 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Cleanse
 import graft.text.EntityRuler
 
@@ -85,6 +87,25 @@ class TweetPipelineSpec extends SparkSpec {
     import org.apache.spark.sql.types.FloatType
     val sentCols = out.sent1d.schema.fields.filter(_.name.startsWith("Sentiment_"))
     assert(sentCols.nonEmpty && sentCols.forall(_.dataType == FloatType))
+  }
+
+  test("SRC1 end-to-end: fixture through CSV files into the pipeline") {
+    // the reference's actual ingestion shape: CSV glob with
+    // header+inferSchema (ref demo.py:53) feeding the pipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_tweets").toString
+    graft.io.Sinks.writeCsv(
+      fixture.toDF("Timestamp", "Text", "Page_URL", "Comments", "Likes", "Retweets"),
+      s"$dir/tweets", singleFile = true)
+    val raw = graft.io.Sinks.readCsv(spark, s"$dir/tweets/*.csv")
+    // inferSchema narrows numeric-looking columns; the pipeline
+    // contract is all-strings input (like the reference's data)
+    val asStrings = raw.columns.foldLeft(raw)((d, c) => d.withColumn(c, col(c).cast("string")))
+    val out = TweetPipeline.run(asStrings, matcher, seed = 7L, sampleN = 100)
+    val viaDf = TweetPipeline.run(
+      fixture.toDF("Timestamp", "Text", "Page_URL", "Comments", "Likes", "Retweets"),
+      matcher, seed = 7L, sampleN = 100)
+    assert(out.freq1d.columns.toSeq === viaDf.freq1d.columns.toSeq)
+    assert(out.freq1d.collect().toSet === viaDf.freq1d.collect().toSet)
   }
 
   test("pinned months produce exactly those pivot columns, zero-filled") {
