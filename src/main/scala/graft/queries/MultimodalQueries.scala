@@ -13,6 +13,18 @@ import graft.multimodal.Multimodal
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Frame sampling: every 5th frame of each decoded media payload
+    // (the video→frames fan-out shape: a narrow generate, one row per
+    // sampled frame, bounded per input row).
+    "q61_frame_sample" -> ((s, dir) => {
+      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
+      Multimodal.decodeMeta(docs).toDF()
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("width") * col("height")).as("pixels"))
+    }),
+
     "q60_media_meta" -> ((s, dir) => {
       val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
       Multimodal.decodeMeta(docs).toDF()
@@ -24,6 +36,17 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q61_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+             (strlen(text) % 64 + 1) * 8 AS width,
+             (strlen(text) % 48 + 1) * 8 AS height,
+             strlen(text) % 30 + 1 AS n_frames
+           FROM documents)
+         SELECT doc_id, g.f AS frame_idx, width * height AS pixels
+         FROM m, generate_series(0, 29, 5) g(f)
+         WHERE g.f <= n_frames - 1""",
+
     "q60_media_meta" ->
       """WITH m AS (
            SELECT doc_id,

@@ -86,6 +86,24 @@ object Relational2 {
         .select(col("l_returnflag"), col("sum_cents"))
     }),
 
+    // Correlated scalar subquery semantics: orders priced >1.5× the
+    // mean of their priority class. Spark computes it as a window
+    // aggregate (decorrelated, single pass) — the DuckDB oracle uses
+    // a literal correlated subquery, so the two shapes check each
+    // other. Exact-integer mean comparison (cents × n) avoids float
+    // division entirely.
+    "q1E_correlated" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+      table(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .withColumn("sum_c", sum("cents").over(w))
+        .withColumn("n_c", count(lit(1)).over(w))
+        // cents > 1.5·mean  ⇔  2·cents·n > 3·sum (integer-exact)
+        .filter(col("cents") * 2 * col("n_c") > col("sum_c") * 3)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pricey"), max("o_orderkey").as("max_key"))
+    }),
+
     // Exact interpolated percentiles (both engines use the standard
     // (n-1)·p linear interpolation over sorted values — order-
     // independent, so doubles compare exactly).
@@ -156,6 +174,16 @@ object Relational2 {
            FROM clicks c ASOF LEFT JOIN purchases p
              ON c.user_id = p.user_id AND p.ts <= c.ts) t
          GROUP BY user_id""",
+
+    "q1E_correlated" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders)
+         SELECT o_orderpriority, count(*) AS n_pricey, max(o_orderkey) AS max_key
+         FROM o a
+         WHERE a.cents * 2 * (SELECT count(*) FROM o b WHERE b.o_orderpriority = a.o_orderpriority)
+               > (SELECT sum(cents) FROM o b WHERE b.o_orderpriority = a.o_orderpriority) * 3
+         GROUP BY o_orderpriority""",
 
     "q1C_percentiles" ->
       """SELECT l_returnflag,
