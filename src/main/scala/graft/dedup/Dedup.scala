@@ -121,7 +121,9 @@ object Dedup {
       .select(col("bkt"), col("id"), col("sz"), md5Long(col("ts")).as("t"))
     val a = tok.select(col("bkt"), col("id").as("id1"), col("sz").as("sz1"), col("t"))
     val b = tok.select(col("bkt"), col("id").as("id2"), col("sz").as("sz2"), col("t"))
-    a.join(b, Seq("bkt", "t"))
+    // shuffled-hash beats sort-merge here: high-multiplicity keys make
+    // the sort phase pure overhead before the quadratic enumeration
+    a.join(b.hint("shuffle_hash"), Seq("bkt", "t"))
       .filter(col("id1") < col("id2"))
       .groupBy("bkt", "id1", "id2", "sz1", "sz2")
       .agg(count(lit(1)).as("inter"))
