@@ -23,6 +23,10 @@ object Sources {
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
       // to map to TimestampType; read the raw int64 and floor-divide to
       // micros — the same truncation DuckDB applies reading ns parquet.
+      // DELIBERATE session-wide side effect: nanosAsLong stays set
+      // (the conf is consulted at scan execution, so it can't be
+      // scoped to this read). Net effect: other ns-parquet reads in
+      // the session yield LongType instead of failing outright.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (df.schema("ts").dataType == LongType)

@@ -22,9 +22,13 @@ object Cleanse {
       .otherwise(regexp_replace(c, ",", ""))
 
   /** U1 + to_date: full tweet-timestamp parse to DateType
-    * (ref demo.py:67, format "MMM dd yyyy"). */
+    * (ref demo.py:67, format "MMM dd yyyy"). try_to_date, not
+    * to_date: under Spark 4's default ANSI mode a plain to_date
+    * THROWS on any malformed timestamp, whereas the pipeline's
+    * contract (like the reference's lenient parse) is
+    * unparseable → null → filtered. */
   def parseTweetDate(c: Column): Column =
-    to_date(tsPreClean(c), "MMM dd yyyy")
+    call_function("try_to_date", tsPreClean(c), lit("MMM dd yyyy"))
 
   /** Numeric-literal shape accepted by Python float() for the
     * purposes of U2 (sign, decimal, exponent; surrounding blanks). */
@@ -40,11 +44,18 @@ object Cleanse {
     val t = trim(c)
     val kNum = numOrNull(regexp_replace(t, "[Kk]$", ""))
     val mNum = numOrNull(regexp_replace(t, "[Mm]$", ""))
-    coalesce(
-      when(t.rlike("[Kk]$"), (kNum * 1000).cast("long"))
-        .when(t.rlike("[Mm]$"), (mNum * 1000000).cast("long"))
-        .otherwise(numOrNull(t).cast("long")),
-      lit(0L)).cast("int")
+    val raw =
+      when(t.rlike("[Kk]$"), kNum * 1000)
+        .when(t.rlike("[Mm]$"), mNum * 1000000)
+        .otherwise(numOrNull(t))
+    // clamp before the cast: NumRe accepts exponents, and an ANSI
+    // int cast of e.g. "1e300" or "3000M" would otherwise throw
+    // CAST_OVERFLOW instead of degrading gracefully. greatest/least
+    // skip nulls, so the unparseable→null case must stay null here
+    // for the coalesce→0 to apply.
+    val clamped = when(raw.isNotNull,
+      least(greatest(raw, lit(Int.MinValue.toDouble)), lit(Int.MaxValue.toDouble)))
+    coalesce(clamped.cast("long"), lit(0L)).cast("int")
   }
 
   /** U3 `logNormal` (ref demo.py:85-87): log2 bucketing of engagement

@@ -56,7 +56,7 @@ object TextQueries {
     "q38_ner_full_dict" -> ((s, dir) => {
       val path = "/root/reference/NER_model/entity_ruler/patterns.jsonl"
       val pats =
-        if (new java.io.File(path).exists()) EntityRuler.loadPatternsJsonl(s, path)
+        if (new java.io.File(path).exists()) EntityRuler.loadPatternsJsonl(path)
         else demoPatterns
       val m = new EntityRuler.Matcher(pats)
       table(s, dir, "documents")

@@ -47,21 +47,24 @@ object EntityRuler {
   }
 
   /** Serializable compiled matcher; build driver-side, use inside a
-    * UDF (Spark serializes it into the task closure once per stage —
-    * equivalently broadcastable for very large tries). */
+    * UDF/expression (Spark serializes it into the task closure once
+    * per stage — equivalently broadcastable for very large tries).
+    *
+    * One trie with TYPED edges (an edge is either case-insensitive
+    * "L"+lowered or exact-case "E"+text), so patterns mixing LOWER
+    * and Text tokens match with per-token case rules exactly like
+    * spaCy — a two-trie split would force a whole-pattern choice and
+    * silently miss e.g. [Text "Dr", LOWER "pepper"] on "Dr Pepper".
+    * The match walk keeps a frontier (both edge kinds can apply);
+    * frontier width is bounded by patterns sharing a prefix with
+    * different attrs — ~1 in practice. */
   final class Matcher(patterns: Seq[Pattern]) extends Serializable {
-    private val lowerRoot = new Node
-    private val exactRoot = new Node
+    private val root = new Node
 
     patterns.zipWithIndex.foreach { case (p, idx) =>
-      // A pattern is inserted into the lower trie iff ALL its tokens
-      // are LOWER (the reference's patterns are homogeneous per
-      // pattern); mixed patterns go to the exact trie conservatively.
-      val allLower = p.toks.forall(_.isInstanceOf[LowerTok])
-      val root = if (allLower) lowerRoot else exactRoot
       val keys = p.toks.map {
-        case LowerTok(t) => t.toLowerCase
-        case ExactTok(t) => t
+        case LowerTok(t) => "L" + t.toLowerCase
+        case ExactTok(t) => "E" + t
       }
       var n = root
       keys.foreach { k => n = n.children.getOrElseUpdate(k, new Node) }
@@ -69,21 +72,26 @@ object EntityRuler {
         n.terminal = Some((p.id, idx, p.label))
     }
 
-    private def longestFrom(root: Node, keys: Array[String], start: Int):
-        Option[(Int, Option[String], Int)] = {
-      var n = root
+    private def longestFrom(tokens: Array[String], lowered: Array[String],
+                            start: Int): Option[(Int, Option[String], Int)] = {
+      var frontier: List[Node] = root :: Nil
       var best: Option[(Int, Option[String], Int)] = None
       var i = start
-      while (i < keys.length) {
-        n.children.get(keys(i)) match {
-          case Some(child) =>
-            child.terminal.foreach { case (id, idx, _) =>
-              best = Some((i - start + 1, id, idx))
-            }
-            n = child
-            i += 1
-          case None => i = keys.length // stop walk
+      while (frontier.nonEmpty && i < tokens.length) {
+        val next = frontier.flatMap { n =>
+          n.children.get("E" + tokens(i)).toList :::
+            n.children.get("L" + lowered(i)).toList
         }
+        next.foreach(_.terminal.foreach { case (id, idx, _) =>
+          val cand = (i - start + 1, id, idx)
+          best = best match {
+            case Some(b) if b._1 > cand._1 => Some(b)
+            case Some(b) if b._1 == cand._1 && b._3 <= idx => Some(b)
+            case _ => Some(cand)
+          }
+        })
+        frontier = next
+        i += 1
       }
       best
     }
@@ -97,16 +105,7 @@ object EntityRuler {
       val out = mutable.LinkedHashSet.empty[String]
       var i = 0
       while (i < tokens.length) {
-        val lo = longestFrom(lowerRoot, lowered, i)
-        val ex = longestFrom(exactRoot, tokens, i)
-        // longest wins; tie → earliest pattern index
-        val best = (lo, ex) match {
-          case (Some(a), Some(b)) =>
-            if (a._1 != b._1) Some(if (a._1 > b._1) a else b)
-            else Some(if (a._3 <= b._3) a else b)
-          case (a, b) => a.orElse(b)
-        }
-        best match {
+        longestFrom(tokens, lowered, i) match {
           case Some((len, id, _)) =>
             out += id.getOrElse(tokens.slice(i, i + len).mkString(" "))
             i += len
@@ -146,7 +145,7 @@ object EntityRuler {
     * not spark.read.json, which is case-insensitive about columns).
     * Structural TEXT-regex / IS_ASCII rows are skipped here: the
     * matcher implements them natively. */
-  def loadPatternsJsonl(spark: SparkSession, path: String): Seq[Pattern] = {
+  def loadPatternsJsonl(path: String): Seq[Pattern] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try {
@@ -154,18 +153,19 @@ object EntityRuler {
         val node = mapper.readTree(line)
         val label = Option(node.get("label")).map(_.asText).getOrElse("")
         val id = Option(node.get("id")).map(_.asText)
-        val patNode = node.get("pattern")
-        val toks: Seq[Option[TokPat]] =
-          (0 until patNode.size()).map { i =>
-            val t = patNode.get(i)
-            def g(n: String): Option[String] =
-              Option(t.get(n)).filter(_.isTextual).map(_.asText)
-            g("LOWER").map(LowerTok).orElse(g("Text").map(ExactTok))
-              .orElse(g("ORTH").map(ExactTok))
-          }
-        if (toks.nonEmpty && toks.forall(_.isDefined))
-          Some(Pattern(label, toks.map(_.get), id))
-        else None
+        Option(node.get("pattern")).toSeq.flatMap { patNode =>
+          val toks: Seq[Option[TokPat]] =
+            (0 until patNode.size()).map { i =>
+              val t = patNode.get(i)
+              def g(n: String): Option[String] =
+                Option(t.get(n)).filter(_.isTextual).map(_.asText)
+              g("LOWER").map(LowerTok).orElse(g("Text").map(ExactTok))
+                .orElse(g("ORTH").map(ExactTok))
+            }
+          if (toks.nonEmpty && toks.forall(_.isDefined))
+            Some(Pattern(label, toks.map(_.get), id))
+          else None // structural / malformed rows: skip
+        }
       }.toVector
     } finally src.close()
   }

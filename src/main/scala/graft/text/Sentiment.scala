@@ -78,11 +78,20 @@ object Sentiment {
   def scoreText(text: String): Double =
     score(Tokenizer.tokenize(text).toSeq)
 
-  /** Column form (whitespace-token variant so the same contract is
-    * SQL-expressible for oracles; the pipeline uses scoreText). */
+  /** Column form over WHITESPACE tokens — the variant whose contract
+    * is SQL-expressible for the DuckDB oracles (q31/q39). Misses
+    * punctuation-adjacent words by design; the pipeline uses
+    * [[sentimentColumnTokenized]] instead. */
   def sentimentColumn(text: Column): Column = {
     val f = udf((s: String) =>
       if (s == null) 0.0 else score(s.split(" ").toSeq))
+    f(text)
+  }
+
+  /** Column form over the real tokenizer (punctuation split off), so
+    * "great!" still scores — the pipeline-facing variant. */
+  def sentimentColumnTokenized(text: Column): Column = {
+    val f = udf((s: String) => if (s == null) 0.0 else scoreText(s))
     f(text)
   }
 

@@ -33,7 +33,11 @@ object TextStats {
   def langId(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
     val scored = profiles.map { case (lang, sw) => (lang, stopwordHits(toks, sw)) }
     // first language with score == max(scores), max>0; else "und"
-    val maxScore = greatest(scored.map(_._2): _*)
+    // (greatest() needs ≥2 args — degenerate single-profile case
+    // short-circuits to that profile's score)
+    val maxScore =
+      if (scored.size == 1) scored.head._2
+      else greatest(scored.map(_._2): _*)
     scored.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
       when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
     }

@@ -45,6 +45,38 @@ class RulerMatcherSpec extends AnyFunSuite {
     assert(m.matchTokens(Array("STREAM")).toSeq === Seq("STREAM")) // surface, original case
   }
 
+  test("mixed Text/LOWER pattern applies per-token case rules (spaCy parity)") {
+    val mixed = new Matcher(Seq(
+      Pattern("Brand", Seq(ExactTok("Dr"), LowerTok("pepper")), Some("Dr Pepper"))))
+    assert(mixed.matchTokens(Array("Dr", "Pepper")).toSeq === Seq("Dr Pepper"))
+    assert(mixed.matchTokens(Array("Dr", "PEPPER")).toSeq === Seq("Dr Pepper"))
+    assert(mixed.matchTokens(Array("dr", "pepper")).toSeq === Seq("empty")) // Text attr is exact
+  }
+
+  test("U2 overflow degrades instead of throwing under ANSI") {
+    import org.apache.spark.sql.functions.col
+    import spark2.implicits._
+    val out = Seq("1e300", "3000M", "42").toDF("x")
+      .select(graft.ops.Cleanse.parseKmNumber(col("x"))).as[Int].collect()
+    assert(out(2) === 42)
+    assert(out(0) === Int.MaxValue && out(1) === Int.MaxValue) // clamped
+  }
+  private lazy val spark2 = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    s
+  }
+
+  test("malformed timestamps parse to null, not ANSI exceptions") {
+    import org.apache.spark.sql.functions.col
+    import spark2.implicits._
+    val out = Seq("Jun 5, 2020", "12h", "Jan 05, 1995")
+      .toDF("x").select(graft.ops.Cleanse.parseTweetDate(col("x")).cast("string"))
+      .as[Option[String]].collect()
+    assert(out(1) === None)           // garbage → null (would throw before)
+    assert(out(2) === Some("1995-01-05"))
+  }
+
   test("structural: @mention and #hashtag emit surface") {
     assert(m.extract("ask @WaltonCoke about #needcalgon now").toSeq ===
       Seq("@WaltonCoke", "#needcalgon"))
@@ -81,7 +113,7 @@ class PatternsLoadSpec extends graft.SparkSpec {
 
   test("loadPatternsJsonl handles the full spaCy pattern file") {
     assume(new java.io.File(path).exists())
-    val pats = EntityRuler.loadPatternsJsonl(spark, path)
+    val pats = EntityRuler.loadPatternsJsonl(path)
     // 25,456 lines minus the 2 structural (Tag/Hashtag) patterns
     assert(pats.size > 25000)
     val m = new EntityRuler.Matcher(pats)
