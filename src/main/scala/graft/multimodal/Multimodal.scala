@@ -42,6 +42,27 @@ object Multimodal {
     (width, height, frames, fmt)
   }
 
+  /** Resize planning: scale (w, h) to fit a bounding box preserving
+    * aspect ratio — pure integer arithmetic over the metadata (the
+    * actual pixel resample lives behind the codec stub). */
+  def resizeDims(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxSide: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val longSide = greatest(w, h)
+    // scale in per-mille, capped at 1000 (never upscale). Explicit
+    // floor() everywhere: Spark's numeric cast truncates while
+    // DuckDB's rounds, so a bare cast would diverge cross-engine.
+    val scale = least(floor(lit(maxSide * 1000) / longSide), lit(1000.0))
+    (floor(w * scale / 1000.0).cast("int"), floor(h * scale / 1000.0).cast("int"))
+  }
+
+  /** Feature-extraction STUB: an 8-dim pseudo-embedding from content
+    * hashes (stands in for a vision encoder; deterministic, so the
+    * downstream similarity plumbing is fully testable). */
+  def featureStub(payloadText: org.apache.spark.sql.Column, dims: Int = 8): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dims - 1)), j =>
+      (conv(substring(md5(concat(payloadText, lit("_"), j)), 1, 15), 16, 10)
+        .cast("long") % 1000) / 1000.0)
+
   /** Attach a binary media column (here: the UTF-8 payload of `text`
     * stands in for image bytes) — the schema shape a real ingest
     * would produce. */

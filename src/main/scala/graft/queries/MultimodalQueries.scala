@@ -25,6 +25,24 @@ object MultimodalQueries {
           (col("width") * col("height")).as("pixels"))
     }),
 
+    // Resize planning over decoded metadata (aspect-preserving fit
+    // into 256px, integer per-mille arithmetic — never upscales).
+    "q62_media_resize" -> ((s, dir) => {
+      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
+      val meta = Multimodal.decodeMeta(docs).toDF()
+      val (rw, rh) = Multimodal.resizeDims(col("width"), col("height"), 256)
+      meta.select(col("doc_id"), col("width"), col("height"),
+        rw.as("rw"), rh.as("rh"))
+    }),
+
+    // Feature-extraction stub: 8-dim pseudo-embedding per payload,
+    // flattened to (doc_id, dim, value) rows for the oracle compare.
+    "q63_media_features" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Multimodal.featureStub(col("text"), 8)).as(Seq("dim", "feat")))
+    }),
+
     "q60_media_meta" -> ((s, dir) => {
       val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
       Multimodal.decodeMeta(docs).toDF()
@@ -36,6 +54,26 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q62_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             (strlen(text) % 64 + 1) * 8 AS width,
+             (strlen(text) % 48 + 1) * 8 AS height
+           FROM documents),
+         s AS (
+           SELECT doc_id, width, height,
+             least(floor(256000 / greatest(width, height)), 1000.0) AS scale
+           FROM m)
+         SELECT doc_id, width, height,
+           CAST(floor(width * scale / 1000.0) AS INT) AS rw,
+           CAST(floor(height * scale / 1000.0) AS INT) AS rh
+         FROM s""",
+
+    "q63_media_features" ->
+      """SELECT doc_id, g.j AS dim,
+           (CAST(('0x' || substr(md5(text || '_' || g.j), 1, 15)) AS BIGINT) % 1000) / 1000.0 AS feat
+         FROM documents, generate_series(0, 7) g(j)""",
+
     "q61_frame_sample" ->
       """WITH m AS (
            SELECT doc_id,

@@ -86,6 +86,33 @@ object Relational2 {
         .select(col("l_returnflag"), col("sum_cents"))
     }),
 
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // over a total order (deterministic; percent_rank's single
+    // division is bit-stable).
+    "q1F_window_dist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
+    // Ordered collect: sort_array(collect_set) makes the
+    // nondeterministic accumulation order canonical.
+    "q1G_collect" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          sort_array(collect_set(col("l_shipdate").cast("date"))).as("dates_sample"))
+        .select(col("l_returnflag"),
+          concat_ws(",", col("statuses")).as("statuses"),
+          size(col("dates_sample")).as("n_dates"))
+    }),
+
     // Correlated scalar subquery semantics: orders priced >1.5× the
     // mean of their priority class. Spark computes it as a window
     // aggregate (decorrelated, single pass) — the DuckDB oracle uses
@@ -174,6 +201,22 @@ object Relational2 {
            FROM clicks c ASOF LEFT JOIN purchases p
              ON c.user_id = p.user_id AND p.ts <= c.ts) t
          GROUP BY user_id""",
+
+    "q1F_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+
+    "q1G_collect" ->
+      """SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           len(list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))) AS n_dates
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q1E_correlated" ->
       """WITH o AS (SELECT o_orderpriority, o_orderkey,
