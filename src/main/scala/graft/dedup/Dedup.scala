@@ -104,6 +104,43 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs within a bucket: corpus
+    * self-join restricted to the bucket, cosine ≥ threshold. Norms
+    * are precomputed per vector; the bucket bounds the quadratic
+    * (pair with an LSH/IVF bucket column at scale). */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        bucketCol: String, threshold: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val e = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm2(col("v")))
+    val a = e.select(col("bkt"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("bkt"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select("bkt", "id1", "id2", "cos")
+  }
+
+  /** SimHash near-duplicate pairs: fingerprints within `maxHamming`
+    * bits of each other inside a bucket (bit_count(xor) — the
+    * standard SimHash radius search; at scale, pre-bucket by
+    * fingerprint bands instead of a full in-bucket product). */
+  def simhashNearPairs(fingerprints: DataFrame, idCol: String,
+                       simhashCol: String, bucketCol: String,
+                       maxHamming: Int): DataFrame = {
+    val a = fingerprints.select(col(bucketCol).as("bkt"),
+      col(idCol).as("id1"), col(simhashCol).as("h1"))
+    val b = fingerprints.select(col(bucketCol).as("bkt"),
+      col(idCol).as("id2"), col(simhashCol).as("h2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("bkt", "id1", "id2", "hamming")
+  }
+
   /** Pairwise token-set Jaccard within a bucket column; emits pairs
     * with similarity ≥ threshold (id1 < id2). Shape: explode tokens →
     * equi-join on (bucket, token) → count per pair — the set-overlap

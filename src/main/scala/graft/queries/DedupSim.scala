@@ -56,6 +56,17 @@ object DedupSim {
       Dedup.simhash32(d, "doc_id", "toks")
     }),
 
+    // SimHash near-dup pairs: hamming radius over the 32-bit
+    // fingerprints, bucketed by source.
+    "q49_simhash_near" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("toks", TextStats.tokens(col("text")))
+        .select("doc_id", "source", "toks")
+      val fp = Dedup.simhash32(d, "doc_id", "toks")
+        .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      Dedup.simhashNearPairs(fp, "doc_id", "simhash", "source", 6)
+    }),
+
     // Bucketed pairwise n-gram (token-set) Jaccard near-dup pairs.
     "q44_jaccard_pairs" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -170,6 +181,27 @@ object DedupSim {
           SELECT doc_id,
             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
           FROM votes GROUP BY doc_id"""
+    },
+
+    "q49_simhash_near" -> {
+      s"""WITH toks AS (
+            SELECT doc_id, t.tok, ${md5LongSql("t.tok")} AS h
+            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+                 unnest(w) AS t(tok)),
+          votes AS (
+            SELECT doc_id, g.j, sum(((h >> g.j) & 1) * 2 - 1) AS s
+            FROM toks, generate_series(0, 31) g(j)
+            GROUP BY doc_id, g.j),
+          fp AS (
+            SELECT v.doc_id,
+              sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash,
+              any_value(d.source) AS source
+            FROM votes v JOIN documents d ON v.doc_id = d.doc_id
+            GROUP BY v.doc_id)
+          SELECT a.source AS bkt, a.doc_id AS id1, b.doc_id AS id2,
+            bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
     },
 
     "q44_jaccard_pairs" ->
