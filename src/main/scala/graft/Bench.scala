@@ -10,9 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warm-up outside the measured window, so the several
+    // seconds of first-query JVM warm-up don't land on whichever
+    // query the Map happens to yield first
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
+
     // a failed query records -1 (NOT its elapsed time) so a breakage
-    // is visible in the JSON instead of masquerading as a timing
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // is visible in the JSON instead of masquerading as a timing;
+    // deterministic (sorted) execution order for run-to-run
+    // comparability
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
@@ -22,7 +31,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
