@@ -62,9 +62,9 @@ object DedupSim {
       val d = table(s, dir, "documents")
         .withColumn("toks", TextStats.tokens(col("text")))
         .select("doc_id", "source", "toks")
-      val fp = Dedup.simhash32(d, "doc_id", "toks")
+      val fp = Dedup.simhash(d, "doc_id", "toks", 48)
         .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
-      Dedup.simhashNearPairs(fp, "doc_id", "simhash", "source", 6)
+      Dedup.simhashNearPairs(fp, "doc_id", "simhash", "source", 9)
     }),
 
     // Bucketed pairwise n-gram (token-set) Jaccard near-dup pairs.
@@ -190,7 +190,7 @@ object DedupSim {
                  unnest(w) AS t(tok)),
           votes AS (
             SELECT doc_id, g.j, sum(((h >> g.j) & 1) * 2 - 1) AS s
-            FROM toks, generate_series(0, 31) g(j)
+            FROM toks, generate_series(0, 47) g(j)
             GROUP BY doc_id, g.j),
           fp AS (
             SELECT v.doc_id,
@@ -201,7 +201,7 @@ object DedupSim {
           SELECT a.source AS bkt, a.doc_id AS id1, b.doc_id AS id2,
             bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 9"""
     },
 
     "q44_jaccard_pairs" ->

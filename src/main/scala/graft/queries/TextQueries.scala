@@ -188,17 +188,23 @@ object TextQueries {
          FROM sc""",
 
     "q34_quality_score" ->
-      """WITH q AS (
+      """WITH m AS (
+           SELECT doc_id, len(text) AS lt,
+             greatest(len(string_split(text, ' ')), 1) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd
+           FROM documents),
+         q AS (
            SELECT doc_id,
-             CASE WHEN len(text) BETWEEN 200 AND 2000 THEN 400
-                  WHEN len(text) >= 50 THEN 250 ELSE 50 END
-             + CASE WHEN (len(text) * 10) / greatest(len(string_split(text, ' ')), 1) BETWEEN 35 AND 80 THEN 300
-                    WHEN (len(text) * 10) / greatest(len(string_split(text, ' ')), 1) BETWEEN 20 AND 120 THEN 200
+             CASE WHEN lt BETWEEN 200 AND 2000 THEN 350
+                  WHEN lt >= 50 THEN 220 ELSE 40 END
+             + CASE WHEN (lt * 10) / nt BETWEEN 35 AND 80 THEN 250
+                    WHEN (lt * 10) / nt BETWEEN 20 AND 120 THEN 170
+                    ELSE 40 END
+             + CASE WHEN CAST(floor((nd * 200) / nt) AS INT) >= 100 THEN 200
+                    WHEN CAST(floor((nd * 200) / nt) AS INT) >= 40 THEN 130
                     ELSE 50 END
-             + CASE WHEN (len(list_distinct(string_split(text, ' '))) * 1000) / greatest(len(string_split(text, ' ')), 1) >= 500 THEN 300
-                    WHEN (len(list_distinct(string_split(text, ' '))) * 1000) / greatest(len(string_split(text, ' ')), 1) >= 200 THEN 200
-                    ELSE 80 END AS quality
-           FROM documents)
+             + CAST(floor((nd * 200) / nt) AS INT) AS quality
+           FROM m)
          SELECT quality, count(*) AS n FROM q GROUP BY quality""",
 
     "q35_fingerprint_dedup" ->

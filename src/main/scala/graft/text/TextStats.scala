@@ -43,25 +43,26 @@ object TextStats {
     }
   }
 
-  /** Quality score in [0,1000], integer-exact: combines length band,
-    * mean token length band, and distinct-token ratio. All integer
-    * arithmetic until the caller divides — bit-stable cross-engine. */
+  /** Quality score in [0,1000], integer-exact: length band, mean
+    * token length band, distinct-token ratio band, plus a smooth
+    * distinct-ratio term for within-band discrimination. All integer
+    * arithmetic + one exact division — bit-stable cross-engine. */
   def qualityScoreMilli(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks)
     val nDist = size(array_distinct(toks))
-    val lenBand = when(length(text) >= 200 && length(text) <= 2000, lit(400))
-      .when(length(text) >= 50, lit(250))
+    val lenBand = when(length(text) >= 200 && length(text) <= 2000, lit(350))
+      .when(length(text) >= 50, lit(220))
+      .otherwise(lit(40))
+    val meanTokLenX10 = (length(text) * 10) / greatest(nTok, lit(1)) // ×10, fp division (exact operands)
+    val tokBand = when(meanTokLenX10.between(35, 80), lit(250))
+      .when(meanTokLenX10.between(20, 120), lit(170))
+      .otherwise(lit(40))
+    val distinctMilli = floor((nDist * 200) / greatest(nTok, lit(1))).cast("int") // 0..200 smooth term
+    val distBand = when(distinctMilli >= 100, lit(200))
+      .when(distinctMilli >= 40, lit(130))
       .otherwise(lit(50))
-    val meanTokLenX10 = (length(text) * 10) / greatest(nTok, lit(1)) // avg chars/token ×10 (int div)
-    val tokBand = when(meanTokLenX10.between(35, 80), lit(300))
-      .when(meanTokLenX10.between(20, 120), lit(200))
-      .otherwise(lit(50))
-    val distinctMilli = (nDist * 1000) / greatest(nTok, lit(1)) // int div
-    val distBand = when(distinctMilli >= 500, lit(300))
-      .when(distinctMilli >= 200, lit(200))
-      .otherwise(lit(80))
-    lenBand + tokBand + distBand
+    lenBand + tokBand + distBand + distinctMilli
   }
 
   /** Document fingerprint (OpenRefine-style key collision): md5 of
