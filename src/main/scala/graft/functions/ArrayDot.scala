@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * which costs ~10× more per row (per-element lambda dispatch +
   * intermediate array allocation). Fold order is the same
   * left-to-right sum, so results are bit-identical to the HOF form
-  * and to DuckDB's list_sum oracle.
+  * and to DuckDB's list_sum oracle for equal-length inputs
+  * (mismatched lengths fold over the common prefix, where zip_with
+  * would null-pad — callers pass equal-length vectors).
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,8 +52,13 @@ case class ArrayDot(left: Expression, right: Expression)
 }
 
 object ArrayDot {
-  /** Column wrapper (classic-API expression column). */
+  /** Column wrapper (classic-API expression column). Inputs are cast
+    * to array<double> here — the expression itself declares no input
+    * types (AbstractDataType is private[sql]), and an un-cast
+    * array<float> would read garbage through the unsafe getDouble
+    * path. The no-op cast on already-double arrays folds away. */
   def apply(a: Column, b: Column): Column =
     GraftShims.column(new ArrayDot(
-      GraftShims.expression(a), GraftShims.expression(b)))
+      GraftShims.expression(a.cast("array<double>")),
+      GraftShims.expression(b.cast("array<double>"))))
 }

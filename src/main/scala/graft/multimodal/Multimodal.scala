@@ -76,6 +76,9 @@ object Multimodal {
     val spark = docsWithMedia.sparkSession
     import spark.implicits._
     docsWithMedia.select(col("doc_id"), col("media"))
+      // undecodable rows (null id/payload) are skipped, not fatal —
+      // one bad record must not kill a 100 TB decode job
+      .filter(col("doc_id").isNotNull && col("media").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, payload) =>

@@ -23,6 +23,9 @@ object Skew {
     * varies within a key group (e.g. the row id). */
   def saltedSum(df: DataFrame, keys: Seq[String], saltFrom: Column,
                 salts: Int, sums: (String, String)*): DataFrame = {
+    require(sums.nonEmpty, "saltedSum needs at least one (column, alias) sum")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column; rename it before salting")
     val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(salts)))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(sums.head._1)).as(sums.head._2),

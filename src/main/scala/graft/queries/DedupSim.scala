@@ -94,19 +94,9 @@ object DedupSim {
     }),
 
     // Brute-force cosine top-20 against the vec_id=0 query vector.
-    "q46_cosine_topk" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", Similarity.norm2(col("v")))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qn"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cos", Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-        .limit(20)
-        .select("vec_id", "cos")
-    }),
+    "q46_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopKById(table(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0, k = 20)),
 
     // IVF-style ANN: deterministic coarse cells, probe-and-search.
     "q48_ivf_ann" -> ((s, dir) => {

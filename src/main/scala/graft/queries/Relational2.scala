@@ -138,11 +138,9 @@ object Relational2 {
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("approx_median"),
           expr("percentile(l_quantity, 0.25)").as("p25"),
           expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.75)").as("p75"))
-        .drop("approx_median") // engine-specific; exact percentiles are the checked surface
     }),
 
     // String function family over part names.

@@ -37,13 +37,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
-  /** Brute-force top-k by cosine against one query vector (ties
-    * broken by id for determinism). */
-  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                     queryVec: Seq[Double], k: Int): DataFrame = {
-    val q = array(queryVec.map(lit): _*)
-    corpus
-      .withColumn("cos", cosine(asDouble(col(vecCol)), q))
+  /** Brute-force top-k by cosine against the corpus vector with
+    * `queryId` (ties broken by id for determinism): one broadcast
+    * query row, a narrow map over the corpus, TakeOrderedAndProject.
+    * This is the exact baseline the LSH/IVF paths approximate. */
+  def bruteForceTopKById(corpus: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int): DataFrame = {
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))
@@ -64,17 +70,22 @@ object Similarity {
               topK: Int = 10): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
-    val cents = e.filter(col("id") < kCentroids)
+    // the first k vectors by id (deterministic; swap in trained
+    // centers in production) — orderBy+limit, so sparse/offset id
+    // spaces still yield k centroids
+    val cents = e.orderBy(col("id").asc).limit(kCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
       .withColumn("cc", dot(col("cv"), col("cv")))
     // cell assignment: argmin_c (|c|² − 2·v·c)  (|v|² constant per v)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("d2").asc, col("cid").asc)
+    // via min_by partial aggregation — map-side combine, no window
+    // sort; ties break to the lower centroid id through the struct
+    // ordering
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("d2", col("cc") - lit(2.0) * dot(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .groupBy("id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
     // probe cells: the nProbe centroids nearest to the query vector
     val q = e.filter(col("id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qn"))
@@ -92,16 +103,27 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cell"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight (LCG over the
-    * (plane, dim) index): integer in [-1000, 1000]. */
-  def planeWeight(k: Int, d: Int): Long =
-    ((1103515245L * (k * 64 + d) + 12345L) % 2001L + 2001L) % 2001L - 1000L
+  /** Deterministic pseudo-random hyperplane weight: md5 of the
+    * (plane, dim) index, mapped to [-1000, 1000]. Hash-derived, NOT
+    * an affine LCG over the flat index — an affine map makes every
+    * plane a constant shift of one arithmetic progression (strongly
+    * correlated bits, skewed buckets). */
+  def planeWeight(k: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$k:$d".getBytes("UTF-8"))
+    val h = ((md(0) & 0xffL) << 40) | ((md(1) & 0xffL) << 32) |
+      ((md(2) & 0xffL) << 24) | ((md(3) & 0xffL) << 16) |
+      ((md(4) & 0xffL) << 8) | (md(5) & 0xffL)
+    h % 2001L - 1000L
+  }
 
   /** Random-hyperplane LSH bucket id over `numPlanes` planes for a
-    * 64-dim embedding: bit k = sign of ⟨v, plane_k⟩. */
-  def lshBucket(vec: Column, numPlanes: Int = 8): Column = {
+    * `dims`-dim embedding: bit k = sign of ⟨v, plane_k⟩. `dims` must
+    * match the vector length (a shorter plane would silently
+    * truncate the dot product). */
+  def lshBucket(vec: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
     val bits = (0 until numPlanes).map { k =>
-      val w = array((0 until 64).map(d => lit(planeWeight(k, d).toDouble)): _*)
+      val w = array((0 until dims).map(d => lit(planeWeight(k, d).toDouble)): _*)
       when(dot(asDouble(vec), w) > 0, lit(1L << k)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
