@@ -52,6 +52,11 @@ object Dedup {
     * set. `shingles` must be an array column. */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String,
                         numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1 && numHashes <= HashA.length,
+      s"numHashes must be in [1, ${HashA.length}] (available hash family size)")
+    // NOTE: rows with EMPTY shingle arrays produce no signature (and
+    // so can never be LSH candidates) — a <n-token doc has no n-gram
+    // identity; pair minhash with exact/fingerprint dedup for those.
     // hash each shingle ONCE (md5 is the expensive part), then take
     // all k minima in a single aggregation pass — k agg expressions
     // over the shingle rows instead of a k× row fanout — and unpivot
@@ -125,6 +130,10 @@ object Dedup {
     val e = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
       Similarity.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Similarity.norm2(col("v")))
+      // zero-norm vectors would make cos NaN, and Spark orders NaN
+      // ABOVE every number, so `cos >= threshold` would pair them
+      // with everything — exclude them outright
+      .filter(col("nrm") > 0)
     val a = e.select(col("bkt"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("bkt"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bkt"))

@@ -79,8 +79,8 @@ object EventQueries {
 
     "q53_json_props" ->
       """SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
+           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
            count(*) AS n
          FROM events GROUP BY event_type"""
   )

@@ -144,11 +144,13 @@ object TextQueries {
   private lazy val sentimentOracleSql: String = {
     val pol = lexiconCaseSql("lower(p[1])")
     val mod = modifierCaseSql("lower(p[2])")
-    s"""WITH z AS (
+    s"""WITH d AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents),
+          z AS (
             SELECT doc_id,
               list_zip(string_split(text, ' '),
                        list_prepend('', (string_split(text, ' '))[:len(string_split(text, ' ')) - 1])) AS pairs
-            FROM documents),
+            FROM d),
           adj AS (
             SELECT doc_id,
               list_filter(list_transform(pairs,

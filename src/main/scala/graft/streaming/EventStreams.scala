@@ -29,12 +29,26 @@ object EventStreams {
                        dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // peek at the batch-read schema (footer only) to decide whether
+    // this directory actually carries nanos-as-long — a µs-timestamp
+    // directory must pass through untouched, like Sources.table
+    val tsIsNanoLong =
+      try spark.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case _: Throwable => true }
+    if (tsIsNanoLong) {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.readStream.schema(schema).parquet(dir)
+    }
   }
 
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
@@ -50,10 +64,14 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
   /** Custom stateful operator: running per-user totals via
-    * flatMapGroupsWithState. Pass `evictAfter` in production to evict
-    * idle keys via processing-time timeout (bounded state); note that
-    * with a timeout set the engine schedules continuous
-    * timeout-evaluation micro-batches, so tests use NoTimeout. */
+    * flatMapGroupsWithState. Pass `evictAfter` to evict idle keys via
+    * processing-time timeout (bounded state) — NOTE eviction DROPS
+    * the key's accumulated totals: a user active again later restarts
+    * from zero. That is the deliberate bounded-state trade-off;
+    * totals that must survive idleness belong in a durable sink
+    * keyed by user. (With a timeout set the engine schedules
+    * continuous timeout-evaluation micro-batches, so tests use
+    * NoTimeout.) */
   def runningUserTotals(events: Dataset[Event],
                         evictAfter: Option[String] = None): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
@@ -66,9 +84,10 @@ object EventStreams {
         OutputMode.Update(), timeoutConf) {
         (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
           if (state.hasTimedOut) {
-            val last = state.getOption
+            // evict silently: re-emitting the last record would send
+            // the sink a duplicate of an already-delivered value
             state.remove()
-            last.iterator
+            Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
             var n = prev.n_events

@@ -63,7 +63,7 @@ object EntityRuler {
 
     patterns.zipWithIndex.foreach { case (p, idx) =>
       val keys = p.toks.map {
-        case LowerTok(t) => "L" + t.toLowerCase
+        case LowerTok(t) => "L" + t.toLowerCase(java.util.Locale.ROOT)
         case ExactTok(t) => "E" + t
       }
       var n = root
@@ -101,7 +101,7 @@ object EntityRuler {
     /** Match a token array; returns de-duplicated topic list, or the
       * ["empty"] sentinel. */
     def matchTokens(tokens: Array[String]): Array[String] = {
-      val lowered = tokens.map(_.toLowerCase)
+      val lowered = tokens.map(_.toLowerCase(java.util.Locale.ROOT))
       val out = mutable.LinkedHashSet.empty[String]
       var i = 0
       while (i < tokens.length) {

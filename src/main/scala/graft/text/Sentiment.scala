@@ -40,8 +40,12 @@ object Sentiment {
     "old" -> -100, "hot" -> 200, "cold" -> -100, "dry" -> -200,
     "smooth" -> 400, "rich" -> 400, "strong" -> 300, "weak" -> -300)
 
+  /** Includes whole contraction tokens: the tokenizer keeps "don't"
+    * as one token, so a bare "n't" entry would never match. */
   val negators: Set[String] =
-    Set("not", "no", "never", "n't", "cannot", "neither", "nor", "hardly")
+    Set("not", "no", "never", "cannot", "neither", "nor", "hardly",
+      "don't", "doesn't", "didn't", "can't", "won't", "isn't", "wasn't",
+      "aren't", "weren't", "couldn't", "shouldn't", "wouldn't", "ain't")
 
   /** intensifier → per-mille multiplier (1000 = ×1). */
   val intensifiers: Map[String, Int] = Map(
@@ -55,7 +59,10 @@ object Sentiment {
     var sum = 0L
     var n = 0
     var i = 0
-    val lower = tokens.map(t => if (t == null) "" else t.toLowerCase)
+    // Locale.ROOT: default-locale lowercasing diverges from Spark's
+    // lower()/DuckDB's lower() under e.g. a Turkish JVM locale
+    val lower = tokens.map(t =>
+      if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT))
     while (i < lower.length) {
       lexicon.get(lower(i)).foreach { pol =>
         val mod =
@@ -109,12 +116,11 @@ object Sentiment {
     import spark.implicits._
     val lex = broadcast(lexicon.toSeq.toDF("word", "pol"))
     val negArr = array(negators.toSeq.sorted.map(lit): _*)
-    val intsDf = intensifiers.toSeq.map { case (w, m) => (w, m) }
     val toks = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .withColumn("tok", lower(col("tok")))
       .withColumn("prev", lag(col("tok"), 1, null)
         .over(Window.partitionBy(idCol).orderBy("pos")))
-    val intLex = broadcast(intsDf.toDF("iword", "imult"))
+    val intLex = broadcast(intensifiers.toSeq.toDF("iword", "imult"))
     val scored = toks
       .join(lex, toks("tok") === lex("word"), "inner")
       .join(intLex, col("prev") === col("iword"), "left")
