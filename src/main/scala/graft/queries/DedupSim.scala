@@ -145,7 +145,7 @@ object DedupSim {
          GROUP BY 1 HAVING count(*) > 1""",
 
     "q41_minhash_sigs" ->
-      s"""$sigsSql SELECT doc_id, k, minhash FROM sigs""",
+      s"""$sigsSql SELECT doc_id, CAST(k AS INTEGER) AS k, minhash FROM sigs""",
 
     "q42_lsh_candidates" ->
       s"""$sigsSql,
@@ -169,7 +169,7 @@ object DedupSim {
             FROM toks, generate_series(0, 31) g(j)
             GROUP BY doc_id, g.j)
           SELECT doc_id,
-            sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY doc_id"""
     },
 
@@ -189,7 +189,7 @@ object DedupSim {
             FROM votes v JOIN documents d ON v.doc_id = d.doc_id
             GROUP BY v.doc_id)
           SELECT a.source AS bkt, a.doc_id AS id1, b.doc_id AS id2,
-            bit_count(xor(a.simhash, b.simhash)) AS hamming
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 9"""
     },
@@ -273,7 +273,7 @@ object DedupSim {
       s"""WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
-          b AS (SELECT vec_id, $dots AS bucket FROM e)
+          b AS (SELECT vec_id, CAST($dots AS BIGINT) AS bucket FROM e)
           SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
           FROM b GROUP BY bucket"""
     }

@@ -73,13 +73,13 @@ object EventQueries {
            SELECT user_id, sess_id, count(*) AS n_events
            FROM sess GROUP BY user_id, sess_id)
          SELECT user_id, count(*) AS n_sessions,
-           sum(n_events) AS n_events,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
            max(n_events) AS max_session_events
          FROM per GROUP BY user_id""",
 
     "q53_json_props" ->
       """SELECT event_type,
-           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
            count(*) AS n
          FROM events GROUP BY event_type"""

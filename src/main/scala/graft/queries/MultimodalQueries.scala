@@ -49,7 +49,7 @@ object MultimodalQueries {
         .groupBy("format")
         .agg(count(lit(1)).as("n"),
           sum("width").as("sum_w"), sum("height").as("sum_h"),
-          max("n_frames").as("max_frames"))
+          max("n_frames").cast("long").as("max_frames"))
     })
   )
 
@@ -57,8 +57,8 @@ object MultimodalQueries {
     "q62_media_resize" ->
       """WITH m AS (
            SELECT doc_id,
-             (strlen(text) % 64 + 1) * 8 AS width,
-             (strlen(text) % 48 + 1) * 8 AS height
+             CAST((strlen(text) % 64 + 1) * 8 AS INTEGER) AS width,
+             CAST((strlen(text) % 48 + 1) * 8 AS INTEGER) AS height
            FROM documents),
          s AS (
            SELECT doc_id, width, height,
@@ -70,7 +70,7 @@ object MultimodalQueries {
          FROM s""",
 
     "q63_media_features" ->
-      """SELECT doc_id, g.j AS dim,
+      """SELECT doc_id, CAST(g.j AS INTEGER) AS dim,
            (CAST(('0x' || substr(md5(text || '_' || g.j), 1, 15)) AS BIGINT) % 1000) / 1000.0 AS feat
          FROM documents, generate_series(0, 7) g(j)""",
 
@@ -81,7 +81,7 @@ object MultimodalQueries {
              (strlen(text) % 48 + 1) * 8 AS height,
              strlen(text) % 30 + 1 AS n_frames
            FROM documents)
-         SELECT doc_id, g.f AS frame_idx, width * height AS pixels
+         SELECT doc_id, CAST(g.f AS INTEGER) AS frame_idx, CAST(width * height AS INTEGER) AS pixels
          FROM m, generate_series(0, 29, 5) g(f)
          WHERE g.f <= n_frames - 1""",
 
@@ -94,8 +94,8 @@ object MultimodalQueries {
              CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
            FROM documents)
          SELECT format, count(*) AS n,
-           sum(width) AS sum_w, sum(height) AS sum_h,
-           max(n_frames) AS max_frames
+           CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
+           CAST(max(n_frames) AS BIGINT) AS max_frames
          FROM m GROUP BY format"""
   )
 }

@@ -266,7 +266,7 @@ object Relational {
       """WITH o AS (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot
                     FROM orders GROUP BY o_custkey)
          SELECT c_mktsegment,
-         sum(COALESCE(cnt, 0)) AS n_orders,
+         CAST(sum(COALESCE(cnt, 0)) AS BIGINT) AS n_orders,
          round(sum(COALESCE(tot, 0)), 2) AS sum_price,
          count(*) FILTER (WHERE o.o_custkey IS NULL) AS n_inactive
          FROM customer LEFT JOIN o ON c_custkey = o.o_custkey
@@ -275,8 +275,8 @@ object Relational {
     "q08_window_topk" ->
       """SELECT o_custkey, rn, o_orderkey, price FROM (
            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
-             row_number() OVER (PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
            FROM orders) t
          WHERE rn <= 3""",
 

@@ -169,8 +169,8 @@ object Relational2 {
   def oracles: Map[String, String] = Map(
     "q16_window_running" ->
       """SELECT o_custkey, o_orderkey,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
            COALESCE(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate ASC, o_orderkey ASC
@@ -202,7 +202,7 @@ object Relational2 {
 
     "q1F_window_dist" ->
       """SELECT o_orderpriority, o_orderkey,
-           ntile(4) OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            percent_rank() OVER w AS prank,
            cume_dist() OVER w AS cdist
          FROM orders
@@ -213,7 +213,7 @@ object Relational2 {
     "q1G_collect" ->
       """SELECT l_returnflag,
            array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
-           len(list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))) AS n_dates
+           CAST(len(list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))) AS INTEGER) AS n_dates
          FROM lineitem GROUP BY l_returnflag""",
 
     "q1E_correlated" ->
@@ -236,16 +236,16 @@ object Relational2 {
     "q1D_string_funcs" ->
       """SELECT p_partkey,
            upper(p_name) AS uname,
-           strlen(p_name) AS nlen,
+           CAST(strlen(p_name) AS INTEGER) AS nlen,
            substring(p_name, 1, 5) AS prefix,
            reverse(p_name) AS rname,
-           levenshtein(p_name, p_type) AS edit_dist,
+           CAST(levenshtein(p_name, p_type) AS INTEGER) AS edit_dist,
            translate(p_name, 'aeiou', 'AEIOU') AS tname
          FROM part""",
 
     "q1B_salted_agg" ->
       """SELECT l_returnflag,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM lineitem GROUP BY l_returnflag""",
 
     "q19_range_join" ->

@@ -168,9 +168,9 @@ object TextQueries {
 
     "q32_token_stats" ->
       """SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
-           len(list_distinct(string_split(text, ' '))) AS n_distinct
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
          FROM documents""",
 
     "q33_lang_id" ->
@@ -222,9 +222,9 @@ object TextQueries {
               list_zip((string_split(text, ' '))[:64], $powers) AS z
             FROM documents)
           SELECT doc_id,
-            coalesce(list_sum(list_transform(z,
+            CAST(coalesce(list_sum(list_transform(z,
               p -> CASE WHEN p[1] IS NULL THEN 0
-                        ELSE len(p[1]) * p[2] END)), 0) % 2147483647 AS rhash
+                        ELSE len(p[1]) * p[2] END)), 0) % 2147483647 AS BIGINT) AS rhash
           FROM t"""
     },
 
@@ -237,8 +237,8 @@ object TextQueries {
                   THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)]
                   ELSE [] END AS sh
            FROM t)
-         SELECT doc_id, len(sh) AS n_shingles,
-           len(list_distinct(sh)) AS n_distinct_shingles
+         SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct_shingles
          FROM s"""
   )
 }

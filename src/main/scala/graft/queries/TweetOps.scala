@@ -197,7 +197,7 @@ object TweetOps {
 
     "q25_weighted_freq_1d" ->
       """SELECT lang, u.topic AS topic,
-           sum(CAST(round(log2(n_chars + 1)) AS INT) + 1 + 1) AS frequency
+           CAST(sum(CAST(round(log2(n_chars + 1)) AS INT) + 1 + 1) AS BIGINT) AS frequency
          FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(topic)
          GROUP BY lang, u.topic""",
 
@@ -217,7 +217,7 @@ object TweetOps {
              list_sort(list_distinct(string_split(text, ' ')))[1:12] AS w,
              CAST(round(log2(n_chars + 1)) AS INT) + 1 AS r
            FROM documents)
-         SELECT lang, w[i] AS t1, w[j] AS t2, 1 + sum(r) AS frequency
+         SELECT lang, w[i] AS t1, w[j] AS t2, CAST(1 + sum(r) AS BIGINT) AS frequency
          FROM d, generate_series(1, 12) g1(i), generate_series(1, 12) g2(j)
          WHERE i < j AND j <= len(w)
          GROUP BY lang, w[i], w[j]""",

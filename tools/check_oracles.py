@@ -7,9 +7,11 @@ Reads each <out_dir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the sf_dir
 tables, and compares: schema (column names sorted), row count, and a
 hash of all values (columns sorted by name, rows sorted by all
-columns). Floats are rounded to 9 significant decimals before hashing
-so that last-ulp noise can't flip the compare (the real driver is
-assumed to do something similar; our queries round explicitly anyway).
+columns). The compare is TYPE-SENSITIVE, like the driver's: column
+types as reported by DuckDB must match between the Spark parquet read
+and the oracle result (this is what catches HUGEINT-vs-BIGINT sum()
+mismatches that value-only hashing is blind to), and floats hash at
+full repr precision (queries must be bit-exact by construction).
 """
 import sys, json, glob, os, math, hashlib
 
@@ -27,7 +29,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
-        return "f:%.9g" % v
+        return "f:%r" % v
     if isinstance(v, int):
         return "i:%d" % v
     if isinstance(v, list):
@@ -63,6 +65,7 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         res = con.sql(f"SELECT * FROM read_parquet({files!r})")
         scols, srows = list(res.columns), res.fetchall()
+        stypes = [str(t) for t in res.types]
         if name not in oracle:
             print(f"  ?? {name}: no oracle (rows={len(srows)})")
             n_noracle += 1
@@ -70,23 +73,32 @@ def main():
         try:
             ores = con.sql(oracle[name])
             ocols, orows = list(ores.columns), ores.fetchall()
+            otypes = [str(t) for t in ores.types]
         except Exception as e:
             print(f"  FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         ok_schema = sorted(scols) == sorted(ocols)
+        ok_types = ok_schema and \
+            [t for _, t in sorted(zip(scols, stypes))] == \
+            [t for _, t in sorted(zip(ocols, otypes))]
         ok_rows = len(srows) == len(orows)
-        ok_hash = ok_schema and ok_rows and \
+        ok_hash = ok_schema and ok_types and ok_rows and \
             table_hash(scols, srows) == table_hash(ocols, orows)
         if ok_hash:
             print(f"  ok   {name} ({len(srows)} rows)")
             n_pass += 1
         else:
             n_fail += 1
-            print(f"  FAIL {name}: schema={ok_schema} rows={len(srows)}vs{len(orows)} hash={ok_hash}")
+            print(f"  FAIL {name}: schema={ok_schema} types={ok_types} rows={len(srows)}vs{len(orows)} hash={ok_hash}")
             if not ok_schema:
                 print(f"       spark  cols: {sorted(scols)}")
                 print(f"       oracle cols: {sorted(ocols)}")
+            elif not ok_types:
+                sm = dict(zip(scols, stypes)); om = dict(zip(ocols, otypes))
+                for c in sorted(scols):
+                    if sm[c] != om[c]:
+                        print(f"       type diff {c}: spark={sm[c]} oracle={om[c]}")
             elif len(srows) and len(orows):
                 order_s = sorted(range(len(scols)), key=lambda i: scols[i])
                 order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
