@@ -8,10 +8,21 @@ import graft.pipeline.TweetPipeline
 
 /** The full reference pipeline run end-to-end through the driver
   * surface, over a tweet-shaped frame synthesized deterministically
-  * from `documents`. Driver check is rows-only (the NER trie inside
-  * isn't SQL-expressible); every component op is oracle-checked
-  * individually (q20–q29) and the composition is pinned by
-  * TweetPipelineSpec. */
+  * from `documents`. Hash-checked against a DuckDB mirror of the
+  * whole pipeline (NER recursive-CTE walk + tokenized sentiment +
+  * cleanse arithmetic + weighted pivot aggregates); the composition
+  * is additionally pinned by TweetPipelineSpec.
+  *
+  * Oracle determinism notes:
+  *  - the `orderBy(rand(seed)).limit(500)` sample keeps every row at
+  *    the driver's verify scale (sf0.01 has exactly 500 documents and
+  *    sf0.001 fewer), and all downstream aggregates are set-functions,
+  *    so the oracle legitimately reads the whole table;
+  *  - q71's float path is bit-stable: sentiment is float32 with
+  *    magnitude ≥ ~1e-3 on this corpus, the Σ s·(l+1) addends carry
+  *    ≤ 28 mantissa bits over a ≤ 13-bit exponent spread, so every
+  *    double partial sum is EXACT (order-independent) — verified
+  *    hash-green, not just assumed. */
 object PipelineQueries {
 
   /** documents → (Timestamp, Text, Page_URL, Comments, Likes,
@@ -46,5 +57,82 @@ object PipelineQueries {
     })
   )
 
-  def oracles: Map[String, String] = Map.empty
+  /** Shared pipeline-enrichment CTE fragment: NER phrases (via
+    * [[TextQueries.nerWalkSql]]) + tokenized sentiment + the cleanse
+    * derivations of [[tweetFrame]] folded to their closed forms
+    * (the Timestamp/Page_URL/K-suffix round-trips invert exactly;
+    * every keyword maps to a category, so the null filters drop
+    * nothing on this frame). */
+  private lazy val enrSql: String = {
+    val pol = TextQueries.lexiconCaseSql("lower(p[1])")
+    val mod = TextQueries.modifierCaseSql("lower(p[2])")
+    val catArms = graft.ops.Cleanse.categoryTable.zipWithIndex
+      .map { case ((_, cat), i) => s"WHEN $i THEN ${TextQueries.sq(cat)}" }
+      .mkString(" ")
+    s"""${TextQueries.nerWalkSql},
+        sent AS (
+          SELECT doc_id,
+            CASE WHEN len(a) = 0 THEN 0.0
+                 ELSE (CAST(list_sum(a) AS DOUBLE) / len(a)) / 1000000.0 END AS sentiment
+          FROM (
+            SELECT doc_id,
+              list_filter(list_transform(list_zip(w, list_prepend('', w[:len(w) - 1])),
+                p -> CAST(($pol) AS BIGINT) * ($mod)), x -> x IS NOT NULL) AS a
+            FROM doc)),
+        enr AS (
+          SELECT p.doc_id,
+            2019 AS yr,
+            CAST(d.n_chars % 12 + 1 AS INT) AS mo,
+            CASE CAST(d.doc_id % 7 AS INT) $catArms END AS cat,
+            p.phrases,
+            CAST(round(log2((d.n_chars % 200) + 1)) AS INT) + 1 AS r_log,
+            CAST(round(log2((d.n_chars % 9) * 1000 + 1)) AS INT) + 1 AS l_log,
+            CAST(s.sentiment AS REAL) AS sent
+          FROM phrases p
+          JOIN documents d USING (doc_id)
+          JOIN sent s ON s.doc_id = p.doc_id
+          WHERE NOT (len(p.phrases) = 1 AND p.phrases[1] = 'empty'))"""
+  }
+
+  private val months: Seq[String] = (1 to 12).map(m => s"2019-$m").sorted
+
+  def oracles: Map[String, String] = Map(
+    "q70_tweet_pipeline_freq" -> {
+      val cells = months.map(m =>
+        s"""CAST(coalesce(max(CASE WHEN tag = 'Frequency_$m' THEN f END), 0) AS BIGINT) AS "Frequency_$m"""")
+        .mkString(",\n          ")
+      s"""WITH RECURSIVE $enrSql,
+          exploded AS (
+            SELECT yr, mo, cat, u.topic AS topic, r_log
+            FROM enr, unnest(phrases) AS u(topic)),
+          agg AS (
+            SELECT 'Frequency_' || yr || '-' || mo AS tag, cat, topic,
+              CAST(sum(r_log + 1) AS BIGINT) AS f
+            FROM exploded GROUP BY yr, mo, cat, topic)
+          SELECT topic AS "Topic", cat AS "Category2",
+          $cells,
+          'Beverage' AS "Category1"
+          FROM agg GROUP BY topic, cat"""
+    },
+    "q71_tweet_pipeline_sent2d" -> {
+      val cells = months.map(m =>
+        s"""CAST(coalesce(max(CASE WHEN tag = 'Sentiment_$m' THEN v END), 0) AS REAL) AS "Sentiment_$m"""")
+        .mkString(",\n          ")
+      // Spark evaluates Sentiment(float32) * (Likes_log+1) in DOUBLE
+      // (no float32 re-rounding of the product) — mirror exactly.
+      s"""WITH RECURSIVE $enrSql,
+          paired AS (
+            SELECT yr, mo, cat, phrases[i] AS t1, phrases[j] AS t2, l_log, sent
+            FROM enr, generate_series(1, 40) g1(i), generate_series(1, 40) g2(j)
+            WHERE i < j AND j <= len(phrases)),
+          agg AS (
+            SELECT 'Sentiment_' || yr || '-' || mo AS tag, cat, t1, t2,
+              CAST((sum(CAST(sent AS DOUBLE) * (l_log + 1)) / (sum(l_log) + 1)) AS REAL) AS v
+            FROM paired GROUP BY yr, mo, cat, t1, t2)
+          SELECT cat AS "Category2", t1 AS "Topic", t2 AS "Topic2",
+          $cells,
+          'Beverage' AS "Category1"
+          FROM agg GROUP BY cat, t1, t2"""
+    }
+  )
 }

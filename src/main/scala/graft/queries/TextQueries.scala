@@ -10,9 +10,11 @@ import graft.text.{EntityRuler, Sentiment, TextStats}
   * dictionary NER (the reference's custom operator, SURVEY.md §2.8),
   * lexicon sentiment, token statistics, language ID, quality scoring,
   * fingerprinting, rolling hash, shingling. All except NER are
-  * oracle-checked; the NER matcher is not ANSI-SQL-expressible
-  * (longest-match trie) and gets the driver's rows-only check — its
-  * semantics are pinned by RulerMatcherSpec instead.
+  * oracle-checked. The NER matcher is hash-checked against a
+  * recursive-CTE DuckDB mirror generated from the demo dict
+  * ([[nerWalkSql]]); only the 25k-pattern q38 stays rows-only (the
+  * full spaCy dictionary isn't worth a megabyte of generated SQL) —
+  * its semantics are pinned by RulerMatcherSpec instead.
   */
 object TextQueries {
 
@@ -40,8 +42,8 @@ object TextQueries {
     "bigdata" -> Seq("spark", "stream", "batch"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // NER trie matcher (broadcast-dictionary extraction). Rows-only
-    // driver check; semantics pinned by unit specs.
+    // NER trie matcher (broadcast-dictionary extraction), hash-checked
+    // against the generated recursive-CTE oracle.
     "q30_ner_topics" -> ((s, dir) => {
       val m = new EntityRuler.Matcher(demoPatterns)
       table(s, dir, "documents")
@@ -127,18 +129,84 @@ object TextQueries {
     })
   )
 
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  private[queries] def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** CASE expression translating [[Sentiment.lexicon]] to SQL. */
-  private def lexiconCaseSql(tokExpr: String): String =
+  private[queries] def lexiconCaseSql(tokExpr: String): String =
     "CASE " + tokExpr + " " + Sentiment.lexicon.toSeq.sortBy(_._1)
       .map { case (w, p) => s"WHEN ${sq(w)} THEN $p" }.mkString(" ") + " ELSE NULL END"
 
-  private def modifierCaseSql(prevExpr: String): String = {
+  private[queries] def modifierCaseSql(prevExpr: String): String = {
     val negs = Sentiment.negators.toSeq.sorted.map(sq).mkString(", ")
     val ints = Sentiment.intensifiers.toSeq.sortBy(_._1)
       .map { case (w, m) => s"WHEN $prevExpr = ${sq(w)} THEN $m" }.mkString(" ")
     s"CASE WHEN $prevExpr IN ($negs) THEN -500 $ints ELSE 1000 END"
+  }
+
+  /** DuckDB mirror of the EntityRuler longest-match walk over
+    * [[demoPatterns]], as a recursive-CTE fragment (defines `doc`,
+    * `walk`, `phrases`; caller prepends `WITH RECURSIVE`). The match
+    * is inherently sequential (a match CONSUMES its tokens — "sort
+    * merge" must not also emit "Merge"), so it can't be a flat
+    * unnest; the recursion advances a cursor per doc exactly like
+    * Matcher.matchTokens. CASE arms are GENERATED from demoPatterns
+    * ordered (longest, then declaration index) so the SQL and the
+    * Scala dict cannot drift. Structural @mention / "#"+ASCII rules
+    * and the first-occurrence dedup + ['empty'] sentinel mirror
+    * EntityRuler.scala's contract. */
+  private[queries] lazy val nerWalkSql: String = {
+    import EntityRuler.{LowerTok, ExactTok, TokPat}
+    // graft.text.Tokenizer.Tok with the quote doubled for a SQL literal
+    val tokRe = "@[A-Za-z0-9_]+|[A-Za-z0-9_]+(?:''[A-Za-z]+)?|[^A-Za-z0-9_\\s]"
+    def cond(t: TokPat, off: Int): String = t match {
+      case LowerTok(x) =>
+        s"lower(d.w[wk.i + $off]) = ${sq(x.toLowerCase(java.util.Locale.ROOT))}"
+      case ExactTok(x) => s"d.w[wk.i + $off] = ${sq(x)}"
+    }
+    val ordered = demoPatterns.zipWithIndex
+      .sortBy { case (p, idx) => (-p.toks.length, idx) }
+    val topicArms = ordered.map { case (p, _) =>
+      val c = p.toks.zipWithIndex.map { case (t, k) => cond(t, k) }.mkString(" AND ")
+      val emit = p.id.map(sq).getOrElse(
+        p.toks.indices.map(k => s"d.w[wk.i + $k]").mkString(" || ' ' || "))
+      s"WHEN $c THEN $emit"
+    }.mkString("\n            ")
+    val stepArms = ordered.filter(_._1.toks.length > 1).map { case (p, _) =>
+      val c = p.toks.zipWithIndex.map { case (t, k) => cond(t, k) }.mkString(" AND ")
+      s"WHEN $c THEN ${p.toks.length}"
+    }.mkString("\n            ")
+    val hashtagCond =
+      """d.w[wk.i] = '#' AND regexp_full_match(d.w[wk.i + 1], '[\x00-\x7F]+')"""
+    s"""doc AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '$tokRe') AS w
+          FROM documents),
+        walk(doc_id, i, acc) AS (
+          SELECT doc_id, 1, CAST([] AS VARCHAR[]) FROM doc
+          UNION ALL
+          SELECT doc_id, i + step,
+            CASE WHEN topic IS NOT NULL AND NOT list_contains(acc, topic)
+                 THEN list_append(acc, topic) ELSE acc END
+          FROM (
+            SELECT wk.doc_id, wk.i, wk.acc,
+              CASE
+            $topicArms
+            WHEN len(d.w[wk.i]) > 1 AND d.w[wk.i][1] = '@' THEN d.w[wk.i]
+            WHEN $hashtagCond THEN '#' || d.w[wk.i + 1]
+            ELSE NULL END AS topic,
+              CASE
+            $stepArms
+            WHEN $hashtagCond THEN 2
+            ELSE 1 END AS step
+            FROM walk wk JOIN doc d USING (doc_id)
+            WHERE wk.i <= len(d.w)
+          ) s),
+        phrases AS (
+          SELECT doc_id,
+            CASE WHEN len(acc) = 0 THEN ['empty'] ELSE acc END AS phrases
+          FROM (SELECT doc_id, acc,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+                FROM walk) z
+          WHERE rn = 1)"""
   }
 
   private lazy val sentimentOracleSql: String = {
@@ -163,6 +231,9 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q30_ner_topics" ->
+      s"""WITH RECURSIVE $nerWalkSql
+          SELECT doc_id, array_to_string(phrases, ',') AS topics FROM phrases""",
     "q31_sentiment_docs" -> sentimentOracleSql,
     "q39_sentiment_native" -> sentimentOracleSql,
 
