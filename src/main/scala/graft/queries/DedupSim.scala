@@ -67,6 +67,18 @@ object DedupSim {
       Dedup.simhashNearPairs(fp, "doc_id", "simhash", "source", 9)
     }),
 
+    // Banded SimHash near-pairs — the pigeonhole scale path: same
+    // exact semantics as an all-pairs radius search (the oracle IS
+    // all-pairs), but the join key is a 15-bit band, never a full
+    // in-bucket product. 60-bit fingerprints, radius 3.
+    "q54_simhash_banded" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("toks", TextStats.tokens(col("text")))
+        .select("doc_id", "toks")
+      val fp = Dedup.simhash(d, "doc_id", "toks", 60)
+      Dedup.simhashNearPairsBanded(fp, "doc_id", "simhash", 60, 3)
+    }),
+
     // Bucketed pairwise n-gram (token-set) Jaccard near-dup pairs.
     "q44_jaccard_pairs" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -91,6 +103,13 @@ object DedupSim {
         .partitionBy("id_a").orderBy(col("cos").desc, col("id_b").asc)
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"), col("cos"))
+    }),
+
+    // All-vectors NN through IVF cells — the scale path for q45's
+    // corpus-wide NN shape (every shuffle linear, nothing quadratic).
+    "q55_ivf_nn_all" -> ((s, dir) => {
+      Similarity.ivfNNAll(table(s, dir, "embeddings"), "vec_id", "embedding",
+        kCentroids = 16, nProbe = 4)
     }),
 
     // Brute-force cosine top-20 against the vec_id=0 query vector.
@@ -194,6 +213,27 @@ object DedupSim {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 9"""
     },
 
+    // exact all-pairs twin of the banded search: any hash mismatch
+    // would mean the banding dropped or invented a pair
+    "q54_simhash_banded" -> {
+      s"""WITH toks AS (
+            SELECT doc_id, t.tok, ${md5LongSql("t.tok")} AS h
+            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+                 unnest(w) AS t(tok)),
+          votes AS (
+            SELECT doc_id, g.j, sum(((h >> g.j) & 1) * 2 - 1) AS s
+            FROM toks, generate_series(0, 59) g(j)
+            GROUP BY doc_id, g.j),
+          fp AS (
+            SELECT doc_id,
+              sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
+
     "q44_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, source,
@@ -220,6 +260,47 @@ object DedupSim {
            SELECT id_a, id_b, cos,
              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
            FROM pairs) t
+         WHERE rn = 1""",
+
+    // same probe-set-NN contract, mirrored: argmin cell assignment,
+    // per-query 4-cell probing, cosine argmax over probed members
+    "q55_ivf_nn_all" ->
+      """WITH e AS (
+           SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         en AS (
+           SELECT * FROM (
+             SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM e) t
+           WHERE nrm > 0),
+         c AS (
+           SELECT id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cc
+           FROM en ORDER BY id ASC LIMIT 16),
+         d2s AS (
+           SELECT en.id, en.v, en.nrm, c.cid,
+             c.cc - 2.0 * list_sum(list_transform(list_zip(en.v, c.cv), p -> p[1] * p[2])) AS d2
+           FROM en, c),
+         asg AS (
+           SELECT id AS nn_id, cid AS cell, v AS nv, nrm AS nn FROM (
+             SELECT id, cid, v, nrm,
+               row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+             FROM d2s) t
+           WHERE rn = 1),
+         probes AS (
+           SELECT id AS qid, cid AS cell, v AS qv, nrm AS qn FROM (
+             SELECT id, cid, v, nrm,
+               row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+             FROM d2s) t
+           WHERE rn <= 4),
+         cand AS (
+           SELECT p.qid, a.nn_id,
+             list_sum(list_transform(list_zip(p.qv, a.nv), x -> x[1] * x[2])) / (p.qn * a.nn) AS cos
+           FROM probes p JOIN asg a USING (cell)
+           WHERE p.qid <> a.nn_id)
+         SELECT qid AS vec_id, nn_id, cos FROM (
+           SELECT qid, nn_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id ASC) AS rn
+           FROM cand) t
          WHERE rn = 1""",
 
     "q46_cosine_topk" ->

@@ -103,6 +103,54 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cell"), col("cos"))
   }
 
+  /** All-vectors nearest neighbor through IVF cells — the scale
+    * path for corpus-wide NN (the all-pairs form is O(n²) and its
+    * per-label variant q45 has a bucket whose cardinality doesn't
+    * grow with data). Index side: each vector lives in its argmin
+    * cell. Query side: each vector probes its `nProbe` nearest
+    * cells and takes the cosine argmax over their members.
+    *
+    * Contract: NN WITHIN THE PROBED CELLS — deterministic (and so
+    * oracle-checkable); recall vs the exact global NN is a quality
+    * property pinned by SimilaritySpec, not by the oracle.
+    *
+    * Scale: two broadcast-centroid narrow maps + hash aggregations
+    * keyed by id, one equi-join on cell, one argmax aggregation —
+    * every shuffle is linear in the corpus, nothing quadratic. */
+  def ivfNNAll(corpus: DataFrame, idCol: String, vecCol: String,
+               kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      // zero-norm vectors make cos NaN (which Spark sorts ABOVE all
+      // numbers) — they can be neither query nor neighbor
+      .filter(col("nrm") > 0)
+    val cents = e.orderBy(col("id").asc).limit(kCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    val withD2 = e.crossJoin(broadcast(cents))
+      .withColumn("d2", col("cc") - lit(2.0) * dot(col("v"), col("cv")))
+    val assigned = withD2.groupBy("id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+        first(col("v")).as("nv"), first(col("nrm")).as("nn"))
+      .select(col("id").as("nn_id"), col("cell"), col("nv"), col("nn"))
+    // nProbe nearest cells per query vector via ONE hash aggregation
+    // (sort_array over kCentroids structs) — no sort-based window
+    val probes = withD2.groupBy("id")
+      .agg(slice(array_sort(collect_list(struct(col("d2"), col("cid")))),
+          1, nProbe).as("pc"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("id").as("qid"), col("qv"), col("qn"),
+        explode(col("pc.cid")).as("cell"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nn_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .groupBy("qid")
+      .agg(max_by(struct(col("nn_id"), col("cos")),
+        struct(col("cos"), -col("nn_id"))).as("best"))
+      .select(col("qid").as("vec_id"),
+        col("best.nn_id").as("nn_id"), col("best.cos").as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight: md5 of the
     * (plane, dim) index, mapped to [-1000, 1000]. Hash-derived, NOT
     * an affine LCG over the flat index — an affine map makes every

@@ -31,4 +31,42 @@ class DedupSpec extends SparkSpec {
     assert(near.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
     assert(near.head.getInt(2) === 0) // identical sets → identical fingerprint
   }
+
+  test("simhashNearPairsBanded == all-pairs radius search (exactness) and sub-quadratic candidates") {
+    import org.apache.spark.sql.functions._
+    // overlapping token windows over a shared vocab → a real spread
+    // of hamming distances, including near and identical pairs
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 120L).map { id =>
+      val start = (id % 30).toInt
+      val toks = (0 until 12).map(k => vocab((start + k) % vocab.length)) ++
+        (if (id % 7 == 0) Seq("extra1", "extra2") else Nil)
+      (id, toks)
+    }.toDF("doc_id", "toks")
+    val fp = Dedup.simhash(docs, "doc_id", "toks", 60)
+    val exact = fp.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+      .join(fp.select(col("doc_id").as("id2"), col("simhash").as("h2")))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select("id1", "id2", "hamming")
+    val banded = Dedup.simhashNearPairsBanded(fp, "doc_id", "simhash", 60, 3)
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(e.nonEmpty, "test corpus produced no near pairs — radius too tight")
+    assert(b === e) // pigeonhole guarantee: zero false negatives, verify drops FPs
+    // candidate volume (pairs sharing ≥1 of the 4 15-bit bands, i.e.
+    // the pre-verify join size) must be far below the n²/2 all-pairs
+    val keys = fp.select(col("doc_id").as("id"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 15).bitwiseAND(lit((1L << 15) - 1)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val candidates = keys.select(col("band"), col("bv"), col("id").as("id1"))
+      .join(keys.select(col("band"), col("bv"), col("id").as("id2")), Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct().count()
+    val allPairs = (120L * 119L) / 2
+    assert(candidates < allPairs / 4,
+      s"banding candidate set ($candidates) is not sub-quadratic vs $allPairs")
+  }
 }

@@ -1,0 +1,47 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Quality probes for the ANN scale paths. The DuckDB oracles prove
+  * Spark↔SQL EQUIVALENCE of the probe-set contract; recall vs the
+  * exact NN is the quality property only a spec can pin (the round-1
+  * correlated-LCG planes bug passed its mirrored oracle while
+  * underdelivering — this is the missing check class). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfNNAll: high probe-set NN recall vs exact NN on clustered vectors") {
+    val dims = 16
+    // 8 deterministic clusters: strong axis per cluster + small
+    // id-dependent perturbation (no RNG — reproducible recall)
+    val vecs = (0L until 200L).map { id =>
+      val cl = (id % 8).toInt
+      val v = (0 until dims).map { d =>
+        val base = if (d % 8 == cl) 10.0f else 0.0f
+        base + 0.1f * (((id * 31 + d * 7) % 11).toFloat - 5.0f)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+
+    val approx = Similarity.ivfNNAll(vecs, "vec_id", "embedding",
+      kCentroids = 16, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val e = vecs.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm2(col("v")))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val exact = a.join(b).filter(col("id1") =!= col("id2"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .groupBy("id1")
+      .agg(max_by(col("id2"), struct(col("cos"), -col("id2"))).as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(approx.size === exact.size) // every vector got a neighbor
+    val recall = exact.count { case (q, nn) => approx.get(q).contains(nn) }
+      .toDouble / exact.size
+    assert(recall >= 0.9, f"IVF probe-set NN recall degraded: $recall%.3f")
+  }
+}
