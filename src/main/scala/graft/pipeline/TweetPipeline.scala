@@ -26,8 +26,13 @@ import graft.text.{EntityRuler, Sentiment}
   */
 object TweetPipeline {
 
+  /** The four pipeline outputs plus `release()`, which unpersists the
+    * shared enriched frame — call it once the outputs are
+    * materialized, or a long-lived session (Bench/Profile loops)
+    * accumulates dead cached partitions. */
   final case class Outputs(freq1d: DataFrame, sent1d: DataFrame,
-                           sent2d: DataFrame, freq2d: DataFrame)
+                           sent2d: DataFrame, freq2d: DataFrame,
+                           release: () => Unit = () => ())
 
   /** Cleanse + enrich a raw tweet frame (columns: Timestamp, Text,
     * Page_URL, Comments, Likes, Retweets — all strings). */
@@ -83,11 +88,16 @@ object TweetPipeline {
 
   /** Run the full pipeline. `months` (as "YYYY-M" strings) pins the
     * pivot columns; empty ⇒ discovered from the data (two-job pivot,
-    * like the reference's un-argumented pivot). */
+    * like the reference's un-argumented pivot). `persist` caches the
+    * enriched frame across the 4-way fan-out (release via
+    * [[Outputs.release]]); pass false when only one output will be
+    * consumed — the cache would be pure overhead. */
   def run(raw: DataFrame, matcher: EntityRuler.Matcher, seed: Long = 42L,
-          sampleN: Int = 500, months: Seq[String] = Seq.empty): Outputs = {
-    val enriched = enrich(raw, matcher, seed, sampleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          sampleN: Int = 500, months: Seq[String] = Seq.empty,
+          persist: Boolean = true): Outputs = {
+    val enriched0 = enrich(raw, matcher, seed, sampleN)
+    val enriched =
+      if (persist) enriched0.persist(StorageLevel.MEMORY_AND_DISK) else enriched0
 
     val exploded = enriched.select(col("Year"), col("Month"), col("Category2"),
       explode(col("All_phrases")).as("Topic"),
@@ -116,6 +126,7 @@ object TweetPipeline {
       Aggregates.weightedFreq2D(paired, keys, "Topic", "Topic2", "Retweets_log"),
       "Frequency_", Seq("Topic", "Topic2", "Category2"), "frequency", months)
 
-    Outputs(freq1d, sent1d, sent2d, freq2d)
+    Outputs(freq1d, sent1d, sent2d, freq2d,
+      release = () => if (persist) { enriched.unpersist(); () })
   }
 }

@@ -29,6 +29,27 @@ object EventQueries {
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(when(col("k") > 50, 1)).as("n_high"),
           count(lit(1)).as("n"))
+    }),
+
+    // Structured Streaming end-to-end through the driver surface:
+    // file-source stream → watermarked tumbling window → memory sink,
+    // drained synchronously. The oracle is the batch twin's SQL —
+    // stream/batch equivalence IS the check (Spark guarantees the
+    // same windowed aggregation semantics for both).
+    "q56_stream_tumbling" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      // streaming file sources read directories: stage the table file
+      val tmp = Files.createTempDirectory("graft_q56_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val sink = "q56_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEventsStream(s, tmp.toString), "1 hour")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
     })
   )
 
@@ -76,6 +97,12 @@ object EventQueries {
            CAST(sum(n_events) AS BIGINT) AS n_events,
            max(n_events) AS max_session_events
          FROM per GROUP BY user_id""",
+
+    // the batch twin of the streamed tumbling window
+    "q56_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+         FROM events GROUP BY 1, 2""",
 
     "q53_json_props" ->
       """SELECT event_type,

@@ -45,15 +45,19 @@ object PipelineQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // persist = false: each driver query consumes ONE of the four
+    // outputs, so the fan-out cache would be overhead that never pays
+    // off (and a long-lived session would leak it — the result is
+    // returned lazily, so release() could never be called in time)
     "q70_tweet_pipeline_freq" -> ((s, dir) => {
       val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
       TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
-        months = (1 to 12).map(m => s"2019-$m")).freq1d
+        months = (1 to 12).map(m => s"2019-$m"), persist = false).freq1d
     }),
     "q71_tweet_pipeline_sent2d" -> ((s, dir) => {
       val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
       TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
-        months = (1 to 12).map(m => s"2019-$m")).sent2d
+        months = (1 to 12).map(m => s"2019-$m"), persist = false).sent2d
     })
   )
 

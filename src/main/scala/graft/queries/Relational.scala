@@ -46,8 +46,8 @@ object Relational {
         .agg(
           round(sum("l_quantity"), M).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), M).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          (round(avg("l_quantity") * 10000, 0) / 10000).as("avg_qty"),
+          (round(avg("l_discount") * 10000, 0) / 10000).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -208,7 +208,7 @@ object Relational {
             .otherwise(lit("high")))
         .withColumn("seg", coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")))
         .groupBy("bal_band", "seg")
-        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), M).as("avg_bal"))
+        .agg(count(lit(1)).as("n"), (round(avg("c_acctbal") * 100, 0) / 100).as("avg_bal"))
     })
   )
 
@@ -217,8 +217,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 4) AS avg_disc,
+         round(avg(l_quantity) * 10000) / 10000 AS avg_qty,
+         round(avg(l_discount) * 10000) / 10000 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -330,7 +330,7 @@ object Relational {
                      WHEN c_acctbal < 5000 THEN 'low'
                      ELSE 'high' END AS bal_band,
          COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
-         count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+         count(*) AS n, round(avg(c_acctbal) * 100) / 100 AS avg_bal
          FROM customer GROUP BY 1, 2"""
   )
 }

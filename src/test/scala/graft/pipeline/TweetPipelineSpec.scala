@@ -120,4 +120,20 @@ class TweetPipelineSpec extends SparkSpec {
     val v = pinned.freq1d.select("Frequency_2019-3").as[Long].collect()
     assert(v.nonEmpty && v.forall(_ == 0L))
   }
+
+  test("golden header parity: exact column sequence of the reference CSV") {
+    // ref Frequency_monthly_demo.csv:1 — Topic, Category2, the
+    // discovered months in LEXICOGRAPHIC order (2018-1 < 2018-10 <
+    // 2018-11 < 2018-12 < 2018-2 ...), Category1 last
+    val ref = new java.io.File("/root/reference/Frequency_monthly_demo.csv")
+    assume(ref.exists(), "reference tree not mounted")
+    val src = scala.io.Source.fromFile(ref, "UTF-8")
+    val header = try src.getLines().next().split(",").toSeq finally src.close()
+    val months = header.filter(_.startsWith("Frequency_"))
+      .map(_.stripPrefix("Frequency_"))
+    val out = TweetPipeline.run(
+      fixture.toDF("Timestamp", "Text", "Page_URL", "Comments", "Likes", "Retweets"),
+      matcher, seed = 7L, sampleN = 100, months = months)
+    assert(out.freq1d.columns.toSeq === header)
+  }
 }
