@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, EventQueries, MultimodalQueries, PipelineQueries, Relational, Relational2, TextQueries, TweetOps}
+import graft.queries.{DedupSim, EventQueries, IoQueries, MultimodalQueries, PipelineQueries, Relational, Relational2, TextQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
       (DedupSim.queries, DedupSim.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (IoQueries.queries, IoQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles)
     )
 

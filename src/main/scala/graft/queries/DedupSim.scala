@@ -87,6 +87,15 @@ object DedupSim {
       Dedup.jaccardPairs(d, "doc_id", "tokset", "source", 0.8)
     }),
 
+    // Embedding-cosine near-duplicate pairs within a bucket (the
+    // embedding twin of q44/q49): bucket-bounded self-join, cosine ≥
+    // threshold, zero-norm vectors excluded. `label` is the bucket
+    // here; at scale the bucket is lshBucket/IVF cells — same
+    // operator, different bucket column.
+    "q58_embedding_dup" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(table(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", 0.35)),
+
     // Embedding nearest neighbor within label (cosine argmax).
     "q45_embedding_nn" -> ((s, dir) => {
       // norms are computed once per vector BEFORE the pair join
@@ -245,6 +254,26 @@ object DedupSim {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
              / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.8""",
+
+    // same dot/norm fold shapes as q45/q55 (bit-exact parity proven
+    // by those oracles); the nrm > 0 guard mirrors the NaN exclusion
+    "q58_embedding_dup" ->
+      """WITH e AS (
+           SELECT label AS bkt, vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         f AS (
+           SELECT * FROM (
+             SELECT bkt, id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM e) t
+           WHERE nrm > 0),
+         p AS (
+           SELECT a.bkt, a.id AS id1, b.id AS id2,
+             list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+               / (a.nrm * b.nrm) AS cos
+           FROM f a JOIN f b ON a.bkt = b.bkt AND a.id < b.id)
+         SELECT bkt, id1, id2, cos FROM p WHERE cos >= 0.35""",
 
     "q45_embedding_nn" ->
       """WITH e AS (

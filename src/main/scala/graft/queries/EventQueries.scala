@@ -50,6 +50,31 @@ object EventQueries {
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
+    }),
+
+    // Stateful streaming end-to-end: file-source stream →
+    // flatMapGroupsWithState running per-user totals (Update mode) →
+    // memory sink. Totals are integer cents, so they're independent
+    // of arrival order; they're also MONOTONE (values are positive),
+    // so the final per-user total is max() over every emitted update
+    // — which is exactly what the batch-SQL oracle computes.
+    "q5A_stream_stateful" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = Files.createTempDirectory("graft_q5A_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      import s.implicits._
+      val ev = graft.streaming.EventStreams.readEventsStream(s, tmp.toString)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val sink = "q5A_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.runningUserCents(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
     })
   )
 
@@ -103,6 +128,12 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    // batch twin of the stateful stream: per-user count + exact cents
+    "q5A_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY user_id""",
 
     "q53_json_props" ->
       """SELECT event_type,

@@ -10,11 +10,13 @@ import graft.text.{EntityRuler, Sentiment, TextStats}
   * dictionary NER (the reference's custom operator, SURVEY.md §2.8),
   * lexicon sentiment, token statistics, language ID, quality scoring,
   * fingerprinting, rolling hash, shingling. All except NER are
-  * oracle-checked. The NER matcher is hash-checked against a
-  * recursive-CTE DuckDB mirror generated from the demo dict
-  * ([[nerWalkSql]]); only the 25k-pattern q38 stays rows-only (the
-  * full spaCy dictionary isn't worth a megabyte of generated SQL) —
-  * its semantics are pinned by RulerMatcherSpec instead.
+  * oracle-checked. The NER matcher is hash-checked two ways: q30
+  * against a recursive-CTE DuckDB mirror generated from the demo dict
+  * ([[nerWalkSql]]), and q38 against a DATA-DRIVEN mirror that loads
+  * the full 25,456-pattern spaCy dictionary with `read_json` and
+  * resolves longest-match via a first-token equi-join
+  * ([[nerFullDictOracleSql]]) — no generated CASE arms, so the oracle
+  * scales to the production dictionary.
   */
 object TextQueries {
 
@@ -54,17 +56,16 @@ object TextQueries {
     // NER with the FULL reference dictionary (25k spaCy patterns)
     // when the reference tree is mounted — exercises the broadcast
     // trie at production dictionary size; falls back to the demo
-    // patterns otherwise. Rows-only check either way.
+    // patterns otherwise. Hash-checked per doc against the
+    // data-driven DuckDB mirror (nerFullDictOracleSql).
     "q38_ner_full_dict" -> ((s, dir) => {
-      val path = "/root/reference/NER_model/entity_ruler/patterns.jsonl"
       val pats =
-        if (new java.io.File(path).exists()) EntityRuler.loadPatternsJsonl(path)
+        if (new java.io.File(patternsPath).exists()) EntityRuler.loadPatternsJsonl(patternsPath)
         else demoPatterns
       val m = new EntityRuler.Matcher(pats)
       table(s, dir, "documents")
         .select(col("doc_id"),
-          size(EntityRuler.nerColumn(m)(col("text"))).as("n_topics"))
-        .groupBy("n_topics").agg(count(lit(1)).as("n_docs"))
+          concat_ws(",", EntityRuler.nerColumn(m)(col("text"))).as("topics"))
     }),
 
     // Lexicon sentiment with prev-token negator/intensifier handling;
@@ -129,6 +130,10 @@ object TextQueries {
     })
   )
 
+  /** The reference's serialized spaCy dictionary (mounted read-only;
+    * the assignment's own data — read at runtime, never vendored). */
+  private val patternsPath = "/root/reference/NER_model/entity_ruler/patterns.jsonl"
+
   private[queries] def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** CASE expression translating [[Sentiment.lexicon]] to SQL. */
@@ -177,7 +182,7 @@ object TextQueries {
     }.mkString("\n            ")
     val hashtagCond =
       """d.w[wk.i] = '#' AND regexp_full_match(d.w[wk.i + 1], '[\x00-\x7F]+')"""
-    s"""doc AS (
+    s"""doc AS MATERIALIZED (
           SELECT doc_id, regexp_extract_all(coalesce(text, ''), '$tokRe') AS w
           FROM documents),
         walk(doc_id, i, acc) AS (
@@ -209,6 +214,93 @@ object TextQueries {
           WHERE rn = 1)"""
   }
 
+  /** DuckDB mirror of the EntityRuler walk for the FULL 25k-pattern
+    * spaCy dictionary. Unlike [[nerWalkSql]] (CASE arms generated from
+    * the 9-pattern demo dict), this is data-driven: `read_json` loads
+    * patterns.jsonl, per-token attrs become typed edge keys ("L"+lower
+    * / "E"+exact — the same encoding as Matcher's trie edges), match
+    * candidates come from a first-token equi-join + lambda-verified
+    * tail, and longest-match/earliest-declared resolution is a window
+    * over (len DESC, idx). Structural rows (TEXT-regex / IS_ASCII) are
+    * skipped exactly like EntityRuler.loadPatternsJsonl — json paths
+    * are case-sensitive, so `$.Text` misses the structural `TEXT` key,
+    * and non-string attr values extract as NULL. The walk CTEs are
+    * MATERIALIZED: DuckDB otherwise re-evaluates the whole candidate
+    * pipeline on every recursion level (measured 137 s → 1.1 s). */
+  private[queries] lazy val nerFullDictOracleSql: String = {
+    val tokRe = "@[A-Za-z0-9_]+|[A-Za-z0-9_]+(?:''[A-Za-z]+)?|[^A-Za-z0-9_\\s]"
+    val hashtagCond =
+      """d.w[wk.i] = '#' AND regexp_full_match(d.w[wk.i + 1], '[\x00-\x7F]+')"""
+    s"""WITH RECURSIVE
+        rawp AS (
+          SELECT row_number() OVER () AS idx, id, pattern
+          FROM read_json('$patternsPath',
+                         format='newline_delimited',
+                         columns={'label':'VARCHAR','pattern':'JSON','id':'VARCHAR'})),
+        ptok AS (
+          SELECT idx, id, ti,
+            json_extract_string(pattern, '$$[' || (ti - 1) || '].LOWER') AS lo,
+            coalesce(json_extract_string(pattern, '$$[' || (ti - 1) || '].Text'),
+                     json_extract_string(pattern, '$$[' || (ti - 1) || '].ORTH')) AS ex
+          FROM (SELECT idx, id, pattern,
+                  unnest(range(1, CAST(json_array_length(pattern) AS BIGINT) + 1)) AS ti
+                FROM rawp)),
+        pats AS (
+          SELECT idx, any_value(id) AS id, CAST(count(*) AS INTEGER) AS n,
+            list(CASE WHEN lo IS NOT NULL THEN 'L' || lower(lo) ELSE 'E' || ex END
+                 ORDER BY ti) AS keys
+          FROM ptok GROUP BY idx
+          HAVING bool_and(lo IS NOT NULL OR ex IS NOT NULL)),
+        doc AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '$tokRe') AS w
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM doc),
+        poskey AS (
+          SELECT doc_id, i, w, 'L' || lower(w[i]) AS k FROM pos
+          UNION ALL
+          SELECT doc_id, i, w, 'E' || w[i] AS k FROM pos),
+        cand AS (
+          SELECT pk.doc_id, pk.i, q.n AS len, q.idx,
+            coalesce(q.id, array_to_string(pk.w[pk.i : pk.i + q.n - 1], ' ')) AS emit
+          FROM poskey pk JOIN pats q ON q.keys[1] = pk.k
+          WHERE pk.i + q.n - 1 <= len(pk.w)
+            AND len(list_filter(range(2, q.n + 1), j ->
+                  CASE WHEN q.keys[j][1] = 'L' THEN 'L' || lower(pk.w[pk.i + j - 1])
+                       ELSE 'E' || pk.w[pk.i + j - 1] END = q.keys[j])) = q.n - 1),
+        best AS MATERIALIZED (
+          SELECT doc_id, i, len, emit FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id, i
+                                         ORDER BY len DESC, idx) AS rn
+            FROM cand) z WHERE rn = 1),
+        walk(doc_id, i, acc) AS (
+          SELECT doc_id, 1, CAST([] AS VARCHAR[]) FROM doc
+          UNION ALL
+          SELECT doc_id, i + step,
+            CASE WHEN topic IS NOT NULL AND NOT list_contains(acc, topic)
+                 THEN list_append(acc, topic) ELSE acc END
+          FROM (
+            SELECT wk.doc_id, wk.i, wk.acc,
+              CASE WHEN b.emit IS NOT NULL THEN b.emit
+                   WHEN len(d.w[wk.i]) > 1 AND d.w[wk.i][1] = '@' THEN d.w[wk.i]
+                   WHEN $hashtagCond THEN '#' || d.w[wk.i + 1]
+                   ELSE NULL END AS topic,
+              CASE WHEN b.len IS NOT NULL THEN b.len
+                   WHEN $hashtagCond THEN 2
+                   ELSE 1 END AS step
+            FROM walk wk JOIN doc d USING (doc_id)
+            LEFT JOIN best b ON b.doc_id = wk.doc_id AND b.i = wk.i
+            WHERE wk.i <= len(d.w)) s),
+        phrases AS (
+          SELECT doc_id,
+            CASE WHEN len(acc) = 0 THEN ['empty'] ELSE acc END AS phrases
+          FROM (SELECT doc_id, acc,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+                FROM walk) z
+          WHERE rn = 1)
+        SELECT doc_id, array_to_string(phrases, ',') AS topics FROM phrases"""
+  }
+
   private lazy val sentimentOracleSql: String = {
     val pol = lexiconCaseSql("lower(p[1])")
     val mod = modifierCaseSql("lower(p[2])")
@@ -234,6 +326,7 @@ object TextQueries {
     "q30_ner_topics" ->
       s"""WITH RECURSIVE $nerWalkSql
           SELECT doc_id, array_to_string(phrases, ',') AS topics FROM phrases""",
+    "q38_ner_full_dict" -> nerFullDictOracleSql,
     "q31_sentiment_docs" -> sentimentOracleSql,
     "q39_sentiment_native" -> sentimentOracleSql,
 

@@ -53,6 +53,34 @@ object EventStreams {
 
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
+  final case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Integer-exact running per-user totals: value is fixed-pointed to
+    * cents BEFORE accumulation, so the state total is independent of
+    * arrival order and micro-batch boundaries (Long addition commutes;
+    * float addition doesn't) — the property that makes the streamed
+    * result oracle-checkable against a batch SQL twin. Same
+    * flatMapGroupsWithState shape as [[runningUserTotals]]. */
+  def runningUserCents(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L))
+          var n = prev.n_events
+          var c = prev.sum_cents
+          // floor(x*100 + 0.5): identical fixed-pointing on both
+          // engines (DuckDB round() is half-away-from-zero, Java
+          // Math.round is half-up — floor(+0.5) sidesteps both)
+          batch.foreach { e => n += 1; c += math.floor(e.value * 100 + 0.5).toLong }
+          val next = UserTotals(user, n, c)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   /** Watermarked tumbling-window counts; append-mode compatible
     * (finalized windows only). */
   def tumblingCounts(stream: DataFrame, width: String = "1 hour",
