@@ -80,6 +80,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("md5 hash sample is invariant to partitioning; rand(seed) is not guaranteed") {
+    // the q59 sampler's contract: selection depends only on row
+    // CONTENT, so any repartitioning/ordering yields the same set —
+    // the property that makes a sample reproducible on a cluster
+    val df = (1L to 2000L).toDF("id")
+    def sample(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.filter(substring(md5(col("id").cast("string")), 1, 1) === "0")
+        .as[Long].collect().toSet
+    val base = sample(df)
+    assert(base.nonEmpty && base.size < 2000)
+    assert(sample(df.repartition(17, col("id"))) === base)
+    assert(sample(df.orderBy(col("id").desc).coalesce(1)) === base)
+  }
+
   private implicit class Tup3Ops(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map(t => ((t._1, t._2), t._3)).toMap

@@ -79,4 +79,27 @@ class EventStreamsSpec extends SparkSpec {
       assert(byUser(9L).map(_.n_events).max === 1L)
     } finally q.stop()
   }
+
+  test("integer-cents running totals are exact across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = runningUserCents(mem.toDS())
+      .writeStream.format("memory").queryName("cents_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // 0.1 + 0.2 is the classic float trap: 30 cents exactly here
+      mem.addData(Event(ts("2024-01-01 00:00:01"), 7, "click", 0.1))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2024-01-01 00:00:02"), 7, "view", 0.2),
+        Event(ts("2024-01-01 00:00:03"), 9, "click", 12.345))
+      q.processAllAvailable()
+      val byUser = spark.table("cents_test")
+        .as[UserTotals].collect().groupBy(_.user_id)
+      assert(byUser(7L).map(_.sum_cents).max === 30L)
+      assert(byUser(7L).map(_.n_events).max === 2L)
+      // 12.345 → floor(1234.5 + 0.5) = 1235 (the half-up edge)
+      assert(byUser(9L).map(_.sum_cents).max === 1235L)
+    } finally q.stop()
+  }
 }
