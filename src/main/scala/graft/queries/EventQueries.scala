@@ -75,6 +75,32 @@ object EventQueries {
       try q.processAllAvailable() finally q.stop()
       s.table(sink).groupBy("user_id")
         .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
+    }),
+
+    // Streaming exact dedup: the SAME events file staged TWICE into
+    // the stream source; dropDuplicates(event_id) must collapse the
+    // doubled input back to one copy (the oracle counts the single
+    // table — without dedup every count would be 2×). Exact
+    // dropDuplicates keeps key state indefinitely, which is fine for
+    // a bounded drain; the production bounded-state form is
+    // dropDuplicatesWithinWatermark (state evicted once the watermark
+    // passes an id's event time).
+    "q5D_stream_dedup" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = Files.createTempDirectory("graft_q5D_src")
+      Seq("events_a.parquet", "events_b.parquet").foreach { f =>
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          tmp.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+      }
+      val sink = "q5D_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.readEventsStream(s, tmp.toString)
+        .dropDuplicates("event_id")
+        .select("event_id", "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("event_type").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -128,6 +154,11 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    // the single-copy counts: only a correct streaming dedup of the
+    // doubled source matches this
+    "q5D_stream_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
 
     // batch twin of the stateful stream: per-user count + exact cents
     "q5A_stream_stateful" ->

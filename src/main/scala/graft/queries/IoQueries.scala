@@ -49,6 +49,43 @@ object IoQueries {
       table(s, dir, "orders")
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select("o_orderkey", "o_custkey", "o_orderstatus"))
+,
+
+    // Bucketed co-located join: both fact tables written bucketBy the
+    // join key, then joined — the bucketed scan satisfies the join's
+    // distribution requirement so NO shuffle exchange is planned on
+    // either side (BucketingSpec asserts the plan; this query makes
+    // the path driver-checkable). At 100 TB this is the difference
+    // between re-shuffling both tables on every join and a per-bucket
+    // local merge.
+    "q5B_bucketed_join" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val (ob, lb) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+      table(s, dir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(ob)
+      table(s, dir, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(lb)
+      s.table(ob).join(s.table(lb), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_linenumber").cast("long")).as("sum_lnum"))
+    }),
+
+    // Partitioned write + partition-pruned scan: a date-partitioned
+    // layout turns the day filter into directory pruning
+    // (PartitionedWriteSpec asserts partitionFilters; this query
+    // makes the layout driver-checkable end-to-end).
+    "q5C_partition_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q5C_part").toString
+      table(s, dir, "events").withColumn("d", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("d").parquet(s"$tmp/ev")
+      s.read.parquet(s"$tmp/ev")
+        .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-05")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -64,6 +101,23 @@ object IoQueries {
     "q59_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
          FROM orders
-         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"""
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""",
+
+    // plain join over the un-bucketed tables — bucketing must change
+    // the PLAN (no exchanges), never the RESULT
+    "q5B_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_lnum
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus""",
+
+    // same day filter over the un-partitioned table — pruning must
+    // not change which rows qualify
+    "q5C_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+         GROUP BY event_type"""
   )
 }
