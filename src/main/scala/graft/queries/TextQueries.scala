@@ -127,7 +127,45 @@ object TextQueries {
         .select(col("doc_id"),
           size(TextStats.shingles(toks, 3)).as("n_shingles"),
           size(array_distinct(TextStats.shingles(toks, 3))).as("n_distinct_shingles"))
-    })
+    }),
+
+    // PII scrubbing over deterministically injected PII (the corpus
+    // itself carries none — injecting from doc_id makes the redaction
+    // do real, checkable work on every row).
+    "q64_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val withPii = concat(col("text"),
+        lit(" contact u"), id, lit("@example.com or https://ex.example/"),
+        id, lit("/page now"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.scrubPii(withPii).as("clean"))
+    }),
+
+    // Gopher-style repetition metrics, integer-exact: duplicate-token
+    // count and the top-bigram count (the "fraction of most frequent
+    // n-gram" filter's numerator/denominator kept as exact integers —
+    // the caller does the one division).
+    "q65_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val toks = TextStats.tokens(col("text"))
+      val base = d.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        (size(toks) - size(array_distinct(toks))).as("n_dup"))
+      val top = d.select(col("doc_id"),
+        explode(TextStats.shingles(TextStats.tokens(col("text")), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(max("n").as("top_bigram_n"), sum("n").as("n_bigrams"))
+      base.join(top, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("top_bigram_n", "n_bigrams"))
+    }),
+
+    // Consecutive-duplicate-token removal (stutter cleanup).
+    "q66_dedup_consecutive" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            TextStats.dedupConsecutive(TextStats.tokens(col("text")))).as("clean")))
   )
 
   /** The reference's serialized spaCy dictionary (mounted read-only;
@@ -403,6 +441,57 @@ object TextQueries {
            FROM t)
          SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
            CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct_shingles
-         FROM s"""
+         FROM s""",
+
+    // IDENTICAL regexes to TextStats.scrubPii (RE2∩Java subset);
+    // DuckDB needs the explicit 'g' flag for global replacement
+    "q64_pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact u' || doc_id || '@example.com or https://ex.example/'
+                    || doc_id || '/page now',
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+         FROM documents""",
+
+    "q65_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         base AS (
+           SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+             CAST(len(w) - len(list_distinct(w)) AS INTEGER) AS n_dup
+           FROM t),
+         bgl AS (
+           SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w) - 1)]
+                  ELSE [] END AS sh
+           FROM t),
+         cnt AS (
+           SELECT doc_id, u.s AS bg, count(*) AS n
+           FROM bgl, unnest(sh) AS u(s) GROUP BY doc_id, u.s),
+         top AS (
+           SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+             CAST(sum(n) AS BIGINT) AS n_bigrams
+           FROM cnt GROUP BY doc_id)
+         SELECT base.doc_id, n_tokens, n_dup,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           coalesce(n_bigrams, 0) AS n_bigrams
+         FROM base LEFT JOIN top USING (doc_id)""",
+
+    // the '' prepend is the same prev-token shift the sentiment
+    // oracle uses; keep iff token differs from predecessor
+    "q66_dedup_consecutive" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(
+                 list_zip(w, list_prepend('', w[:len(w) - 1])),
+                 p -> p[1] <> p[2]),
+               p -> p[1]), ' ') AS clean
+         FROM t"""
   )
 }

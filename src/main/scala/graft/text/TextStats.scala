@@ -87,4 +87,31 @@ object TextStats {
     * see graft.functions.WordShingles for why not the HOF form). */
   def shingles(toks: Column, n: Int): Column =
     graft.functions.WordShingles(toks, n)
+
+  /** PII scrubbing (C4-style redaction): URLs then emails replaced by
+    * placeholder tags. URL first — a URL can contain an @-path that
+    * the email pattern would otherwise bite into. Patterns restricted
+    * to the RE2 ∩ java.util.regex common subset (no lookaround, no
+    * possessive quantifiers), so the DuckDB oracle runs the IDENTICAL
+    * regexes. Pure narrow map, codegen'd. */
+  val UrlRe = "https?://[^ ]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>")
+
+  /** Remove CONSECUTIVE duplicate tokens (stutter removal, the cheap
+    * form of repetition cleanup): each token is kept iff it differs
+    * from its predecessor. The predecessor of the first token is the
+    * '' sentinel (same convention as the sentiment scorer's prev-token
+    * shift), so a leading empty token — only possible from leading/
+    * doubled separators — is dropped. */
+  def dedupConsecutive(toks: Column): Column = {
+    val prev = concat(array(lit("")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    val zipped = zip_with(toks, prev, (t, p) => struct(t.as("t"), p.as("p")))
+    transform(filter(zipped, z => z.getField("t") =!= z.getField("p")),
+      z => z.getField("t"))
+  }
 }
