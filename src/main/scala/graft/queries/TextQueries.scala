@@ -165,8 +165,27 @@ object TextQueries {
       table(s, dir, "documents")
         .select(col("doc_id"),
           concat_ws(" ",
-            TextStats.dedupConsecutive(TextStats.tokens(col("text")))).as("clean")))
+            TextStats.dedupConsecutive(TextStats.tokens(col("text")))).as("clean"))),
+
+    // Benchmark decontamination: docs whose 3-gram shingles overlap a
+    // held-out needle set. The literal needle array folds into the
+    // plan (broadcast semantics) so this is a pure narrow map — at
+    // production needle-set sizes (millions of eval n-grams) the same
+    // shape becomes explode(shingles) + broadcast semi-join.
+    "q67_contamination" -> ((s, dir) => {
+      val needles = array(ContaminationNeedles.map(lit): _*)
+      val sh = array_distinct(TextStats.shingles(TextStats.tokens(col("text")), 3))
+      table(s, dir, "documents")
+        .select(col("doc_id"), size(array_intersect(sh, needles)).as("n_hits"))
+        .filter(col("n_hits") > 0)
+    })
   )
+
+  /** Needle 3-grams for q67: three present in the corpus, one held
+    * out (must never match — an always-true overlap would hide a
+    * broken intersect). */
+  private val ContaminationNeedles = Seq(
+    "stream table hash", "row column sort", "part filter scan", "held out gram")
 
   /** The reference's serialized spaCy dictionary (mounted read-only;
     * the assignment's own data — read at runtime, never vendored). */
@@ -479,6 +498,22 @@ object TextQueries {
            coalesce(top_bigram_n, 0) AS top_bigram_n,
            coalesce(n_bigrams, 0) AS n_bigrams
          FROM base LEFT JOIN top USING (doc_id)""",
+
+    "q67_contamination" -> {
+      val needles = ContaminationNeedles.map(sq).mkString("[", ", ", "]")
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          s AS (
+            SELECT doc_id,
+              CASE WHEN len(w) >= 3
+                   THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)]
+                   ELSE [] END AS sh
+            FROM t)
+          SELECT doc_id,
+            CAST(len(list_intersect(list_distinct(sh), $needles)) AS INTEGER) AS n_hits
+          FROM s
+          WHERE len(list_intersect(list_distinct(sh), $needles)) > 0"""
+    },
 
     // the '' prepend is the same prev-token shift the sentiment
     // oracle uses; keep iff token differs from predecessor

@@ -35,6 +35,19 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(n < 1000, s"LSH produced implausibly many candidates: $n")
   }
 
+  test("banded simhash near-pair search over 200k docs stays sub-quadratic") {
+    val d = corpus.withColumn("toks", TextStats.tokens(col("text")))
+      .select("doc_id", "toks")
+    val fp = Dedup.simhash(d, "doc_id", "toks", 60)
+    // radius 3 over 60 bits ⇒ 4 bands × 15 bits: the equi-join key
+    // space (32k values per band) bounds candidates at ~(r+1)·n²/2^15
+    // ≈ 2.4M verifies for n=200k — all-pairs would be 20 BILLION.
+    val pairs = Dedup.simhashNearPairsBanded(fp, "doc_id", "simhash", 60, 3)
+    // random token sets almost never land within hamming 3; the point
+    // is that the job COMPLETES at 200k (all-pairs would not)
+    assert(pairs.count() < 5000)
+  }
+
   test("native sentiment over 200k docs stays distributed") {
     val out = Sentiment.scoreNative(
       corpus.withColumn("text", concat(col("text"), lit(" good not bad"))),

@@ -80,6 +80,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedupes with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // the bounded-state production form of q5D's exact dedup: key
+    // state is evicted once the watermark passes the key's event time
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "ts"))
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val e = Event(ts("2024-01-01 00:00:01"), 1, "click", 1.0)
+      mem.addData(e, e) // duplicate within one batch
+      q.processAllAvailable()
+      mem.addData(e)    // duplicate across batches, inside the watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm_test").count() === 1)
+    } finally q.stop()
+  }
+
   test("integer-cents running totals are exact across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
