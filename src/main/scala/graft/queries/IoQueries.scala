@@ -73,6 +73,24 @@ object IoQueries {
           sum(col("l_linenumber").cast("long")).as("sum_lnum"))
     }),
 
+    // The spark.sql() entry path: temp views + SQL text through the
+    // same session — the engine's SQL API surface (TPC-H Q5-ish
+    // 4-table join). Money kept integer-exact (cents products summed
+    // as BIGINT) so the float fold order can't flip the hash.
+    "q68_sql_api" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT n.n_name AS nation, count(*) AS n_items,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rev_e4
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name""")
+    }),
+
     // Partitioned write + partition-pruned scan: a date-partitioned
     // layout turns the day filter into directory pruning
     // (PartitionedWriteSpec asserts partitionFilters; this query
@@ -110,6 +128,16 @@ object IoQueries {
            CAST(sum(l_linenumber) AS BIGINT) AS sum_lnum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
+
+    "q68_sql_api" ->
+      """SELECT n.n_name AS nation, count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_e4
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         GROUP BY n.n_name""",
 
     // same day filter over the un-partitioned table — pruning must
     // not change which rows qualify
