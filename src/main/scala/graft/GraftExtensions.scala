@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+import graft.functions.{ArrayDot, NerExtract, WordShingles}
+import graft.text.EntityRuler
+
+/** SQL surface for graft's custom Catalyst expressions.
+  *
+  * The reference exposes its operators only through a host-language
+  * API; a Spark-native engine should also surface them to plain
+  * `spark.sql(...)` users. Two registration paths, same builders:
+  *
+  *   - [[GraftExtensions]] — the production path: set
+  *     `spark.sql.extensions=graft.GraftExtensions` and every session
+  *     built from that config has the functions (cluster-wide,
+  *     per-session isolation handled by Spark).
+  *   - [[GraftFunctions.register]] — the late-bind path for a session
+  *     that already exists (e.g. the driver's Verify session, which
+  *     graft does not construct): registers the same builders as
+  *     temporary functions on that session only.
+  *
+  * Functions:
+  *   - `array_dot(a, b)` — codegen'd dot product ([[ArrayDot]]);
+  *     arguments are cast to array&lt;double&gt; exactly like the
+  *     Column wrapper, so float embeddings are widened before the
+  *     unsafe getDouble read.
+  *   - `word_shingles(tokens, n)` — word n-gram shingling
+  *     ([[WordShingles]]); `n` must be a foldable integer literal
+  *     because the shingle width is a plan-time parameter.
+  *   - `ner_demo(text)` — the dictionary NER trie matcher
+  *     ([[NerExtract]]) over the committed demo pattern set
+  *     (reference behavior: /root/reference/demo.py:24-35); the
+  *     full-dictionary variant stays Column-API-only since a 25k-entry
+  *     matcher should be constructed once and shared, not rebuilt per
+  *     SQL function call site.
+  */
+object GraftFunctions {
+
+  /** Matcher is built once per JVM and rides the expression into task
+    * closures (serialized per stage, broadcast-sized: 9 patterns). */
+  private lazy val demoMatcher: EntityRuler.Matcher =
+    new EntityRuler.Matcher(graft.queries.TextQueries.demoPatterns)
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case v =>
+          throw new IllegalArgumentException(
+            s"$name: shingle width must be an integer literal, got $v")
+      }
+    case _ =>
+      throw new IllegalArgumentException(
+        s"$name: shingle width must be foldable (a literal), got a column")
+  }
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val all: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => {
+        arity("array_dot", args, 2)
+        ArrayDot(
+          Cast(args(0), ArrayType(DoubleType)),
+          Cast(args(1), ArrayType(DoubleType)))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        arity("word_shingles", args, 2)
+        WordShingles(args(0), litInt("word_shingles", args(1)))
+      }),
+    (FunctionIdentifier("ner_demo"),
+      new ExpressionInfo(classOf[NerExtract].getName, "ner_demo"),
+      (args: Seq[Expression]) => {
+        arity("ner_demo", args, 1)
+        NerExtract(args(0), demoMatcher)
+      })
+  )
+
+  /** Late-bind registration on an existing session (temp functions,
+    * this session only). Idempotent — re-registration replaces. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      GraftShims.registerTempFunction(spark, id.funcName, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point: injects the [[GraftFunctions]]
+  * catalog into every session built with this class configured. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

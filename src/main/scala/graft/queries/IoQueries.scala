@@ -91,6 +91,25 @@ object IoQueries {
         GROUP BY n.n_name""")
     }),
 
+    // Custom Catalyst expressions reached PURELY through SQL text:
+    // GraftFunctions late-binds array_dot / word_shingles / ner_demo
+    // onto the (driver-built) session, then the whole query is one
+    // spark.sql(...) — proving the SparkSessionExtensions surface
+    // resolves, type-checks, and codegens like a built-in. Joins
+    // documents 1:1 to embeddings (doc_id = vec_id by construction).
+    "q69_sql_functions" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("documents")
+      table(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""
+        SELECT d.doc_id,
+               CAST(size(word_shingles(split(d.text, ' '), 3)) AS BIGINT) AS n_shingles,
+               array_dot(e.embedding, e.embedding) AS self_dot,
+               concat_ws(',', ner_demo(d.text)) AS topics
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id""")
+    }),
+
     // Partitioned write + partition-pruned scan: a date-partitioned
     // layout turns the day filter into directory pruning
     // (PartitionedWriteSpec asserts partitionFilters; this query
@@ -138,6 +157,26 @@ object IoQueries {
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          JOIN nation n ON n.n_nationkey = c.c_nationkey
          GROUP BY n.n_name""",
+
+    // mirrors each SQL function natively: shingle count is a closed
+    // form (max(len-n+1, 0)); self-dot is the q45-proven
+    // cast-to-double multiply-sum; NER reuses the recursive-CTE walk
+    "q69_sql_functions" ->
+      s"""WITH RECURSIVE ${TextQueries.nerWalkSql},
+           sh AS (
+             SELECT doc_id,
+               CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_shingles
+             FROM documents),
+           sd AS (
+             SELECT vec_id,
+               list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS self_dot
+             FROM embeddings)
+         SELECT p.doc_id, sh.n_shingles, sd.self_dot,
+                array_to_string(p.phrases, ',') AS topics
+         FROM phrases p
+         JOIN sh ON sh.doc_id = p.doc_id
+         JOIN sd ON sd.vec_id = p.doc_id""",
 
     // same day filter over the un-partitioned table — pruning must
     // not change which rows qualify

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Accessor shim: Spark 4's Expression↔Column converters live in
   * `org.apache.spark.sql.classic.ExpressionUtils`, which is
@@ -9,4 +10,34 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Temp-function registration on an existing session. The function
+    * registry hangs off `sessionState`, which is private[sql]; graft
+    * uses this for sessions it did not build (the driver's Verify
+    * session) — sessions graft does build get the same builders via
+    * `spark.sql.extensions=graft.GraftExtensions` instead. */
+  def registerTempFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Analyzed logical plan of a DataFrame (private[sql] on classic
+    * Dataset) — lets graft wrap a frame in a custom LogicalPlan node. */
+  def logicalPlan(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** DataFrame over a custom LogicalPlan (classic.Dataset.ofRows is
+    * private[sql]) — the return path from a custom node to user code. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test seam: apply an extensions object's injected functions to a
+    * registry (what session construction does internally) so specs
+    * can assert the injection wiring without building a session. */
+  def buildFunctionRegistry(
+      ext: SparkSessionExtensions,
+      reg: catalyst.analysis.FunctionRegistry): catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

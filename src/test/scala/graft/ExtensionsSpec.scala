@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+/** Pins the SQL-function surface (GraftExtensions/GraftFunctions):
+  * resolution from SQL text, value parity with the Column API, the
+  * literal-width contract, and the extension-injection wiring. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("late-bound functions resolve from SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Seq(1.0f, 2.0f), Seq("a", "b", "c", "d"), "hash join on spark"))
+      .toDF("v", "toks", "text")
+      .createOrReplaceTempView("ext_t")
+    val row = spark.sql(
+      """SELECT array_dot(v, v) AS d,
+                word_shingles(toks, 2) AS sh,
+                ner_demo(text) AS topics
+         FROM ext_t""").head()
+    assert(row.getDouble(0) == 5.0)
+    assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(row.getSeq[String](2) == Seq("Hash Join", "Spark"))
+  }
+
+  test("word_shingles rejects a non-literal width") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Seq("a", "b"), 2)).toDF("toks", "n").createOrReplaceTempView("ext_bad")
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles(toks, n) FROM ext_bad").collect()
+    }
+  }
+
+  test("GraftExtensions injects every function description") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.GraftShims
+      .buildFunctionRegistry(ext, FunctionRegistry.builtin.clone())
+    for (n <- Seq("array_dot", "word_shingles", "ner_demo"))
+      assert(reg.functionExists(FunctionIdentifier(n)), s"missing $n")
+  }
+}
