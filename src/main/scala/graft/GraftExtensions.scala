@@ -98,8 +98,13 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point: injects the [[GraftFunctions]]
-  * catalog into every session built with this class configured. */
+  * catalog, the [[graft.plans.GroupedTopKStrategy]] planner strategy,
+  * and the [[graft.plans.WindowTopKRewrite]] optimizer rule into every
+  * session built with this class configured. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, EventQueries, IoQueries, MultimodalQueries, PipelineQueries, Relational, Relational2, TextQueries, TweetOps}
+import graft.queries.{DedupSim, EventQueries, IoQueries, MultimodalQueries, PipelineQueries, PlanQueries, Relational, Relational2, TextQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
       (IoQueries.queries, IoQueries.oracles),
-      (PipelineQueries.queries, PipelineQueries.oracles)
+      (PipelineQueries.queries, PipelineQueries.oracles),
+      (PlanQueries.queries, PlanQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

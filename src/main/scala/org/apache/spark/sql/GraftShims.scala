@@ -23,6 +23,15 @@ object GraftShims {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** EAGER Column → Expression conversion. The lazy form
+    * ([[expression]]) wraps the column's node in a ColumnNodeExpression
+    * placeholder that only standard plan-construction paths convert;
+    * embedded in a CUSTOM logical node it would survive analysis and
+    * fail task serialization. This runs the converter immediately,
+    * yielding a plain (serializable, analyzable) catalyst tree. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Analyzed logical plan of a DataFrame (private[sql] on classic
     * Dataset) — lets graft wrap a frame in a custom LogicalPlan node. */
   def logicalPlan(df: Dataset[Row]): LogicalPlan =
