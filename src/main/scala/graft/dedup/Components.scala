@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected candidate-pair edge list —
+  * the step that turns near-dup PAIRS (LSH q42, SimHash q54, Jaccard
+  * q44) into dedup CLUSTERS with one canonical representative each,
+  * which is what a training-data pipeline actually deletes against.
+  *
+  * Algorithm: iterative minimum-label propagation. Every vertex starts
+  * labeled with itself; each round every vertex takes the min of its
+  * own label and its neighbors' labels; fixed point = every vertex
+  * holds the smallest id in its component. Each round is two shuffles
+  * (edge⋈label join + min aggregation) over the EDGE list — never an
+  * all-pairs product — and lineage is cut per round with an eager
+  * localCheckpoint so the plan stays O(1) deep regardless of rounds.
+  *
+  * Scale shape: rounds = component DIAMETER. Near-dup clusters are
+  * dense and shallow (pairs share bands/fingerprints transitively), so
+  * diameter stays in the low single digits at any corpus size — the
+  * pathological long-chain case that motivates the O(log n)
+  * large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) does not arise from
+  * banded similarity edges; `maxIter` caps the loop regardless, and
+  * hitting the cap raises rather than returning a half-converged
+  * labeling.
+  */
+object Components {
+
+  /** Labels every id in `vertices(idCol)` with the smallest id
+    * reachable through `pairs` (columns id1/id2, undirected, need not
+    * be deduplicated); vertices with no edges label themselves.
+    * Output: (idCol, cluster_id), one row per vertex. */
+  def connectedComponents(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist()
+
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxIter) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "component diameter exceeds the cap; raise maxIter")
+      }
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min("label").as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+}

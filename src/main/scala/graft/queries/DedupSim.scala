@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.io.Sources.table
 import graft.similarity.Similarity
 import graft.text.TextStats
@@ -46,6 +46,21 @@ object DedupSim {
         .select("doc_id", "shingles")
       val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
       Dedup.lshCandidatePairs(Dedup.lshBandKeys(sigs, "doc_id", 2), "doc_id")
+    }),
+
+    // LSH candidate pairs → connected components → dedup CLUSTERS:
+    // every document labeled with the smallest doc_id transitively
+    // reachable through q42's candidate edges (singletons label
+    // themselves). This is the step that turns pair detection into an
+    // actionable keep/delete list.
+    "q74_dedup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val d = docs
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBandKeys(sigs, "doc_id", 2), "doc_id")
+      Components.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
     }),
 
     // 32-bit SimHash fingerprints.
@@ -185,6 +200,36 @@ object DedupSim {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id""",
+
+    // transitive closure over the same candidate edges (recursive CTE
+    // with set-union semantics terminates on cycles); min reachable id
+    // = cluster label, LEFT JOIN keeps singletons. The walk CTE needs
+    // the RECURSIVE keyword, which must go on the WITH that sigsSql
+    // opens.
+    "q74_dedup_clusters" ->
+      s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          edges AS (
+            SELECT id1 AS a, id2 AS b FROM cand
+            UNION SELECT id2, id1 FROM cand),
+          walk(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          comp AS (
+            SELECT a AS doc_id, min(b) AS mn
+            FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r
+            GROUP BY a)
+          SELECT d.doc_id, coalesce(comp.mn, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id""",
 
     "q43_simhash" -> {
       s"""WITH toks AS (
