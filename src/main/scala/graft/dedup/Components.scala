@@ -31,7 +31,15 @@ object Components {
   /** Labels every id in `vertices(idCol)` with the smallest id
     * reachable through `pairs` (columns id1/id2, undirected, need not
     * be deduplicated); vertices with no edges label themselves.
-    * Output: (idCol, cluster_id), one row per vertex. */
+    * Output: (idCol, cluster_id), one row per vertex.
+    *
+    * The iteration touches only edge ENDPOINTS — in a dedup workload
+    * the overwhelming majority of documents are singletons and never
+    * enter the loop; they get their identity label from one final
+    * left join. Edges are persisted pre-partitioned on the join key,
+    * so each round shuffles only the (endpoint-sized) label frame,
+    * and convergence is a scan of the round's own output (prev label
+    * carried in-frame), not an extra join. */
   def connectedComponents(
       pairs: DataFrame,
       vertices: DataFrame,
@@ -41,9 +49,12 @@ object Components {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
 
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+    // symmetric edge list → src alone covers every endpoint
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint()
     var round = 0
     var converged = false
@@ -58,19 +69,19 @@ object Components {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min("label").as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // every looped vertex has ≥1 neighbor → inner join is total
+      val step = labels
+        .join(neighborMin, labels("id") === neighborMin("src"))
+        .select(labels("id"), col("label").as("prev"),
+          least(col("label"), col("nmin")).as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("label") =!= col("prev")).isEmpty
+      labels = step.select("id", "label")
       round += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    vertices.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 }
