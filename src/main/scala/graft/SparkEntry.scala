@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, EventQueries, IoQueries, MultimodalQueries, PipelineQueries, PlanQueries, Relational, Relational2, TextQueries, TweetOps}
+import graft.queries.{DedupSim, EventQueries, IoQueries, MultimodalQueries, PipelineQueries, PlanQueries, Relational, Relational2, TextQueries, TrainingQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       (MultimodalQueries.queries, MultimodalQueries.oracles),
       (IoQueries.queries, IoQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
-      (PlanQueries.queries, PlanQueries.oracles)
+      (PlanQueries.queries, PlanQueries.oracles),
+      (TrainingQueries.queries, TrainingQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+import graft.plans.GroupedTopK
+import graft.text.TextStats
+
+/** Training-data preparation surface beyond cleaning (q64–q67):
+  * chunking documents into model-sized windows, per-doc salient-term
+  * extraction (the tf·idf shape kept integer/single-division exact so
+  * it hash-checks), and shard-local sequence packing. All three are
+  * narrow or partition-local — no all-pairs, no global sort.
+  */
+object TrainingQueries {
+
+  /** Chunk size / stride in tokens (overlap = Chunk - Stride). */
+  private val Chunk = 32
+  private val Stride = 24
+  /** Packing budget in tokens per training sequence bin. */
+  private val Budget = 512
+  /** Packing shards — at production scale packing is per-shard by
+    * construction (a global pack order would serialize the corpus
+    * through one task); 8 shards keeps the oracle windows small. */
+  private val Shards = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping token-window chunking: one output row per training
+    // chunk, pure generate (posexplode of the start sequence + slice)
+    // — no shuffle at all.
+    "q75_doc_chunks" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          posexplode(expr(s"sequence(0, size(w) - 1, $Stride)")).as(Seq("chunk_idx", "start")),
+          col("w"))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", expr(s"slice(w, start + 1, $Chunk)")).as("chunk"),
+          least(lit(Chunk), size(col("w")) - col("start")).as("n_chunk_tokens"))),
+
+    // Per-doc top-3 salient terms by tf/df — the tf·idf ordering with
+    // the df log dropped (tf/df is monotone in tf·idf for fixed doc
+    // and bit-exact: two exact integers, one IEEE division). Top-k per
+    // doc runs on GroupedTopK, so the heavy tail (every doc × every
+    // term) never reaches a sort.
+    "q76_term_salience" -> ((s, dir) => {
+      val pairs = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = pairs.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val sal = tf.join(df, "term")
+        .withColumn("salience", col("tf") / col("df"))
+      GroupedTopK.topK(sal, Seq(col("doc_id")),
+          Seq(col("salience").desc, col("term").asc), 3)
+        .select("doc_id", "term", "tf", "df", "salience")
+    }),
+
+    // Shard-local greedy sequence packing: docs are packed into
+    // Budget-token bins in doc_id order WITHIN a shard (cumulative sum
+    // window); bin id = start-offset div Budget. Shard-local keeps the
+    // window partition-parallel — the 100 TB shape, not a toy global
+    // order.
+    "q77_seq_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % Shards).as("shard"),
+          size(TextStats.tokens(col("text"))).as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $Budget").as("bin"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // constant series + bound filter (DuckDB 1.0 cannot correlate
+    // generate_series in a lateral position)
+    "q75_doc_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          starts AS (
+            SELECT doc_id, w, g.s AS start
+            FROM t, generate_series(0, 65536, $Stride) g(s)
+            WHERE g.s <= len(w) - 1)
+          SELECT doc_id,
+            CAST(start // $Stride AS INTEGER) AS chunk_idx,
+            array_to_string(list_slice(w, start + 1, start + $Chunk), ' ') AS chunk,
+            CAST(least($Chunk, len(w) - start) AS INTEGER) AS n_chunk_tokens
+          FROM starts""",
+
+    "q76_term_salience" ->
+      """WITH pairs AS (
+           SELECT doc_id, t.term
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                unnest(w) AS t(term)),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM pairs GROUP BY doc_id, term),
+         df AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM pairs) GROUP BY term),
+         sal AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS salience
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, term, tf, df, salience FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY salience DESC, term ASC) AS rn
+           FROM sal) t
+         WHERE rn <= 3""",
+
+    "q77_seq_pack" ->
+      s"""WITH d AS (
+            SELECT doc_id, doc_id % $Shards AS shard,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+            FROM documents)
+          SELECT doc_id, shard, n_tokens,
+            CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) // $Budget
+              AS BIGINT) AS bin
+          FROM d"""
+  )
+}
