@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-import graft.functions.{ArrayDot, NerExtract, WordShingles}
+import graft.functions.{ArrayDot, HeavyHitters, NerExtract, WordShingles}
 import graft.text.EntityRuler
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -48,7 +48,7 @@ object GraftFunctions {
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
     require(args.length == n, s"$name expects $n arguments, got ${args.length}")
 
-  private def litInt(name: String, e: Expression): Int = e match {
+  private def litInt(name: String, arg: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other if other.foldable =>
       other.eval() match {
@@ -56,11 +56,11 @@ object GraftFunctions {
         case l: Long => l.toInt
         case v =>
           throw new IllegalArgumentException(
-            s"$name: shingle width must be an integer literal, got $v")
+            s"$name: $arg must be an integer literal, got $v")
       }
     case _ =>
       throw new IllegalArgumentException(
-        s"$name: shingle width must be foldable (a literal), got a column")
+        s"$name: $arg must be foldable (a literal), got a column")
   }
 
   type FunctionDescription =
@@ -79,13 +79,23 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {
         arity("word_shingles", args, 2)
-        WordShingles(args(0), litInt("word_shingles", args(1)))
+        WordShingles(args(0), litInt("word_shingles", "shingle width", args(1)))
       }),
     (FunctionIdentifier("ner_demo"),
       new ExpressionInfo(classOf[NerExtract].getName, "ner_demo"),
       (args: Seq[Expression]) => {
         arity("ner_demo", args, 1)
         NerExtract(args(0), demoMatcher)
+      }),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression, same as the built-ins
+    (FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (args: Seq[Expression]) => {
+        arity("heavy_hitters", args, 3)
+        HeavyHitters(args(0),
+          litInt("heavy_hitters", "k", args(1)),
+          litInt("heavy_hitters", "capacity", args(2)))
       })
   )
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HeavyHitters
 import graft.io.Sources.table
 import graft.plans.GroupedTopK
 import graft.text.TextStats
@@ -55,6 +56,22 @@ object TrainingQueries {
           Seq(col("salience").desc, col("term").asc), 3)
         .select("doc_id", "term", "tf", "df", "salience")
     }),
+
+    // Heavy-hitter vocabulary per shard through the Misra–Gries
+    // TypedImperativeAggregate. Capacity 1024 >> the test vocabulary,
+    // so the sketch runs in its exact regime and hash-checks against
+    // plain count/top-k SQL; at real scale the same aggregate runs
+    // with capacity « vocabulary in bounded memory (the counts become
+    // lower bounds within n/(capacity+1)).
+    "q78_heavy_hitters" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select((col("doc_id") % 16).as("shard"),
+          explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy("shard")
+        .agg(HeavyHitters(col("term"), 5, 1024).as("hh"))
+        .select(col("shard"), posexplode(col("hh")).as(Seq("rank", "e")))
+        .select(col("shard"), col("rank"),
+          col("e.term").as("term"), col("e.cnt").as("cnt"))),
 
     // Shard-local greedy sequence packing: docs are packed into
     // Budget-token bins in doc_id order WITHIN a shard (cumulative sum
@@ -111,6 +128,23 @@ object TrainingQueries {
              ORDER BY salience DESC, term ASC) AS rn
            FROM sal) t
          WHERE rn <= 3""",
+
+    // exact counts + top-5 window — valid because the sketch is exact
+    // whenever capacity >= distinct terms (31/shard here, pinned by
+    // the same-order tiebreak cnt DESC, term ASC on both sides)
+    "q78_heavy_hitters" ->
+      """WITH pairs AS (
+           SELECT doc_id % 16 AS shard, t.term
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                unnest(w) AS t(term)),
+         cnts AS (
+           SELECT shard, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM pairs GROUP BY shard, term)
+         SELECT shard, CAST(rn - 1 AS INTEGER) AS rank, term, cnt FROM (
+           SELECT shard, term, cnt,
+             row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn
+           FROM cnts) t
+         WHERE rn <= 5""",
 
     "q77_seq_pack" ->
       s"""WITH d AS (
