@@ -52,6 +52,35 @@ object EventQueries {
       s.table(sink)
     }),
 
+    // Stream–static enrichment: the streaming side joins a BROADCAST
+    // static dim (the standard "enrich events with a dimension" shape
+    // — no state, no stream-stream watermark bookkeeping) before the
+    // windowed aggregation. The dim is derived from the same table so
+    // the batch-twin oracle needs no extra fixture.
+    "q79_stream_enrich" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = Files.createTempDirectory("graft_q79_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val dim = table(s, dir, "events").select("event_type").distinct()
+        .withColumn("etype_class",
+          when(length(col("event_type")) >= 6, "long").otherwise("short"))
+      val sink = "q79_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = graft.streaming.EventStreams.readEventsStream(s, tmp.toString)
+        .join(broadcast(dim), "event_type")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("etype_class"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("window.start").as("window_start"), col("etype_class"),
+          col("n"), col("cents"))
+      val q = stream.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
     // Stateful streaming end-to-end: file-source stream →
     // flatMapGroupsWithState running per-user totals (Update mode) →
     // memory sink. Totals are integer cents, so they're independent
@@ -153,6 +182,15 @@ object EventQueries {
     "q56_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n
+         FROM events GROUP BY 1, 2""",
+
+    // batch twin of the stream-static enrichment (round(x*100) is the
+    // repo's bit-safe money pattern on both engines)
+    "q79_stream_enrich" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CASE WHEN len(event_type) >= 6 THEN 'long' ELSE 'short' END AS etype_class,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY 1, 2""",
 
     // the single-copy counts: only a correct streaming dedup of the
