@@ -48,6 +48,41 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(pairs.count() < 5000)
   }
 
+  test("connected components over a 200k-vertex edge list converges") {
+    import graft.dedup.Components
+    // 100k two-vertex pairs + 50 rings of 40 laid over even ids:
+    // 200k vertices, ~102k edges, max diameter ~21 — exercises the
+    // multi-round path at 40× table scale without a quadratic shape
+    val pairEdges = spark.range(100000)
+      .select((col("id") * 2).as("id1"), (col("id") * 2 + 1).as("id2"))
+    val ringEdges = spark.range(50L * 40)
+      .select(
+        expr("(id div 40) * 4000 + (id % 40) * 100").as("id1"),
+        expr("(id div 40) * 4000 + (((id % 40) + 1) % 40) * 100").as("id2"))
+    val edges = pairEdges.union(ringEdges)
+    val verts = spark.range(200000).select(col("id"))
+    val labeled = Components.connectedComponents(edges, verts, "id")
+    assert(labeled.count() === 200000)
+    // ring 0 glues 40 ring members + their 40 pair partners to min id 0
+    val zeroCluster = labeled.filter(col("cluster_id") === 0).count()
+    assert(zeroCluster === 80, s"ring-0 cluster size: $zeroCluster")
+  }
+
+  test("GroupedTopK over 200k rows matches the window idiom") {
+    import graft.plans.GroupedTopK
+    val df = spark.range(200000)
+      .select(pmod(col("id"), lit(1000)).as("key"),
+        pmod(hash(col("id")), lit(100000)).as("v"), col("id"))
+    val got = GroupedTopK
+      .topK(df, Seq(col("key")), Seq(col("v").desc, col("id").asc), 3)
+    assert(got.count() === 3000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val idiom = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(got.exceptAll(idiom).isEmpty && idiom.exceptAll(got).isEmpty)
+  }
+
   test("native sentiment over 200k docs stays distributed") {
     val out = Sentiment.scoreNative(
       corpus.withColumn("text", concat(col("text"), lit(" good not bad"))),
