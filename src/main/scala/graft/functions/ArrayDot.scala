@@ -8,13 +8,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native codegen'd dot product over two double arrays — the hot
   * inner loop of cosine similarity (graft.similarity). Replaces the
-  * interpreted `aggregate(zip_with(...))` higher-order-function pair,
-  * which costs ~10× more per row (per-element lambda dispatch +
-  * intermediate array allocation). Fold order is the same
-  * left-to-right sum, so results are bit-identical to the HOF form
-  * and to DuckDB's list_sum oracle for equal-length inputs
-  * (mismatched lengths fold over the common prefix, where zip_with
-  * would null-pad — callers pass equal-length vectors).
+  * `aggregate(zip_with(...))` higher-order-function pair: one fused
+  * loop, no intermediate product array. Measured honestly (OpBench,
+  * Spark 4.1, 1M cached 64-dim vectors): ~1.1–1.3× over the HOF
+  * spelling — Spark 4's HOF evaluation is far better than folklore
+  * suggests, so the win is real but modest; the expression earns its
+  * keep as the `array_dot` SQL surface and by guaranteeing the fold
+  * shape. Fold order is the same left-to-right sum, so results are
+  * bit-identical to the HOF form and to DuckDB's list_sum oracle for
+  * equal-length inputs (mismatched lengths fold over the common
+  * prefix, where zip_with would null-pad — callers pass equal-length
+  * vectors).
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
