@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-import graft.functions.{ArrayDot, HeavyHitters, NerExtract, WordShingles}
+import graft.functions.{ArrayDot, ChunkText, HeavyHitters, NerExtract, WordShingles}
 import graft.text.EntityRuler
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -87,24 +88,57 @@ object GraftFunctions {
         arity("ner_demo", args, 1)
         NerExtract(args(0), demoMatcher)
       }),
+    // generator: composes like explode (SELECT or LATERAL)
+    (FunctionIdentifier("chunk_text"),
+      new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+      (args: Seq[Expression]) => {
+        arity("chunk_text", args, 3)
+        ChunkText(Cast(args(0), org.apache.spark.sql.types.StringType),
+          litInt("chunk_text", "chunk", args(1)),
+          litInt("chunk_text", "stride", args(2)))
+      }),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry in an AggregateExpression, same as the built-ins
     (FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
       (args: Seq[Expression]) => {
         arity("heavy_hitters", args, 3)
-        HeavyHitters(args(0),
+        HeavyHitters(Cast(args(0), org.apache.spark.sql.types.StringType),
           litInt("heavy_hitters", "k", args(1)),
           litInt("heavy_hitters", "capacity", args(2)))
       })
   )
 
+  /** Table-function forms (FROM-clause / LATERAL position): the same
+    * generators, wrapped in a Generate over OneRowRelation the way
+    * Spark registers its own explode-family TVFs. */
+  type TableFunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  val allTable: Seq[TableFunctionDescription] = Seq(
+    (FunctionIdentifier("chunk_text"),
+      new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+      (args: Seq[Expression]) => {
+        arity("chunk_text", args, 3)
+        Generate(
+          ChunkText(Cast(args(0), org.apache.spark.sql.types.StringType),
+            litInt("chunk_text", "chunk", args(1)),
+            litInt("chunk_text", "stride", args(2))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Nil, child = OneRowRelation())
+      })
+  )
+
   /** Late-bind registration on an existing session (temp functions,
     * this session only). Idempotent — re-registration replaces. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, _, builder) =>
       GraftShims.registerTempFunction(spark, id.funcName, builder)
     }
+    allTable.foreach { case (id, _, builder) =>
+      GraftShims.registerTempTableFunction(spark, id.funcName, builder)
+    }
+  }
 }
 
 /** `spark.sql.extensions` entry point: injects the [[GraftFunctions]]
@@ -114,6 +148,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    GraftFunctions.allTable.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }

@@ -148,9 +148,11 @@ case class HeavyHitters(
 }
 
 object HeavyHitters {
-  /** Column form: `HeavyHitters(col, k, capacity)` in an agg(). */
+  /** Column form: `HeavyHitters(col, k, capacity)` in an agg(). The
+    * cast makes non-string term columns safe (eval reads UTF8String);
+    * it folds away on already-string input. */
   def apply(c: Column, k: Int, capacity: Int): Column =
     GraftShims.column(
-      new HeavyHitters(GraftShims.expression(c), k, capacity)
+      new HeavyHitters(GraftShims.expression(c.cast("string")), k, capacity)
         .toAggregateExpression())
 }

@@ -42,6 +42,16 @@ object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): Dataset[Row] =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Temp TABLE-function registration (FROM-clause / LATERAL
+    * position) on an existing session — the table-function sibling of
+    * [[registerTempFunction]]. */
+  def registerTempTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** Test seam: apply an extensions object's injected functions to a
     * registry (what session construction does internally) so specs
     * can assert the injection wiring without building a session. */

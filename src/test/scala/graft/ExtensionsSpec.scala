@@ -39,7 +39,26 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     val reg = org.apache.spark.sql.GraftShims
       .buildFunctionRegistry(ext, FunctionRegistry.builtin.clone())
-    for (n <- Seq("array_dot", "word_shingles", "ner_demo"))
+    for (n <- Seq("array_dot", "word_shingles", "ner_demo",
+        "heavy_hitters", "chunk_text"))
       assert(reg.functionExists(FunctionIdentifier(n)), s"missing $n")
+  }
+
+  test("chunk_text generator matches the q75 sequence/slice composition") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a b c d e"), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text").createOrReplaceTempView("chunk_t")
+    val gen = spark.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk
+         FROM chunk_t, LATERAL chunk_text(text, 3, 2) AS c""")
+    val composed = spark.sql(
+      """SELECT doc_id, CAST(p.pos AS INT) AS chunk_idx,
+                concat_ws(' ', slice(w, start + 1, 3)) AS chunk
+         FROM (SELECT doc_id, split(text, ' ') AS w FROM chunk_t),
+              LATERAL posexplode(sequence(0, size(w) - 1, 2)) AS p(pos, start)""")
+    assert(gen.collect().toSet == composed.collect().toSet)
+    assert(gen.filter($"doc_id" === 1).count() == 3)
+    assert(gen.filter($"doc_id" === 2).count() == 1) // '' → one empty token
   }
 }
