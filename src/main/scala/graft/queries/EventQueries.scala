@@ -81,6 +81,39 @@ object EventQueries {
       s.table(sink)
     }),
 
+    // Stream–stream inner join with watermarks and an event-time
+    // range condition — the canonical hard streaming op. Two streams
+    // over the same staged source: clicks (event_type 'click') joined
+    // to each user's purchases within the following hour. Inner joins
+    // emit eagerly (the watermark only bounds state), so draining the
+    // file source yields exactly the batch join — which is the oracle.
+    "q7A_stream_stream_join" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = Files.createTempDirectory("graft_q7A_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      def src = graft.streaming.EventStreams.readEventsStream(s, tmp.toString)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
+          col("value").as("buy_value"))
+        .withWatermark("buy_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("cu") === col("bu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("cu").as("user_id"), col("click_ts"), col("buy_ts"),
+          round(col("buy_value") * 100).cast("long").as("buy_cents"))
+      val sink = "q7A_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
     // Stateful streaming end-to-end: file-source stream →
     // flatMapGroupsWithState running per-user totals (Update mode) →
     // memory sink. Totals are integer cents, so they're independent
@@ -183,6 +216,21 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    // batch join twin of the stream-stream join: inner joins emit
+    // every match once drained, so batch equality is exact
+    "q7A_stream_stream_join" ->
+      """WITH c AS (
+           SELECT user_id, ts AS click_ts FROM events
+           WHERE event_type = 'click'),
+         b AS (
+           SELECT user_id, ts AS buy_ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT c.user_id, c.click_ts, b.buy_ts,
+           CAST(round(b.value * 100) AS BIGINT) AS buy_cents
+         FROM c JOIN b ON c.user_id = b.user_id
+          AND b.buy_ts >= c.click_ts
+          AND b.buy_ts < c.click_ts + INTERVAL 1 HOUR""",
 
     // batch twin of the stream-static enrichment (round(x*100) is the
     // repo's bit-safe money pattern on both engines)

@@ -167,6 +167,26 @@ object TextQueries {
           concat_ws(" ",
             TextStats.dedupConsecutive(TextStats.tokens(col("text")))).as("clean"))),
 
+    // Quality-stratified deterministic sampling: band by quality
+    // score, then keep each band at its own rate via the q59-style
+    // md5 content hash — partition-invariant (same docs survive on 1
+    // executor or 1000) and re-runnable, unlike rand()-based sampleBy.
+    // Rates: high 1/1, mid 1/2, low 1/16 — the standard "keep the
+    // good stuff, thin the tail" curriculum shape.
+    "q7B_stratified_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("quality", TextStats.qualityScoreMilli(col("text")))
+        .withColumn("band",
+          when(col("quality") >= 880, lit("high"))
+            .when(col("quality") >= 820, lit("mid"))
+            .otherwise(lit("low")))
+        .withColumn("hex", substring(md5(col("doc_id").cast("string")), 1, 1))
+      d.filter(col("band") === "high" ||
+          (col("band") === "mid" && col("hex").isin((0 to 7).map(_.toString): _*)) ||
+          (col("band") === "low" && col("hex") === "0"))
+        .select("doc_id", "band", "quality")
+    }),
+
     // Benchmark decontamination: docs whose 3-gram shingles overlap a
     // held-out needle set. The literal needle array folds into the
     // plan (broadcast semantics) so this is a pure narrow map — at
@@ -379,6 +399,27 @@ object TextQueries {
           FROM adj"""
   }
 
+  /** Per-doc quality-milli mirror of TextStats.qualityScoreMilli —
+    * CTE `q(doc_id, quality)`; shared by q34 and q7B. */
+  private val qualityMilliSql =
+    """WITH m AS (
+         SELECT doc_id, len(text) AS lt,
+           greatest(len(string_split(text, ' ')), 1) AS nt,
+           len(list_distinct(string_split(text, ' '))) AS nd
+         FROM documents),
+       q AS (
+         SELECT doc_id,
+           CASE WHEN lt BETWEEN 200 AND 2000 THEN 350
+                WHEN lt >= 50 THEN 220 ELSE 40 END
+           + CASE WHEN (lt * 10) / nt BETWEEN 35 AND 80 THEN 250
+                  WHEN (lt * 10) / nt BETWEEN 20 AND 120 THEN 170
+                  ELSE 40 END
+           + CASE WHEN CAST(floor((nd * 200) / nt) AS INT) >= 100 THEN 200
+                  WHEN CAST(floor((nd * 200) / nt) AS INT) >= 40 THEN 130
+                  ELSE 50 END
+           + CAST(floor((nd * 200) / nt) AS INT) AS quality
+         FROM m)"""
+
   def oracles: Map[String, String] = Map(
     "q30_ner_topics" ->
       s"""WITH RECURSIVE $nerWalkSql
@@ -411,24 +452,24 @@ object TextQueries {
          FROM sc""",
 
     "q34_quality_score" ->
-      """WITH m AS (
-           SELECT doc_id, len(text) AS lt,
-             greatest(len(string_split(text, ' ')), 1) AS nt,
-             len(list_distinct(string_split(text, ' '))) AS nd
-           FROM documents),
-         q AS (
-           SELECT doc_id,
-             CASE WHEN lt BETWEEN 200 AND 2000 THEN 350
-                  WHEN lt >= 50 THEN 220 ELSE 40 END
-             + CASE WHEN (lt * 10) / nt BETWEEN 35 AND 80 THEN 250
-                    WHEN (lt * 10) / nt BETWEEN 20 AND 120 THEN 170
-                    ELSE 40 END
-             + CASE WHEN CAST(floor((nd * 200) / nt) AS INT) >= 100 THEN 200
-                    WHEN CAST(floor((nd * 200) / nt) AS INT) >= 40 THEN 130
-                    ELSE 50 END
-             + CAST(floor((nd * 200) / nt) AS INT) AS quality
-           FROM m)
+      s"""$qualityMilliSql
          SELECT quality, count(*) AS n FROM q GROUP BY quality""",
+
+    // same per-doc quality + the q59 partition-invariant md5 sampler,
+    // stratified: high keeps all, mid 1/2 (hex 0-7), low 1/16 (hex 0)
+    "q7B_stratified_sample" ->
+      s"""$qualityMilliSql,
+         banded AS (
+           SELECT doc_id, quality,
+             CASE WHEN quality >= 880 THEN 'high'
+                  WHEN quality >= 820 THEN 'mid'
+                  ELSE 'low' END AS band,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hex
+           FROM q)
+         SELECT doc_id, band, quality FROM banded
+         WHERE band = 'high'
+            OR (band = 'mid' AND hex IN ('0','1','2','3','4','5','6','7'))
+            OR (band = 'low' AND hex = '0')""",
 
     "q35_fingerprint_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
