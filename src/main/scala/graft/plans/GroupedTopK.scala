@@ -68,7 +68,9 @@ case class GroupedTopKExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeysInFlight: Int = GroupedTopKExec.DefaultMaxKeysInFlight)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -83,6 +85,8 @@ case class GroupedTopKExec(
     val keyExprs = keys
     val orderLocal = order
     val childOutput = child.output
+    val isPartial = partial
+    val flushAt = maxKeysInFlight
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = RowOrdering.create(orderLocal, childOutput)
@@ -91,23 +95,59 @@ case class GroupedTopKExec(
       // is the worst retained row, i.e. the eviction candidate.
       val heapOrd: Ordering[InternalRow] = cmp
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (cmp.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.values.toArray
+        heaps.clear()
+        out.iterator.flatMap(_.dequeueAll.reverseIterator)
+      }
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val heap = heaps.getOrElseUpdate(
+              keyProj(row).copy(),
+              mutable.PriorityQueue.empty[InternalRow](heapOrd))
+            if (heap.size < kLocal) heap.enqueue(row.copy())
+            else if (cmp.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+            // Map-side memory guard: the PARTIAL phase may flush its
+            // current per-key winners downstream and start over — the
+            // final phase re-reduces, so a superset is correct and
+            // memory stays bounded by maxKeysInFlight·k rows. The
+            // FINAL phase must hold each key's full candidate set to
+            // emit exactly k, so its memory is k·keys-per-partition —
+            // the size of its own output, the same contract as
+            // collect_list (raise shuffle partitions to shrink it).
+            if (isPartial && heaps.size >= flushAt) pending = drain()
+          }
+          if (!pending.hasNext && !iter.hasNext && heaps.nonEmpty) {
+            pending = drain()
+          }
+        }
+        override def hasNext: Boolean = {
+          if (!pending.hasNext) advance()
+          pending.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          pending.next()
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
     copy(child = newChild)
+}
+
+object GroupedTopKExec {
+  /** 1M keys in flight × k rows each before a partial-phase flush —
+    * generous for 128 GiB executors, small enough to never OOM a
+    * 4 GiB one at k ≤ 100. */
+  val DefaultMaxKeysInFlight: Int = 1 << 20
 }
 
 /** Plans [[GroupedTopKPlan]] as the partial→final exec pair. */

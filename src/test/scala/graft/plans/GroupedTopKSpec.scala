@@ -54,6 +54,32 @@ class GroupedTopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("partial-phase flush (tiny maxKeysInFlight) loses no winners") {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val child = df.queryExecution.executedPlan
+      def attr(n: String) = child.output.find(_.name == n).get
+      val order = Seq(SortOrder(attr("v"), Descending), SortOrder(attr("id"), Ascending))
+      val winners = windowTopK(3).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      // flush every 2 keys (6 keys interleave → flushes constantly):
+      // supersets stream out mid-partition, no winner may be lost
+      val flushy = GroupedTopKExec(Seq(attr("key")), order, 3,
+        partial = true, child, maxKeysInFlight = 2)
+        .executeCollect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      assert(winners.subsetOf(flushy), s"flush dropped winners: ${winners -- flushy}")
+      // no flush: the partial phase retains ≤ 3 rows per key per
+      // partition — real map-side pruning
+      val retained = GroupedTopKExec(Seq(attr("key")), order, 3,
+        partial = true, child)
+        .executeCollect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      assert(winners.subsetOf(retained))
+      assert(retained.size <= 4 * 6 * 3, s"partial retained ${retained.size} rows")
+      assert(retained.size < 240, "partial phase pruned nothing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("partial phase bounds what reaches the exchange") {
     // 1 key, 1000 rows over 4 input partitions: the window idiom
     // shuffles all 1000 rows; partial top-k passes at most k per
