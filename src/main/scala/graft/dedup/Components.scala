@@ -70,10 +70,19 @@ object Components {
         .groupBy(col("src"))
         .agg(min("label").as("nmin"))
       // every looped vertex has ≥1 neighbor → inner join is total
-      val step = labels
+      val hop = labels
         .join(neighborMin, labels("id") === neighborMin("src"))
         .select(labels("id"), col("label").as("prev"),
           least(col("label"), col("nmin")).as("label"))
+      // pointer jumping: label(v) ← label(label(v)). Neighbor-min
+      // alone needs DIAMETER rounds (a 40-ring: ~20); shortcutting
+      // through the current label's own label roughly halves the
+      // remaining distance every round → O(log d) rounds total.
+      val byId = labels.select(col("id").as("l_id"), col("label").as("l_label"))
+      val step = hop
+        .join(byId, hop("label") === byId("l_id"), "left")
+        .select(hop("id"), col("prev"),
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
       converged = step.filter(col("label") =!= col("prev")).isEmpty
       labels = step.select("id", "label")
