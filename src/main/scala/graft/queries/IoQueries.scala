@@ -110,6 +110,26 @@ object IoQueries {
         JOIN embeddings e ON e.vec_id = d.doc_id""")
     }),
 
+    // The OTHER two SQL-surface function kinds, driver-checked purely
+    // through spark.sql text (q69 covers the scalar trio): chunk_text
+    // as a FROM-clause table function in a LATERAL join, and
+    // heavy_hitters as a grouped aggregate (exact regime at this
+    // vocabulary). Chunks per shard feed the sketch, so one query
+    // exercises generator → explode-free fan-out → custom aggregate.
+    "q7C_sql_generator_agg" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT shard, h.term AS chunk, h.cnt
+        FROM (
+          SELECT shard, explode(hh) AS h
+          FROM (
+            SELECT shard, heavy_hitters(c.chunk, 3, 4096) AS hh
+            FROM (SELECT doc_id % 8 AS shard, text FROM documents) d,
+                 LATERAL chunk_text(d.text, 2, 2) AS c
+            GROUP BY shard))""")
+    }),
+
     // Partitioned write + partition-pruned scan: a date-partitioned
     // layout turns the day filter into directory pruning
     // (PartitionedWriteSpec asserts partitionFilters; this query
@@ -177,6 +197,28 @@ object IoQueries {
          FROM phrases p
          JOIN sh ON sh.doc_id = p.doc_id
          JOIN sd ON sd.vec_id = p.doc_id""",
+
+    // non-overlapping bigram chunks (closed form) → exact counts →
+    // top-3 window with the aggregate's own (cnt DESC, chunk ASC)
+    // tiebreak; capacity 4096 >> distinct chunks/shard so the sketch
+    // is in its exact regime
+    "q7C_sql_generator_agg" ->
+      """WITH t AS (
+           SELECT doc_id % 8 AS shard, string_split(text, ' ') AS w
+           FROM documents),
+         ch AS (
+           SELECT shard,
+             array_to_string(list_slice(w, g.s + 1, g.s + 2), ' ') AS chunk
+           FROM t, generate_series(0, 65536, 2) g(s)
+           WHERE g.s <= len(w) - 1),
+         cnts AS (
+           SELECT shard, chunk, CAST(count(*) AS BIGINT) AS cnt
+           FROM ch GROUP BY shard, chunk)
+         SELECT shard, chunk, cnt FROM (
+           SELECT shard, chunk, cnt,
+             row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, chunk ASC) AS rn
+           FROM cnts) t
+         WHERE rn <= 3""",
 
     // same day filter over the un-partitioned table — pruning must
     // not change which rows qualify
