@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources.table
+import graft.ops.IntervalJoin
 import graft.streaming.EventWindows
 
 /** Event-time operators over the `events` table: tumbling/sliding
@@ -114,6 +115,25 @@ object EventQueries {
       s.table(sink)
     }),
 
+    // Large×large interval-overlap join WITHOUT an equi-key — the
+    // shape Spark would otherwise plan as a nested-loop/cartesian.
+    // Routed through the bucketed rewrite (ops/IntervalJoin): click
+    // and error events each project a 10-minute half-open activity
+    // window; pairs whose windows overlap join bucket-locally on a
+    // 1-hour grid. Oracle is the plain theta join.
+    "q7D_interval_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def side(t: String, id: String, st: String) = ev
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(id), col("ts").cast("long").as(st))
+        .withColumn(st + "_end", col(st) + 600L)
+      IntervalJoin.overlapJoin(
+          side("click", "click_id", "cs"), "cs", "cs_end",
+          side("error", "error_id", "es"), "es", "es_end",
+          bucketWidth = 3600L)
+        .select("click_id", "error_id")
+    }),
+
     // Stateful streaming end-to-end: file-source stream →
     // flatMapGroupsWithState running per-user totals (Update mode) →
     // memory sink. Totals are integer cents, so they're independent
@@ -216,6 +236,18 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    // plain theta join; epoch_us // 1e6 floor-divides to seconds
+    // exactly like Spark's timestamp→long cast
+    "q7D_interval_join" ->
+      """WITH c AS (
+           SELECT event_id AS click_id, epoch_us(ts) // 1000000 AS cs
+           FROM events WHERE event_type = 'click'),
+         e AS (
+           SELECT event_id AS error_id, epoch_us(ts) // 1000000 AS es
+           FROM events WHERE event_type = 'error')
+         SELECT click_id, error_id
+         FROM c JOIN e ON cs < es + 600 AND es < cs + 600""",
 
     // batch join twin of the stream-stream join: inner joins emit
     // every match once drained, so batch equality is exact
