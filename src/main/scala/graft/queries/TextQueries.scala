@@ -401,7 +401,7 @@ object TextQueries {
 
   /** Per-doc quality-milli mirror of TextStats.qualityScoreMilli —
     * CTE `q(doc_id, quality)`; shared by q34 and q7B. */
-  private val qualityMilliSql =
+  private[queries] val qualityMilliSql =
     """WITH m AS (
          SELECT doc_id, len(text) AS lt,
            greatest(len(string_split(text, ' ')), 1) AS nt,

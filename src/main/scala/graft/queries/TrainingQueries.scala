@@ -57,6 +57,25 @@ object TrainingQueries {
         .select("doc_id", "term", "tf", "df", "salience")
     }),
 
+    // Deterministic weighted sampling (sequential Poisson / priority
+    // sampling, Ohlsson '98): priority ξ = u / w with u an EXACT
+    // uniform from the doc's md5 (13 hex digits / 16^13 — a power-of-
+    // two divisor, so u and ξ are each one exact IEEE op and hash
+    // identically cross-engine); keep the k smallest ξ. Higher-quality
+    // docs get proportionally more selection mass, the sample is
+    // re-runnable and partition-invariant, and the global top-k plans
+    // as TakeOrderedAndProject — no full sort at scale.
+    "q7E_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double") / lit(math.pow(16.0, 13)))
+      table(s, dir, "documents")
+        .withColumn("quality", TextStats.qualityScoreMilli(col("text")))
+        .withColumn("xi", u / col("quality"))
+        .orderBy(col("xi").asc, col("doc_id").asc)
+        .limit(50)
+        .select("doc_id", "quality", "xi")
+    }),
+
     // Heavy-hitter vocabulary per shard through the Misra–Gries
     // TypedImperativeAggregate. Capacity 1024 >> the test vocabulary,
     // so the sketch runs in its exact regime and hash-checks against
@@ -128,6 +147,17 @@ object TrainingQueries {
              ORDER BY salience DESC, term ASC) AS rn
            FROM sal) t
          WHERE rn <= 3""",
+
+    // same u construction: 13 md5 hex digits over the power-of-two
+    // divisor make u (and u/quality) single exact IEEE ops
+    "q7E_weighted_sample" ->
+      s"""${TextQueries.qualityMilliSql}
+         SELECT doc_id, quality,
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+             / power(16, 13)) / quality AS xi
+         FROM q
+         ORDER BY xi ASC, doc_id ASC
+         LIMIT 50""",
 
     // exact counts + top-5 window — valid because the sketch is exact
     // whenever capacity >= distinct terms (31/shard here, pinned by
