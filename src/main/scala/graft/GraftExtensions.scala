@@ -54,7 +54,12 @@ object GraftFunctions {
     case other if other.foldable =>
       other.eval() match {
         case i: Int  => i
-        case l: Long => l.toInt
+        case l: Long =>
+          try Math.toIntExact(l) catch {
+            case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"$name: $arg $l is out of Int range")
+          }
         case v =>
           throw new IllegalArgumentException(
             s"$name: $arg must be an integer literal, got $v")

@@ -58,9 +58,9 @@ object Components {
       .localCheckpoint()
     var round = 0
     var converged = false
+    try {
     while (!converged) {
       if (round >= maxIter) {
-        edges.unpersist()
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds — " +
             "component diameter exceeds the cap; raise maxIter")
@@ -88,7 +88,7 @@ object Components {
       labels = step.select("id", "label")
       round += 1
     }
-    edges.unpersist()
+    } finally edges.unpersist() // also on mid-loop job failure
     vertices.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))

@@ -10,11 +10,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * inner loop of cosine similarity (graft.similarity). Replaces the
   * `aggregate(zip_with(...))` higher-order-function pair: one fused
   * loop, no intermediate product array. Measured honestly (OpBench,
-  * Spark 4.1, 1M cached 64-dim vectors): ~1.1–1.3× over the HOF
-  * spelling — Spark 4's HOF evaluation is far better than folklore
-  * suggests, so the win is real but modest; the expression earns its
-  * keep as the `array_dot` SQL surface and by guaranteeing the fold
-  * shape. Fold order is the same left-to-right sum, so results are
+  * Spark 4.1, 200k 64-dim vectors, result collect()ed so the work
+  * can't be pruned): ~1.5× over the HOF spelling — Spark 4's HOF
+  * evaluation is better than folklore suggests, so the win is real
+  * but modest; the expression also earns its keep as the `array_dot`
+  * SQL surface and by guaranteeing the fold shape. Fold order is the same left-to-right sum, so results are
   * bit-identical to the HOF form and to DuckDB's list_sum oracle for
   * equal-length inputs (mismatched lengths fold over the common
   * prefix, where zip_with would null-pad — callers pass equal-length

@@ -45,12 +45,18 @@ object Sinks {
       df: DataFrame,
       path: String,
       targetBytes: Long,
-      minFiles: Int = 1): Int = {
+      minFiles: Int = 1,
+      maxFiles: Int = 100000): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(maxFiles >= minFiles && minFiles >= 0,
+      s"need 0 <= minFiles <= maxFiles, got $minFiles/$maxFiles")
+    // stat-less sources (JDBC, LogicalRDD, memory streams) report the
+    // defaultSizeInBytes sentinel (Long.MaxValue) — without the
+    // maxFiles clamp that becomes repartition(Int.MaxValue)
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = ((estimated + targetBytes - 1) / targetBytes)
       .max(BigInt(math.max(minFiles, 1)))
-      .min(BigInt(Int.MaxValue)).toInt
+      .min(BigInt(maxFiles)).toInt
     df.repartition(n).write.mode("overwrite").parquet(path)
     n
   }

@@ -51,6 +51,8 @@ case class GroupedTopKPlan(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"grouped top-k needs k >= 1, got $k")
+  require(keys.nonEmpty,
+    "grouped top-k needs at least one key — a GLOBAL top-k is orderBy(...).limit(k) (TakeOrderedAndProject)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKPlan =
     copy(child = newChild)
@@ -105,9 +107,17 @@ case class GroupedTopKExec(
         private def advance(): Unit = {
           while (!pending.hasNext && iter.hasNext) {
             val row = iter.next()
-            val heap = heaps.getOrElseUpdate(
-              keyProj(row).copy(),
-              mutable.PriorityQueue.empty[InternalRow](heapOrd))
+            // probe with the projection's reused buffer (UnsafeRow
+            // equality is content-based); copy the key only on miss —
+            // the hit path is the hot path and must not allocate
+            val probe = keyProj(row)
+            val heap = heaps.get(probe) match {
+              case Some(h) => h
+              case None =>
+                val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+                heaps.put(probe.copy(), h)
+                h
+            }
             if (heap.size < kLocal) heap.enqueue(row.copy())
             else if (cmp.compare(row, heap.head) < 0) {
               heap.dequeue()

@@ -51,7 +51,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
         if a.exprId == rn => Some(v)
     case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
-        if a.exprId == rn => Some(v - 1)
+        if a.exprId == rn && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType))
         if a.exprId == rn && v == 1 => Some(1)
     case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference)
