@@ -59,7 +59,7 @@ object TweetPipeline {
       .filter(col("All_phrases").isNotNull)                      // ref demo.py:143
       .withColumn("CheckEmpty", Cleanse.checkEmpty(col("All_phrases")))
       .filter(col("CheckEmpty") =!= 1)                           // ref demo.py:157 (intended)
-      .withColumn("Sentiment", Sentiment.sentimentColumnTokenized(col("Text")).cast("float"))
+      .withColumn("Sentiment", Sentiment.sentimentColumnNative(col("Text")).cast("float"))
   }
 
   private val keys = Seq("Year", "Month", "Category2")

@@ -58,6 +58,16 @@ object PipelineQueries {
       val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
       TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
         months = (1 to 12).map(m => s"2019-$m"), persist = false).sent2d
+    }),
+    "q7F_tweet_pipeline_sent1d" -> ((s, dir) => {
+      val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
+      TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
+        months = (1 to 12).map(m => s"2019-$m"), persist = false).sent1d
+    }),
+    "q80_tweet_pipeline_freq2d" -> ((s, dir) => {
+      val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
+      TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
+        months = (1 to 12).map(m => s"2019-$m"), persist = false).freq2d
     })
   )
 
@@ -137,6 +147,47 @@ object PipelineQueries {
           $cells,
           'Beverage' AS "Category1"
           FROM agg GROUP BY cat, t1, t2"""
+    },
+    // sent1d: q71's weighted-sentiment construction, 1-D over single
+    // topics (unnest instead of the i<j pair generator) — the
+    // reference's Sentiments_monthly output (ref demo.py:324).
+    "q7F_tweet_pipeline_sent1d" -> {
+      val cells = months.map(m =>
+        s"""CAST(coalesce(max(CASE WHEN tag = 'Sentiment_$m' THEN v END), 0) AS REAL) AS "Sentiment_$m"""")
+        .mkString(",\n          ")
+      s"""WITH RECURSIVE $enrSql,
+          exploded AS (
+            SELECT yr, mo, cat, u.topic AS topic, l_log, sent
+            FROM enr, unnest(phrases) AS u(topic)),
+          agg AS (
+            SELECT 'Sentiment_' || yr || '-' || mo AS tag, cat, topic,
+              CAST((sum(CAST(sent AS DOUBLE) * (l_log + 1)) / (sum(l_log) + 1)) AS REAL) AS v
+            FROM exploded GROUP BY yr, mo, cat, topic)
+          SELECT topic AS "Topic", cat AS "Category2",
+          $cells,
+          'Beverage' AS "Category1"
+          FROM agg GROUP BY topic, cat"""
+    },
+    // freq2d: q70's frequency pivot over the i<j topic pairs, with
+    // the A5 weight 1+Σr (NOT Σ(r+1) — ref demo.py:436-442) — the
+    // reference's Frequency_2d_monthly output (ref demo.py:492).
+    "q80_tweet_pipeline_freq2d" -> {
+      val cells = months.map(m =>
+        s"""CAST(coalesce(max(CASE WHEN tag = 'Frequency_$m' THEN f END), 0) AS BIGINT) AS "Frequency_$m"""")
+        .mkString(",\n          ")
+      s"""WITH RECURSIVE $enrSql,
+          paired AS (
+            SELECT yr, mo, cat, phrases[i] AS t1, phrases[j] AS t2, r_log
+            FROM enr, generate_series(1, 40) g1(i), generate_series(1, 40) g2(j)
+            WHERE i < j AND j <= len(phrases)),
+          agg AS (
+            SELECT 'Frequency_' || yr || '-' || mo AS tag, cat, t1, t2,
+              CAST(1 + sum(r_log) AS BIGINT) AS f
+            FROM paired GROUP BY yr, mo, cat, t1, t2)
+          SELECT t1 AS "Topic", t2 AS "Topic2", cat AS "Category2",
+          $cells,
+          'Beverage' AS "Category1"
+          FROM agg GROUP BY t1, t2, cat"""
     }
   )
 }

@@ -155,14 +155,22 @@ object Relational2 {
           translate(col("p_name"), "aeiou", "AEIOU").as("tname"))
     }),
 
-    // HLL approximate distinct — deterministic in Spark but engine-
-    // specific, so the driver's rows-only check applies; the exact
-    // spine (q10) is the hash-checked counterpart.
+    // HLL approximate distinct. The sketch value itself is engine-
+    // specific (no DuckDB mirror), so the ORACLE-CHECKED outputs are
+    // the exact spine plus the sketch's error-bound verdict: the HLL++
+    // estimate at rsd=0.02 must land within 3σ of the exact count —
+    // `within_bound` hash-checks as constant true. Spark's HLL is
+    // deterministic (same set ⇒ same estimate), so this is a stable
+    // hash, and a regression in the sketch (or a grouping mix-up)
+    // flips the boolean and fails the gate.
     "q1A_approx_distinct" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts"))
+            <= lit(0.06) * col("exact_parts")).as("within_bound"))
     })
   )
 
@@ -242,6 +250,14 @@ object Relational2 {
            CAST(levenshtein(p_name, p_type) AS INTEGER) AS edit_dist,
            translate(p_name, 'aeiou', 'AEIOU') AS tname
          FROM part""",
+
+    // the exact spine hash-checks; within_bound is the sketch's 3σ
+    // error-bound verdict, which must be constant true
+    "q1A_approx_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q1B_salted_agg" ->
       """SELECT l_returnflag,

@@ -102,6 +102,43 @@ object Sentiment {
     f(text)
   }
 
+  /** Pure-Column scorer over a token ARRAY column — zero UDFs, zero
+    * joins: map-literal lexicon lookups + zip_with against the
+    * shifted-by-one token array for the preceding-token modifier,
+    * exactly the `list_zip(w, list_prepend('', w[:-1]))` shape the
+    * DuckDB oracles use. try_element_at (not element_at): under
+    * Spark 4 ANSI mode element_at THROWS on a missing map key,
+    * while a non-lexicon token must simply score null. */
+  def scoreTokensColumn(tokens: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val polMap = typedLit(lexicon)
+    val intMap = typedLit(intensifiers)
+    val negArr = array(negators.toSeq.sorted.map(lit): _*)
+    val low = transform(tokens, t => lower(t))
+    val prev = concat(array(lit("")), slice(low, lit(1), greatest(size(low) - 1, lit(0))))
+    val adj = zip_with(low, prev, (t, p) =>
+      try_element_at(polMap, t).cast("long") *
+        when(array_contains(negArr, p), lit(-500L))
+          .otherwise(coalesce(try_element_at(intMap, p), lit(1000)).cast("long")))
+    val hits = filter(adj, x => x.isNotNull)
+    when(size(hits) === 0, lit(0.0))
+      .otherwise((aggregate(hits, lit(0L), (acc, x) => acc + x).cast("double")
+        / size(hits)) / lit(1000000.0))
+  }
+
+  /** [[sentimentColumnTokenized]]'s contract as a pure Column
+    * expression: same regex tokenization (via regexp_extract_all, the
+    * Column twin of Tokenizer.Tok), same integer per-mille scoring —
+    * but no UDF node in the plan, so the enrich chain stays fully
+    * native. Value-equal to the UDF form on any input (pinned by
+    * SentimentSpec); the pipeline (q70/q71/q7F/q80 oracles) uses this. */
+  def sentimentColumnNative(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val tokRe = "@[A-Za-z0-9_]+|[A-Za-z0-9_]+(?:'[A-Za-z]+)?|[^A-Za-z0-9_\\s]"
+    scoreTokensColumn(
+      regexp_extract_all(coalesce(text, lit("")), lit(tokRe), lit(0)))
+  }
+
   /** UDF-free scoring as a DataFrame transform: posexplode tokens,
     * broadcast-join the lexicon, lag() for the preceding-token
     * modifier, integer aggregation per id. Same contract/values as

@@ -125,3 +125,42 @@ class PatternsLoadSpec extends graft.SparkSpec {
     assert(m.extract("I love carrefour").toSeq === Seq("empty"))
   }
 }
+
+/** The pure-Column native scorer must be value-equal to the
+  * tokenized-UDF scorer on arbitrary text (the pipeline swapped to it
+  * in round 4), and the swap's point — no UDF node in the plan — is
+  * asserted structurally. */
+class SentimentNativeSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private val texts = Seq(
+    "I love coke with lime",
+    "this is really great!",       // punctuation adjacent to a hit
+    "not good, very bad",
+    "NOT GOOD",                    // case-insensitive negation
+    "so   many    spaces",
+    "don't like it",               // contraction negator
+    "",                            // empty
+    "@user #coke is awesome",      // structural tokens
+    "barely sweet but extremely bitter",
+    null.asInstanceOf[String])
+
+  test("native column scorer == tokenized UDF scorer") {
+    val df = texts.zipWithIndex.toDF("text", "i")
+    val both = df.select(col("i"),
+      Sentiment.sentimentColumnTokenized(col("text")).as("udf"),
+      Sentiment.sentimentColumnNative(col("text")).as("nat"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2),
+        s"row ${r.getInt(0)}: udf=${r.getDouble(1)} native=${r.getDouble(2)}")
+    }
+  }
+
+  test("native scorer plan contains no UDF node") {
+    val df = Seq("not good at all").toDF("text")
+      .select(Sentiment.sentimentColumnNative(col("text")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"plan has a UDF node:\n$plan")
+  }
+}
