@@ -8,21 +8,37 @@ import org.apache.spark.sql.functions._
   * q44) into dedup CLUSTERS with one canonical representative each,
   * which is what a training-data pipeline actually deletes against.
   *
-  * Algorithm: iterative minimum-label propagation. Every vertex starts
-  * labeled with itself; each round every vertex takes the min of its
-  * own label and its neighbors' labels; fixed point = every vertex
-  * holds the smallest id in its component. Each round is two shuffles
-  * (edge⋈label join + min aggregation) over the EDGE list — never an
-  * all-pairs product — and lineage is cut per round with an eager
-  * localCheckpoint so the plan stays O(1) deep regardless of rounds.
+  * Algorithm: iterative minimum-label propagation with ADAPTIVE
+  * pointer jumping. Every vertex starts labeled with itself; each
+  * round every vertex takes the min label over its neighbors
+  * (self-loops added up front fold "own label" into the same
+  * aggregation — one join + one partial/final min agg instead of a
+  * separate self join). The first `jumpAfter` rounds stop there: the
+  * graphs this operator actually sees — near-dup clusters from
+  * banded similarity edges — are dense and shallow (diameter ≤ 2–3),
+  * and for them a second join per round is pure overhead (measured
+  * 0.78× vs plain propagation in OpBench). Only if the loop is STILL
+  * running after `jumpAfter` rounds (a deep topology) does each
+  * round add the pointer-jump shortcut label(v) ← label(label(v)),
+  * which roughly halves the remaining distance per round → O(log d)
+  * rounds for diameter d (the bound of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14, reached here with a
+  * simpler per-round shape). ScaleSmokeSpec pins the round count on
+  * chain and clique topologies.
   *
-  * Scale shape: rounds = component DIAMETER. Near-dup clusters are
-  * dense and shallow (pairs share bands/fingerprints transitively), so
-  * diameter stays in the low single digits at any corpus size — the
-  * pathological long-chain case that motivates the O(log n)
-  * large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14) does not arise from
-  * banded similarity edges; `maxIter` caps the loop regardless, and
+  * Convergence detection: per-vertex labels are monotonically
+  * non-increasing, so the exact decimal SUM of labels is strictly
+  * decreasing until fixed point — comparing one scalar per round
+  * (computed on the round's own checkpointed output) replaces
+  * carrying a prev column and scanning for changed rows. Lineage is
+  * cut per round with an eager localCheckpoint (which doubles as the
+  * cache: each round reads the previous labels twice).
+  *
+  * Scale shape: each round is two shuffles over the EDGE list — never
+  * an all-pairs product. The iteration touches only edge ENDPOINTS;
+  * in a dedup workload the overwhelming majority of documents are
+  * singletons and never enter the loop; they get their identity label
+  * from one final left join. `maxIter` caps the loop regardless, and
   * hitting the cap raises rather than returning a half-converged
   * labeling.
   */
@@ -31,66 +47,88 @@ object Components {
   /** Labels every id in `vertices(idCol)` with the smallest id
     * reachable through `pairs` (columns id1/id2, undirected, need not
     * be deduplicated); vertices with no edges label themselves.
-    * Output: (idCol, cluster_id), one row per vertex.
-    *
-    * The iteration touches only edge ENDPOINTS — in a dedup workload
-    * the overwhelming majority of documents are singletons and never
-    * enter the loop; they get their identity label from one final
-    * left join. Edges are persisted pre-partitioned on the join key,
-    * so each round shuffles only the (endpoint-sized) label frame,
-    * and convergence is a scan of the round's own output (prev label
-    * carried in-frame), not an extra join. */
+    * Output: (idCol, cluster_id), one row per vertex. */
   def connectedComponents(
       pairs: DataFrame,
       vertices: DataFrame,
       idCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, vertices, idCol, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of label
+    * rounds executed (the fixed-point round included) — the handle
+    * ScaleSmokeSpec uses to assert the O(log d) bound. `jumpAfter` is
+    * the round index from which pointer jumping is added (shallow
+    * graphs converge before it; deep ones pay 2 extra rounds over
+    * always-jumping and save a join on every round before it). */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      idCol: String,
+      maxIter: Int = 25,
+      jumpAfter: Int = 2): (DataFrame, Int) = {
+    val sym = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // self-loops make the neighbor-min include the vertex's own label
+    // (built straight from the symmetric list — the distinct dedups
+    // them); pre-partitioned on the per-round join key and persisted
+    val edges = sym
+      .union(sym.select(col("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("dst"))
       .persist()
 
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def sumsEqual(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+      (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
+
     // symmetric edge list → src alone covers every endpoint
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .withColumn("label", col("id")).localCheckpoint()
+    // prevSum starts null (= sum over zero endpoints): a non-empty
+    // graph always changes labels in round 1, and an empty one
+    // converges right there — no separate init-sum or isEmpty job
+    var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
     try {
-    while (!converged) {
-      if (round >= maxIter) {
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds — " +
-            "component diameter exceeds the cap; raise maxIter")
+      while (!converged) {
+        if (round >= maxIter) {
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds — " +
+              "component diameter exceeds the cap; raise maxIter")
+        }
+        // min label over neighbors ∪ self (via the self-loops):
+        // one join + one partial/final min aggregation
+        val nm = edges
+          .join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src"))
+          .agg(min("label").as("label"))
+        val hopped =
+          if (round < jumpAfter) nm.select(col("src").as("id"), col("label"))
+          else {
+            // pointer jumping through the PREVIOUS round's labels:
+            // label(v) ← min(label(v), prevLabel(label(v))). Every
+            // label value is an endpoint id, so the lookup is total;
+            // left join + coalesce keeps the shape robust anyway.
+            val byId = labels.select(col("id").as("l_id"), col("label").as("l_label"))
+            nm.join(byId, nm("label") === byId("l_id"), "left")
+              .select(col("src").as("id"),
+                least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+          }
+        val step = hopped.localCheckpoint()
+        val sumNow = labelSum(step)
+        converged = sumsEqual(sumNow, prevSum)
+        prevSum = sumNow
+        labels = step
+        round += 1
       }
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src"))
-        .agg(min("label").as("nmin"))
-      // every looped vertex has ≥1 neighbor → inner join is total
-      val hop = labels
-        .join(neighborMin, labels("id") === neighborMin("src"))
-        .select(labels("id"), col("label").as("prev"),
-          least(col("label"), col("nmin")).as("label"))
-      // pointer jumping: label(v) ← label(label(v)). Neighbor-min
-      // alone needs DIAMETER rounds (a 40-ring: ~20); shortcutting
-      // through the current label's own label roughly halves the
-      // remaining distance every round → O(log d) rounds total.
-      val byId = labels.select(col("id").as("l_id"), col("label").as("l_label"))
-      val step = hop
-        .join(byId, hop("label") === byId("l_id"), "left")
-        .select(hop("id"), col("prev"),
-          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = step.filter(col("label") =!= col("prev")).isEmpty
-      labels = step.select("id", "label")
-      round += 1
-    }
     } finally edges.unpersist() // also on mid-loop job failure
-    vertices.select(col(idCol))
+    val out = vertices.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
+    (out, round)
   }
 }

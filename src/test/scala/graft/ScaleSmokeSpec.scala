@@ -68,6 +68,39 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(zeroCluster === 80, s"ring-0 cluster size: $zeroCluster")
   }
 
+  test("components: long-chain topology converges in O(log d) rounds") {
+    import graft.dedup.Components
+    // a 2048-vertex path is the pathological diameter case (d=2047):
+    // plain neighbor-min propagation would need ~d rounds; pointer
+    // jumping halves the remaining distance per round → ~log2(d)
+    val n = 2048L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val verts = spark.range(n).select(col("id"))
+    val (labeled, rounds) = Components
+      .connectedComponentsWithRounds(chain, verts, "id", maxIter = 25)
+    assert(labeled.filter(col("cluster_id") =!= 0).count() === 0)
+    // log2(2047) ≈ 11; allow slack for the ramp-up and the final
+    // no-change fixed-point round, but far below the O(d) regime
+    assert(rounds <= 16, s"chain rounds: $rounds (diameter ${n - 1})")
+  }
+
+  test("components: clique topology converges in O(1) rounds") {
+    import graft.dedup.Components
+    // complete graph on 256 vertices (32,640 undirected edges):
+    // every vertex sees the minimum directly → one label round plus
+    // the fixed-point detection round
+    val k = 256
+    val ids = spark.range(k)
+    val clique = ids.select(col("id").as("id1"))
+      .crossJoin(ids.select(col("id").as("id2")))
+      .filter(col("id1") < col("id2"))
+    val (labeled, rounds) = Components
+      .connectedComponentsWithRounds(clique, ids.select(col("id")), "id")
+    assert(labeled.filter(col("cluster_id") =!= 0).count() === 0)
+    assert(rounds <= 3, s"clique rounds: $rounds")
+  }
+
   test("GroupedTopK over 200k rows matches the window idiom") {
     import graft.plans.GroupedTopK
     val df = spark.range(200000)
