@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *  - LSH candidates: self-join on (band, bandHash) buckets only —
   *    never the full cross product. Bucket sizes bound the join; a
   *    skewed bucket (all-identical docs) is the data's own signal,
-  *    handled by AQE skew-join at scale.
+  *    handled by AQE skew-join at scale (DedupSpec's pathological-
+  *    bucket case reproduces a 3000-doc bucket and asserts the
+  *    skew split fires in the executed plan).
   *  - pairwise Jaccard is restricted to an explicit bucket column
   *    (here `source`) — the quadratic stays within buckets.
   */

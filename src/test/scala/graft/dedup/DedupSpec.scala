@@ -69,4 +69,52 @@ class DedupSpec extends SparkSpec {
     assert(candidates < allPairs / 4,
       s"banding candidate set ($candidates) is not sub-quadratic vs $allPairs")
   }
+
+  test("LSH pathological bucket: AQE skew-join split fires on the candidate self-join") {
+    import org.apache.spark.sql.functions._
+    // Dedup.scala's scale note claims a pathological band bucket
+    // (thousands of identical docs landing on one (band, band_key))
+    // is handled by AQE's skew-join split rather than serializing the
+    // whole bucket product into one task. Reproduce that bucket at
+    // spec scale and assert the split actually fires: thresholds are
+    // scaled down in the same proportion as the data (a 100 TB run
+    // uses the 256MB defaults), broadcast is disabled so the
+    // self-join plans as the sort-merge join it would be at scale.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1kb")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      // the candidate pairs feed a distinct (a fresh shuffle), which
+      // AQE counts as "extra shuffle introduced" — force the split
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // one pathological bucket: 1500 docs share (band 0, key 0) —
+      // the all-identical-docs case; 800 singleton buckets around it
+      val giant = spark.range(1500).select(lit(0).as("band"),
+        lit(0L).as("band_key"), (col("id") + 1000000L).as("doc_id"))
+      val background = spark.range(800).select(lit(0).as("band"),
+        (col("id") + 1L).as("band_key"), col("id").as("doc_id"))
+      val pairs = Dedup.lshCandidatePairs(giant.union(background), "doc_id")
+      assert(pairs.count() === 1500L * 1499L / 2)
+      // execute the DataFrame's OWN QueryExecution (count() builds a
+      // separate one) so its adaptive plan finalizes, then inspect it
+      pairs.queryExecution.toRdd.count()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not fire; final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
