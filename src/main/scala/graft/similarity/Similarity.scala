@@ -55,27 +55,78 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
-  /** IVF-style ANN: deterministic coarse quantizer (centroids = the
-    * first k vectors by id), cell assignment by argmin squared-L2,
+  /** Seeded Lloyd k-means coarse quantizer for the IVF paths: init =
+    * the first k vectors by id (the same deterministic seed the
+    * untrained path uses as its final centroids), then `iters` fixed
+    * Lloyd rounds — assign every vector to its argmin-L2 centroid
+    * (broadcast of k rows + a narrow map), recompute each centroid as
+    * the dim-wise mean of its members (posexplode → (cell, dim) avg —
+    * a partial/final agg over n·dims rows, no collect of vectors),
+    * pull the k×dims means back to the driver (tiny by construction)
+    * for the next round's broadcast literal. Empty cells keep their
+    * previous centroid.
+    *
+    * Deterministic up to float summation order inside avg() — fixed
+    * iteration count, fixed init, no RNG — which is why the ORACLE
+    * paths (q48/q55) stay on the untrained first-k quantizer: their
+    * results must be bit-stable across engines. Trained centroids are
+    * a RECALL upgrade at the same probe budget (SimilaritySpec pins
+    * trained ≥ first-k on a clustered corpus), not a semantics
+    * change: the search path is identical either way.
+    *
+    * Returns (cid, cv, cc) ready for the assignment/probe joins. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val e = vecs.select(col("id"), col("v"))
+    var cents: Array[(Long, Seq[Double])] = e.orderBy(col("id").asc).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(spark.createDataFrame(cents.toSeq).toDF("cid", "cv")
+        .withColumn("cc", dot(col("cv"), col("cv"))))
+      val means = e.crossJoin(cdf)
+        .withColumn("d2", col("cc") - lit(2.0) * dot(col("v"), col("cv")))
+        .groupBy("id")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    spark.createDataFrame(cents.toSeq).toDF("cid", "cv")
+      .withColumn("cc", dot(col("cv"), col("cv")))
+  }
+
+  /** First-k-by-id coarse quantizer — fully deterministic ⇒ the
+    * DuckDB-oracle-checkable default — or, with `trainIters` > 0,
+    * [[kmeansCentroids]] seeded from the same first-k init. */
+  private def quantizer(e: DataFrame, kCentroids: Int, trainIters: Int): DataFrame =
+    if (trainIters > 0) kmeansCentroids(e.select(col("id"), col("v")), kCentroids, trainIters)
+    else
+      // orderBy+limit, so sparse/offset id spaces still yield k centroids
+      e.orderBy(col("id").asc).limit(kCentroids)
+        .select(col("id").as("cid"), col("v").as("cv"))
+        .withColumn("cc", dot(col("cv"), col("cv")))
+
+  /** IVF-style ANN: coarse quantizer (first-k default, Lloyd-trained
+    * with `trainIters` > 0), cell assignment by argmin squared-L2,
     * query probes the nProbe nearest cells and searches only their
-    * members. Fully deterministic ⇒ DuckDB-oracle-checkable, unlike
-    * trained k-means; swap the centroid source for real k-means
-    * centers in production without touching the search path.
+    * members.
     *
     * Scale: assignment is a broadcast of k centroid rows + a narrow
     * map (k dots/row); search touches |corpus|·nProbe/k vectors in
     * expectation instead of all of them. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryId: Long, kCentroids: Int = 16, nProbe: Int = 4,
-              topK: Int = 10): DataFrame = {
+              topK: Int = 10, trainIters: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
-    // the first k vectors by id (deterministic; swap in trained
-    // centers in production) — orderBy+limit, so sparse/offset id
-    // spaces still yield k centroids
-    val cents = e.orderBy(col("id").asc).limit(kCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"))
-      .withColumn("cc", dot(col("cv"), col("cv")))
+    val cents = quantizer(e, kCentroids, trainIters)
     // cell assignment: argmin_c (|c|² − 2·v·c)  (|v|² constant per v)
     // via min_by partial aggregation — map-side combine, no window
     // sort; ties break to the lower centroid id through the struct
@@ -118,15 +169,14 @@ object Similarity {
     * keyed by id, one equi-join on cell, one argmax aggregation —
     * every shuffle is linear in the corpus, nothing quadratic. */
   def ivfNNAll(corpus: DataFrame, idCol: String, vecCol: String,
-               kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+               kCentroids: Int = 16, nProbe: Int = 4,
+               trainIters: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
       // zero-norm vectors make cos NaN (which Spark sorts ABOVE all
       // numbers) — they can be neither query nor neighbor
       .filter(col("nrm") > 0)
-    val cents = e.orderBy(col("id").asc).limit(kCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"))
-      .withColumn("cc", dot(col("cv"), col("cv")))
+    val cents = quantizer(e, kCentroids, trainIters)
     val withD2 = e.crossJoin(broadcast(cents))
       .withColumn("d2", col("cc") - lit(2.0) * dot(col("v"), col("cv")))
     val assigned = withD2.groupBy("id")

@@ -44,4 +44,45 @@ class SimilaritySpec extends SparkSpec {
       .toDouble / exact.size
     assert(recall >= 0.9, f"IVF probe-set NN recall degraded: $recall%.3f")
   }
+
+  test("trained centroids: recall >= first-k at equal probe budget on a skewed-id corpus") {
+    val dims = 16
+    // BLOCK-ordered ids: the first 25 ids are all cluster 0, so the
+    // first-k quantizer (init AND untrained centroids) collapses into
+    // one region of the space — the pathological case the trained
+    // path exists for. Deterministic perturbation, no RNG.
+    val vecs = (0L until 200L).map { id =>
+      val cl = (id / 25).toInt % 8
+      val v = (0 until dims).map { d =>
+        val base = if (d % 8 == cl) 10.0f else 0.0f
+        base + 0.1f * (((id * 31 + d * 7) % 11).toFloat - 5.0f)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+
+    val e = vecs.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm2(col("v")))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val exact = a.join(b).filter(col("id1") =!= col("id2"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .groupBy("id1")
+      .agg(max_by(col("id2"), struct(col("cos"), -col("id2"))).as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def recallOf(trainIters: Int): Double = {
+      val approx = Similarity.ivfNNAll(vecs, "vec_id", "embedding",
+          kCentroids = 16, nProbe = 4, trainIters = trainIters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (q, nn) => approx.get(q).contains(nn) }
+        .toDouble / exact.size
+    }
+
+    val firstK = recallOf(0)
+    val trained = recallOf(5)
+    assert(trained >= firstK,
+      f"trained recall $trained%.3f fell below first-k $firstK%.3f")
+    // the degenerate init must actually be repaired, not merely tied
+    assert(trained >= 0.9, f"trained-centroid recall too low: $trained%.3f")
+  }
 }
