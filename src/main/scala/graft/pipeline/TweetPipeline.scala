@@ -87,11 +87,17 @@ object TweetPipeline {
   }
 
   /** Run the full pipeline. `months` (as "YYYY-M" strings) pins the
-    * pivot columns; empty ⇒ discovered from the data (two-job pivot,
-    * like the reference's un-argumented pivot). `persist` caches the
-    * enriched frame across the 4-way fan-out (release via
-    * [[Outputs.release]]); pass false when only one output will be
-    * consumed — the cache would be pure overhead. */
+    * pivot columns — THE PRODUCTION PATH: the whole pipeline becomes
+    * one lazily-planned Catalyst job per output with no driver-side
+    * pre-pass (TweetPipelineSpec asserts construction submits zero
+    * jobs), which is what q70/q71/q7F/q80 run. Leaving `months` empty
+    * is the convenience path for exploratory use: pivot values are
+    * discovered from the data via a driver collect of the distinct
+    * month tags (bounded by #months; the same two-job shape as
+    * Spark's own un-argumented pivot). `persist` caches the enriched
+    * frame across the 4-way fan-out (release via [[Outputs.release]]);
+    * pass false when only one output will be consumed — the cache
+    * would be pure overhead. */
   def run(raw: DataFrame, matcher: EntityRuler.Matcher, seed: Long = 42L,
           sampleN: Int = 500, months: Seq[String] = Seq.empty,
           persist: Boolean = true): Outputs = {

@@ -136,7 +136,15 @@ object PipelineQueries {
       // (no float32 re-rounding of the product) — mirror exactly.
       s"""WITH RECURSIVE $enrSql,
           paired AS (
-            SELECT yr, mo, cat, phrases[i] AS t1, phrases[j] AS t2, l_log, sent
+            -- the constant series bound (DuckDB 1.0 forbids subquery
+            -- bounds on generate_series) must cover every phrase
+            -- list: overflow would SILENTLY drop pairs Spark keeps,
+            -- so it fails loudly instead
+            SELECT yr, mo, cat,
+              CASE WHEN len(phrases) > 40
+                   THEN error('phrase list exceeds pair-generator bound 40')
+                   ELSE phrases[i] END AS t1,
+              phrases[j] AS t2, l_log, sent
             FROM enr, generate_series(1, 40) g1(i), generate_series(1, 40) g2(j)
             WHERE i < j AND j <= len(phrases)),
           agg AS (
@@ -177,7 +185,12 @@ object PipelineQueries {
         .mkString(",\n          ")
       s"""WITH RECURSIVE $enrSql,
           paired AS (
-            SELECT yr, mo, cat, phrases[i] AS t1, phrases[j] AS t2, r_log
+            -- same loud overflow guard as q71's pair generator
+            SELECT yr, mo, cat,
+              CASE WHEN len(phrases) > 40
+                   THEN error('phrase list exceeds pair-generator bound 40')
+                   ELSE phrases[i] END AS t1,
+              phrases[j] AS t2, r_log
             FROM enr, generate_series(1, 40) g1(i), generate_series(1, 40) g2(j)
             WHERE i < j AND j <= len(phrases)),
           agg AS (

@@ -121,6 +121,32 @@ class TweetPipelineSpec extends SparkSpec {
     assert(v.nonEmpty && v.forall(_ == 0L))
   }
 
+  test("pinned months: constructing all four outputs submits zero Spark jobs") {
+    // the production path (months supplied) must plan lazily — no
+    // distinct-values pre-pass, no driver collect — so each output is
+    // a single job when materialized
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val o = TweetPipeline.run(
+        fixture.toDF("Timestamp", "Text", "Page_URL", "Comments", "Likes", "Retweets"),
+        matcher, seed = 7L, sampleN = 100,
+        months = Seq("2019-1", "2019-2", "2020-3"), persist = false)
+      // force full analysis (not execution) of every output
+      assert(Seq(o.freq1d, o.sent1d, o.sent2d, o.freq2d)
+        .forall(_.schema.fieldNames.nonEmpty))
+      Thread.sleep(1000) // listener bus is async; let events drain
+      assert(jobs.get() === 0,
+        s"pinned-months construction submitted ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("golden header parity: exact column sequence of the reference CSV") {
     // ref Frequency_monthly_demo.csv:1 — Topic, Category2, the
     // discovered months in LEXICOGRAPHIC order (2018-1 < 2018-10 <
