@@ -68,21 +68,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(zeroCluster === 80, s"ring-0 cluster size: $zeroCluster")
   }
 
-  test("components: long-chain topology converges in O(log d) rounds") {
+  test("components: 65k-vertex chain converges in O(log d) rounds") {
     import graft.dedup.Components
-    // a 2048-vertex path is the pathological diameter case (d=2047):
-    // plain neighbor-min propagation would need ~d rounds; pointer
+    // a 2^16-vertex path is the pathological diameter case (d=65535):
+    // plain neighbor-min propagation would need ~d rounds — tens of
+    // thousands of shuffles, effectively non-terminating; pointer
     // jumping halves the remaining distance per round → ~log2(d)
-    val n = 2048L
+    val n = 65536L
     val chain = spark.range(n - 1)
       .select(col("id").as("id1"), (col("id") + 1).as("id2"))
     val verts = spark.range(n).select(col("id"))
     val (labeled, rounds) = Components
-      .connectedComponentsWithRounds(chain, verts, "id", maxIter = 25)
+      .connectedComponentsWithRounds(chain, verts, "id", maxIter = 30)
     assert(labeled.filter(col("cluster_id") =!= 0).count() === 0)
-    // log2(2047) ≈ 11; allow slack for the ramp-up and the final
-    // no-change fixed-point round, but far below the O(d) regime
-    assert(rounds <= 16, s"chain rounds: $rounds (diameter ${n - 1})")
+    // log2(65535) = 16; allow slack for the pre-jump ramp-up rounds
+    // and the final no-change fixed-point round, but far below O(d)
+    assert(rounds <= 24, s"chain rounds: $rounds (diameter ${n - 1})")
+  }
+
+  test("components: 200k-vertex star converges in O(1) rounds") {
+    import graft.dedup.Components
+    // hub-and-spoke on 200k vertices: the at-scale version of the
+    // dense-shallow near-dup cluster (diameter 2) — round count must
+    // not grow with vertex count
+    val n = 200000L
+    val star = spark.range(1, n).select(lit(0L).as("id1"), col("id").as("id2"))
+    val verts = spark.range(n).select(col("id"))
+    val (labeled, rounds) = Components
+      .connectedComponentsWithRounds(star, verts, "id")
+    assert(labeled.filter(col("cluster_id") =!= 0).count() === 0)
+    assert(rounds <= 4, s"star rounds: $rounds")
   }
 
   test("components: clique topology converges in O(1) rounds") {
