@@ -84,6 +84,38 @@ object Dedup {
       // band key: order-sensitive combine of the band's minhashes
       .agg(((sum((col("k") % rowsPerBand + 1) * col("minhash"))) % P).as("band_key"))
 
+  /** Band keys fused with the signature aggregation — the production
+    * minhash→LSH path: computes each band's key directly from the
+    * wide per-doc minima (one groupBy over the shingle rows, then a
+    * narrow explode of nBands structs), skipping the long-form
+    * signature materialization and its re-aggregation shuffle. Emits
+    * exactly the rows of
+    * `lshBandKeys(minhashSignatures(df, ...), ...)` (DedupSpec pins
+    * the equivalence); keep [[minhashSignatures]] for when the
+    * signatures themselves are the output (q41). */
+  def minhashBandKeys(df: DataFrame, idCol: String, shinglesCol: String,
+                      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes >= 1 && numHashes <= HashA.length,
+      s"numHashes must be in [1, ${HashA.length}] (available hash family size)")
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val sh = df.select(col(idCol), explode(col(shinglesCol)).as("shingle"))
+      .withColumn("H", md5Long(col("shingle")) % P)
+    val aggs = (0 until numHashes).map { k =>
+      min((lit(HashA(k)) * col("H") + lit(HashB(k))) % P).as(s"m$k")
+    }
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      // same order-sensitive combine as lshBandKeys: Σ (r+1)·m_{b·w+r}
+      val key = (0 until rowsPerBand)
+        .map(r => lit(r + 1) * col(s"m${b * rowsPerBand + r}"))
+        .reduce(_ + _) % P
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    wide.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
   /** Candidate duplicate pairs from LSH band keys (id1 < id2). */
   def lshCandidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {
     val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("id1"))

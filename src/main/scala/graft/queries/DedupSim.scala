@@ -39,13 +39,15 @@ object DedupSim {
       Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
     }),
 
-    // Full MinHash→LSH chain: banded signatures → candidate pairs.
+    // Full MinHash→LSH chain: fused signature→band aggregation →
+    // candidate pairs (minhashBandKeys skips the long-form signature
+    // shuffle; DedupSpec pins equivalence with the two-step form).
     "q42_lsh_candidates" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
         .select("doc_id", "shingles")
-      val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
-      Dedup.lshCandidatePairs(Dedup.lshBandKeys(sigs, "doc_id", 2), "doc_id")
+      Dedup.lshCandidatePairs(
+        Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
     }),
 
     // LSH candidate pairs → connected components → dedup CLUSTERS:
@@ -58,8 +60,8 @@ object DedupSim {
       val d = docs
         .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
         .select("doc_id", "shingles")
-      val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
-      val pairs = Dedup.lshCandidatePairs(Dedup.lshBandKeys(sigs, "doc_id", 2), "doc_id")
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
       Components.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
     }),
 

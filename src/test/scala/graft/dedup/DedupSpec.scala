@@ -70,6 +70,23 @@ class DedupSpec extends SparkSpec {
       s"banding candidate set ($candidates) is not sub-quadratic vs $allPairs")
   }
 
+  test("minhashBandKeys == lshBandKeys(minhashSignatures) on a real spread of shingle sets") {
+    import org.apache.spark.sql.functions._
+    // overlapping shingle windows → shared and distinct minima across
+    // docs, exercising every band multiplier
+    val docs = (0L until 60L).map { id =>
+      val start = (id % 20).toInt
+      (id, (0 until 6).map(k => s"sh${(start + k) % 25}"))
+    }.toDF("doc_id", "shingles")
+    val twoStep = Dedup.lshBandKeys(
+      Dedup.minhashSignatures(docs, "doc_id", "shingles", 8), "doc_id", 2)
+      .select("doc_id", "band", "band_key")
+    val fused = Dedup.minhashBandKeys(docs, "doc_id", "shingles", 8, 2)
+      .select("doc_id", "band", "band_key")
+    assert(fused.exceptAll(twoStep).isEmpty && twoStep.exceptAll(fused).isEmpty)
+    assert(fused.count() === 60L * 4)
+  }
+
   test("LSH pathological bucket: AQE skew-join split fires on the candidate self-join") {
     import org.apache.spark.sql.functions._
     // Dedup.scala's scale note claims a pathological band bucket
