@@ -113,13 +113,23 @@ object EventQueries {
         .select("event_id", "event_type")
     }
 
+  private def stageQ82(s: SparkSession, dir: String): String =
+    drained(s, dir, "q82", OutputMode.Append()) {
+      graft.streaming.EventStreams.readEventsStream(
+          s, stageSource(s, dir, "q82", copies = 2))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "event_type")
+    }
+
   /** Staging hooks Bench runs ahead of the per-query timer. */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
     "q56_stream_tumbling" -> ((s, dir) => { stageQ56(s, dir); () }),
     "q79_stream_enrich" -> ((s, dir) => { stageQ79(s, dir); () }),
     "q7A_stream_stream_join" -> ((s, dir) => { stageQ7A(s, dir); () }),
     "q5A_stream_stateful" -> ((s, dir) => { stageQ5A(s, dir); () }),
-    "q5D_stream_dedup" -> ((s, dir) => { stageQ5D(s, dir); () })
+    "q5D_stream_dedup" -> ((s, dir) => { stageQ5D(s, dir); () }),
+    "q82_stream_dedup_watermark" -> ((s, dir) => { stageQ82(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -202,6 +212,16 @@ object EventQueries {
     // passes an id's event time).
     "q5D_stream_dedup" -> ((s, dir) =>
       s.table(stageQ5D(s, dir)).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))),
+
+    // The BOUNDED-STATE production form q5D's comment promises:
+    // dropDuplicatesWithinWatermark evicts an id's state once the
+    // watermark passes its event time, so state never grows without
+    // bound on an endless stream. Same doubled-source fixture, same
+    // single-copy oracle — here every duplicate pair arrives inside
+    // the watermark, so the result matches exact dedup.
+    "q82_stream_dedup_watermark" -> ((s, dir) =>
+      s.table(stageQ82(s, dir)).groupBy("event_type")
         .agg(count(lit(1)).as("n")))
   )
 
@@ -295,6 +315,11 @@ object EventQueries {
     // the single-copy counts: only a correct streaming dedup of the
     // doubled source matches this
     "q5D_stream_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+
+    // identical single-copy oracle: the watermark-bounded dedup must
+    // collapse the doubled source exactly like the unbounded form
+    "q82_stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
 
     // batch twin of the stateful stream: per-user count + exact cents

@@ -77,11 +77,35 @@ object IoQueries {
       tmp
     }
 
+  /** JSONL fixture for q81: the line-delimited JSON layout training
+    * corpora actually ship in, written by the distributed JSON sink. */
+  private def stageJsonl(s: SparkSession, dir: String): String =
+    Staging.once(s"q81_jsonl:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q81_jsonl").toString
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").json(s"$tmp/docs")
+      tmp
+    }
+
+  /** ORC fixture for q83 (Spark's second columnar format). */
+  private def stageOrc(s: SparkSession, dir: String): String =
+    Staging.once(s"q83_orc:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q83_orc").toString
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").orc(s"$tmp/orders")
+      tmp
+    }
+
   /** Staging hooks Bench runs ahead of the per-query timer. */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
     "q57_csv_roundtrip" -> ((s, dir) => { stageCsv(s, dir); () }),
     "q5B_bucketed_join" -> ((s, dir) => { stageBucketed(s, dir); () }),
-    "q5C_partition_prune" -> ((s, dir) => { stagePartitioned(s, dir); () })
+    "q5C_partition_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
+    "q81_jsonl_roundtrip" -> ((s, dir) => { stageJsonl(s, dir); () }),
+    "q83_orc_roundtrip" -> ((s, dir) => { stageOrc(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,6 +205,34 @@ object IoQueries {
             GROUP BY shard))""")
     }),
 
+    // JSONL round-trip: parquet → distributed line-delimited JSON
+    // write (staged) → schema-inferred re-read → aggregate. The
+    // oracle reads parquet directly, so any escaping/unicode/type
+    // loss in the JSON layer breaks the hash — the losslessness
+    // check for the format most raw training corpora arrive in.
+    "q81_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = stageJsonl(s, dir)
+      s.read.json(s"$tmp/docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          sum(length(col("text"))).as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+    }),
+
+    // ORC round-trip: same losslessness contract through Spark's
+    // second columnar format (doubles + strings re-read bit-exact;
+    // oracle is parquet-direct).
+    "q83_orc_roundtrip" -> ((s, dir) => {
+      val tmp = stageOrc(s, dir)
+      s.read.orc(s"$tmp/orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          countDistinct("o_custkey").as("n_cust"),
+          countDistinct("o_orderpriority").as("n_prio"))
+    }),
+
     // Partitioned write + partition-pruned scan: a date-partitioned
     // layout turns the day filter into directory pruning
     // (PartitionedWriteSpec asserts partitionFilters; this query
@@ -268,6 +320,23 @@ object IoQueries {
              row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, chunk ASC) AS rn
            FROM cnts) t
          WHERE rn <= 3""",
+
+    // parquet-direct: the JSON layer must be lossless for the hash
+    // to match (length() counts chars on both engines)
+    "q81_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang""",
+
+    // parquet-direct: ORC must round-trip doubles/strings bit-exact
+    "q83_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio
+         FROM orders GROUP BY o_orderstatus""",
 
     // same day filter over the un-partitioned table — pruning must
     // not change which rows qualify
