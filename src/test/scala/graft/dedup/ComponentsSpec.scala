@@ -32,6 +32,24 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("jump schedule never changes the labeling, only the round count") {
+    import spark.implicits._
+    // mixed topology: chain + triangle + singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val verts = (1L to 12L) :+ 99L
+    def labelsAt(jumpAfter: Int): (Map[Long, Long], Int) = {
+      val (df, rounds) = Components.connectedComponentsWithRounds(
+        edges.toDF("id1", "id2"), verts.toDF("id"), "id", jumpAfter = jumpAfter)
+      (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    }
+    val (eager, eagerRounds) = labelsAt(0)   // jump from round 1
+    val (adaptive, _) = labelsAt(2)          // production default
+    val (never, neverRounds) = labelsAt(100) // plain propagation
+    assert(eager === adaptive && adaptive === never)
+    assert(eagerRounds <= neverRounds) // jumping can only shorten
+  }
+
   test("long chain converges by diameter, and the cap raises") {
     val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
     assert(run(chain, 0L until 12L) == (0L until 12L).map(_ -> 0L).toMap)
