@@ -35,13 +35,29 @@ object TweetPipeline {
                            release: () => Unit = () => ())
 
   /** Cleanse + enrich a raw tweet frame (columns: Timestamp, Text,
-    * Page_URL, Comments, Likes, Retweets — all strings). */
+    * Page_URL, Comments, Likes, Retweets — all strings).
+    *
+    * Sampling: the default is the reference's seeded
+    * `orderBy(rand(seed)).limit(n)` (ref demo.py:55,59). `hashSample`
+    * switches the order key to the md5 of the full row — a pure
+    * content function, so the selected multiset is independent of
+    * partition layout AND expressible in any engine, which is what
+    * lets the pipeline oracles stay exact at scale factors where the
+    * limit actually bites (rand(seed) output depends on partition
+    * index; its sample cannot be mirrored in SQL). Rows tied on the
+    * hash are identical in every column the pipeline reads, so
+    * either engine's tie-break yields the same downstream result. */
   def enrich(raw: DataFrame, matcher: EntityRuler.Matcher,
-             seed: Long = 42L, sampleN: Int = 500): DataFrame = {
+             seed: Long = 42L, sampleN: Int = 500,
+             hashSample: Boolean = false): DataFrame = {
     val ner = EntityRuler.nerColumn(matcher) _
+    val sampleKey =
+      if (hashSample) md5(concat_ws("|", col("Timestamp"), col("Text"),
+        col("Page_URL"), col("Comments"), col("Likes"), col("Retweets")))
+      else rand(seed)
     raw
       .filter(col("Timestamp").isNotNull)                       // ref demo.py:58
-      .orderBy(rand(seed))                                       // ref demo.py:55 (seeded)
+      .orderBy(sampleKey)                                        // ref demo.py:55 (seeded)
       .limit(sampleN)                                            // ref demo.py:59
       .withColumn("TweetDate", Cleanse.parseTweetDate(col("Timestamp")))
       .filter(col("TweetDate").isNotNull)                        // ref demo.py:70
@@ -100,8 +116,8 @@ object TweetPipeline {
     * would be pure overhead. */
   def run(raw: DataFrame, matcher: EntityRuler.Matcher, seed: Long = 42L,
           sampleN: Int = 500, months: Seq[String] = Seq.empty,
-          persist: Boolean = true): Outputs = {
-    val enriched0 = enrich(raw, matcher, seed, sampleN)
+          persist: Boolean = true, hashSample: Boolean = false): Outputs = {
+    val enriched0 = enrich(raw, matcher, seed, sampleN, hashSample)
     val enriched =
       if (persist) enriched0.persist(StorageLevel.MEMORY_AND_DISK) else enriched0
 

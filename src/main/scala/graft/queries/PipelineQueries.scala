@@ -14,10 +14,17 @@ import graft.pipeline.TweetPipeline
   * is additionally pinned by TweetPipelineSpec.
   *
   * Oracle determinism notes:
-  *  - the `orderBy(rand(seed)).limit(500)` sample keeps every row at
-  *    the driver's verify scale (sf0.01 has exactly 500 documents and
-  *    sf0.001 fewer), and all downstream aggregates are set-functions,
-  *    so the oracle legitimately reads the whole table;
+  *  - the sample runs in [[TweetPipeline.enrich]]'s `hashSample`
+  *    mode: order by md5 of the full row, a pure content function
+  *    both engines compute identically, so the selected 500-row
+  *    multiset is EXACT at every scale factor — including those
+  *    where the limit actually bites (sf0.1 has 5,000 documents; the
+  *    reference's rand(seed) key depends on partition layout and
+  *    cannot be mirrored in SQL — that path keeps its spec coverage
+  *    in TweetPipelineSpec). Hash ties are identical rows in every
+  *    pipeline-read column (URL pins doc_id mod 7, the engagement
+  *    mods pin r_log/l_log/month), so tie-break order cannot change
+  *    any output;
   *  - q71's float path is bit-stable: sentiment is float32 with
   *    magnitude ≥ ~1e-3 on this corpus, the Σ s·(l+1) addends carry
   *    ≤ 28 mantissa bits over a ≤ 13-bit exponent spread, so every
@@ -49,27 +56,18 @@ object PipelineQueries {
     // outputs, so the fan-out cache would be overhead that never pays
     // off (and a long-lived session would leak it — the result is
     // returned lazily, so release() could never be called in time)
-    "q70_tweet_pipeline_freq" -> ((s, dir) => {
-      val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
-      TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
-        months = (1 to 12).map(m => s"2019-$m"), persist = false).freq1d
-    }),
-    "q71_tweet_pipeline_sent2d" -> ((s, dir) => {
-      val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
-      TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
-        months = (1 to 12).map(m => s"2019-$m"), persist = false).sent2d
-    }),
-    "q7F_tweet_pipeline_sent1d" -> ((s, dir) => {
-      val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
-      TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
-        months = (1 to 12).map(m => s"2019-$m"), persist = false).sent1d
-    }),
-    "q80_tweet_pipeline_freq2d" -> ((s, dir) => {
-      val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
-      TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
-        months = (1 to 12).map(m => s"2019-$m"), persist = false).freq2d
-    })
+    "q70_tweet_pipeline_freq" -> ((s, dir) => pipelineRun(s, dir).freq1d),
+    "q71_tweet_pipeline_sent2d" -> ((s, dir) => pipelineRun(s, dir).sent2d),
+    "q7F_tweet_pipeline_sent1d" -> ((s, dir) => pipelineRun(s, dir).sent1d),
+    "q80_tweet_pipeline_freq2d" -> ((s, dir) => pipelineRun(s, dir).freq2d)
   )
+
+  private def pipelineRun(s: SparkSession, dir: String): TweetPipeline.Outputs = {
+    val m = new graft.text.EntityRuler.Matcher(TextQueries.demoPatterns)
+    TweetPipeline.run(tweetFrame(s, dir), m, seed = 42L, sampleN = 500,
+      months = (1 to 12).map(m => s"2019-$m"), persist = false,
+      hashSample = true)
+  }
 
   /** Shared pipeline-enrichment CTE fragment: NER phrases (via
     * [[TextQueries.nerWalkSql]]) + tokenized sentiment + the cleanse
@@ -83,7 +81,30 @@ object PipelineQueries {
     val catArms = graft.ops.Cleanse.categoryTable.zipWithIndex
       .map { case ((_, cat), i) => s"WHEN $i THEN ${TextQueries.sq(cat)}" }
       .mkString(" ")
-    s"""${TextQueries.nerWalkSql},
+    val kwArms = graft.ops.Cleanse.categoryTable.zipWithIndex
+      .map { case ((kw, _), i) => s"WHEN $i THEN ${TextQueries.sq(kw)}" }
+      .mkString(" ")
+    // Mirror of [[TweetPipeline.enrich]]'s hashSample: rebuild the six
+    // tweet-frame strings from documents (the round-trips in
+    // [[tweetFrame]] are exact), md5 the same '|'-joined row, take the
+    // 500 smallest. concat_ws skips NULL args in both engines, so a
+    // NULL text canonicalizes identically.
+    s"""samp AS MATERIALIZED (
+          SELECT doc_id, text, n_chars FROM (
+            SELECT doc_id, text, n_chars,
+              md5(concat_ws('|',
+                strftime(make_date(2019, CAST(n_chars % 12 AS INT) + 1,
+                                   CAST(n_chars % 27 AS INT) + 1), '%b %d, %Y'),
+                text,
+                'https://twitter.com/search?q=' ||
+                  replace(CASE CAST(doc_id % 7 AS INT) $kwArms END, ' ', '%20') ||
+                  '%20lang%3Aen%20until%3A2020-01-01',
+                CAST(CAST(n_chars % 5 AS INT) AS VARCHAR),
+                CAST(CAST(n_chars % 9 AS INT) AS VARCHAR) || 'K',
+                CAST(CAST(n_chars % 200 AS INT) AS VARCHAR))) AS h
+            FROM documents)
+          ORDER BY h LIMIT 500),
+        ${TextQueries.nerWalkSqlFrom("samp")},
         sent AS (
           SELECT doc_id,
             CASE WHEN len(a) = 0 THEN 0.0
@@ -103,7 +124,7 @@ object PipelineQueries {
             CAST(round(log2((d.n_chars % 9) * 1000 + 1)) AS INT) + 1 AS l_log,
             CAST(s.sentiment AS REAL) AS sent
           FROM phrases p
-          JOIN documents d USING (doc_id)
+          JOIN samp d USING (doc_id)
           JOIN sent s ON s.doc_id = p.doc_id
           WHERE NOT (len(p.phrases) = 1 AND p.phrases[1] = 'empty'))"""
   }

@@ -236,7 +236,11 @@ object TextQueries {
     * Scala dict cannot drift. Structural @mention / "#"+ASCII rules
     * and the first-occurrence dedup + ['empty'] sentinel mirror
     * EntityRuler.scala's contract. */
-  private[queries] lazy val nerWalkSql: String = {
+  private[queries] lazy val nerWalkSql: String = nerWalkSqlFrom("documents")
+
+  /** As [[nerWalkSql]] with the document source relation
+    * parameterized — the pipeline oracles walk a SAMPLED subset. */
+  private[queries] def nerWalkSqlFrom(src: String): String = {
     import EntityRuler.{LowerTok, ExactTok, TokPat}
     // graft.text.Tokenizer.Tok with the quote doubled for a SQL literal
     val tokRe = "@[A-Za-z0-9_]+|[A-Za-z0-9_]+(?:''[A-Za-z]+)?|[^A-Za-z0-9_\\s]"
@@ -261,7 +265,7 @@ object TextQueries {
       """d.w[wk.i] = '#' AND regexp_full_match(d.w[wk.i + 1], '[\x00-\x7F]+')"""
     s"""doc AS MATERIALIZED (
           SELECT doc_id, regexp_extract_all(coalesce(text, ''), '$tokRe') AS w
-          FROM documents),
+          FROM $src),
         walk(doc_id, i, acc) AS (
           SELECT doc_id, 1, CAST([] AS VARCHAR[]) FROM doc
           UNION ALL

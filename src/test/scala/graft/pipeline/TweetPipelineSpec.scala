@@ -147,6 +147,32 @@ class TweetPipelineSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("hashSample: selects the sampleN-smallest md5 rows, layout-invariant") {
+    // 20 valid rows, sample 8: the selected multiset must equal a
+    // driver-side MessageDigest fold of the same '|'-joined row — the
+    // property that lets the DuckDB pipeline oracles mirror the
+    // sample exactly at scale factors where the limit bites
+    val rows = (1 to 20).map { i =>
+      (f"Jan $i%02d, 2019", s"coke number $i", url("coke"),
+        (i % 5).toString, (i % 9).toString, (i % 200).toString)
+    }
+    def jvmMd5(t: (String, String, String, String, String, String)): String = {
+      val joined = Seq(t._1, t._2, t._3, t._4, t._5, t._6).mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = rows.sortBy(jvmMd5).take(8).map(_._2).toSet
+    val df = rows.toDF("Timestamp", "Text", "Page_URL", "Comments", "Likes", "Retweets")
+    val got = TweetPipeline.enrich(df, matcher, sampleN = 8, hashSample = true)
+      .select("Text").as[String].collect().toSet
+    assert(got === expected)
+    // partition layout must not change the selection (rand(seed) fails
+    // this exact property — that's why the oracles use hashSample)
+    val got7 = TweetPipeline.enrich(df.repartition(7), matcher,
+      sampleN = 8, hashSample = true).select("Text").as[String].collect().toSet
+    assert(got7 === expected)
+  }
+
   test("golden header parity: exact column sequence of the reference CSV") {
     // ref Frequency_monthly_demo.csv:1 — Topic, Category2, the
     // discovered months in LEXICOGRAPHIC order (2018-1 < 2018-10 <
