@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-import graft.functions.{ArrayDot, ChunkText, HeavyHitters, NerExtract, WordShingles}
+import graft.functions.{ArrayDot, BloomBuildAgg, BloomMightContain, ChunkText, HeavyHitters, NerExtract, WordShingles}
 import graft.text.EntityRuler
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -32,6 +32,11 @@ import graft.text.EntityRuler
   *   - `word_shingles(tokens, n)` — word n-gram shingling
   *     ([[WordShingles]]); `n` must be a foldable integer literal
   *     because the shingle width is a plan-time parameter.
+  *   - `bloom_build(key, mBits)` / `bloom_might_contain(bits, key,
+  *     mBits)` — the cross-corpus membership sketch
+  *     ([[graft.functions.BloomBuildAgg]] /
+  *     [[graft.functions.BloomMightContain]]); `mBits` is a plan-time
+  *     literal for both, like the shingle width.
   *   - `ner_demo(text)` — the dictionary NER trie matcher
   *     ([[NerExtract]]) over the committed demo pattern set
   *     (reference behavior: /root/reference/demo.py:24-35); the
@@ -111,6 +116,21 @@ object GraftFunctions {
         HeavyHitters(Cast(args(0), org.apache.spark.sql.types.StringType),
           litInt("heavy_hitters", "k", args(1)),
           litInt("heavy_hitters", "capacity", args(2)))
+      }),
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (args: Seq[Expression]) => {
+        arity("bloom_build", args, 2)
+        BloomBuildAgg(Cast(args(0), org.apache.spark.sql.types.StringType),
+          litInt("bloom_build", "mBits", args(1)))
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        arity("bloom_might_contain", args, 3)
+        BloomMightContain(args(0),
+          Cast(args(1), org.apache.spark.sql.types.StringType),
+          litInt("bloom_might_contain", "mBits", args(2)))
       })
   )
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Components, Dedup}
+import graft.functions.BloomFilter
 import graft.io.Sources.table
 import graft.similarity.Similarity
 import graft.text.TextStats
@@ -29,6 +30,32 @@ object DedupSim {
         md5(concat_ws("|", col("l_partkey"), col("l_suppkey"), col("l_quantity"))),
         col("l_orderkey") * 8 + col("l_linenumber"))
         .filter(col("n_dups") > 1)
+    }),
+
+    // Cross-corpus membership via a Bloom filter: build the sketch
+    // over corpus A in one constant-state pass, broadcast the bits,
+    // probe corpus B with a narrow map — the no-join prefilter for
+    // "is this new document already in the 100 TB reference corpus".
+    // The exact ground truth (a broadcast semi-join here; at scale
+    // the expensive join the bloom exists to avoid) rides along so
+    // the output pins both the zero-false-negative contract and the
+    // exact false-positive count the md5 construction determines.
+    "q84_bloom_membership" -> ((s, dir) => {
+      val m = 1 << 20 // 128 KiB of bits; ~3.9% fp at sf0.1's n≈150k
+      val li = table(s, dir, "lineitem")
+      def key = concat_ws("|",
+        col("l_partkey"), col("l_suppkey"), col("l_quantity")).as("key")
+      val corpusA = li.filter(pmod(col("l_orderkey"), lit(4)) === 0).select(key)
+      val corpusB = li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0).select(key)
+      val bloom = corpusA.agg(BloomFilter.build(col("key"), m).as("bits"))
+      val aKeys = corpusA.distinct().withColumn("exact_hit", lit(true))
+      corpusB
+        .crossJoin(broadcast(bloom))
+        .withColumn("bloom_hit", BloomFilter.mightContain(col("bits"), col("key"), m))
+        .join(broadcast(aKeys), Seq("key"), "left")
+        .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+        .groupBy("bloom_hit", "exact_hit")
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"))
     }),
 
     // MinHash signatures over word-3-gram shingles (long form).
@@ -188,6 +215,33 @@ object DedupSim {
            count(*) AS n_dups
          FROM lineitem
          GROUP BY 1 HAVING count(*) > 1""",
+
+    // Mirrors the bloom construction bit-for-bit: the 4 positions are
+    // the big-endian 32-bit words of md5(key) mod 2^20 — in SQL, the
+    // 8-hex-char slices of the digest parsed as integers. A key "hits"
+    // iff all 4 of its positions are in corpus A's set-bit set.
+    "q84_bloom_membership" ->
+      """WITH a AS (
+           SELECT DISTINCT l_partkey || '|' || l_suppkey || '|' || l_quantity AS key
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         bits AS (
+           SELECT DISTINCT
+             CAST('0x' || substr(md5(key), 1 + 8 * i, 8) AS UBIGINT) % 1048576 AS p
+           FROM a, generate_series(0, 3) g(i)),
+         bk AS (
+           SELECT l_partkey || '|' || l_suppkey || '|' || l_quantity AS key,
+             count(*) AS cnt
+           FROM lineitem WHERE l_orderkey % 4 <> 0 GROUP BY 1),
+         probe AS (
+           SELECT bk.key, bk.cnt,
+             bool_and((CAST('0x' || substr(md5(bk.key), 1 + 8 * i, 8) AS UBIGINT)
+                       % 1048576) IN (SELECT p FROM bits)) AS bloom_hit,
+             bk.key IN (SELECT key FROM a) AS exact_hit
+           FROM bk, generate_series(0, 3) g(i)
+           GROUP BY bk.key, bk.cnt)
+         SELECT bloom_hit, exact_hit, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys
+         FROM probe GROUP BY bloom_hit, exact_hit""",
 
     "q41_minhash_sigs" ->
       s"""$sigsSql SELECT doc_id, CAST(k AS INTEGER) AS k, minhash FROM sigs""",

@@ -40,8 +40,22 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.GraftShims
       .buildFunctionRegistry(ext, FunctionRegistry.builtin.clone())
     for (n <- Seq("array_dot", "word_shingles", "ner_demo",
-        "heavy_hitters", "chunk_text"))
+        "heavy_hitters", "chunk_text", "bloom_build", "bloom_might_contain"))
       assert(reg.functionExists(FunctionIdentifier(n)), s"missing $n")
+  }
+
+  test("bloom SQL surface: build + probe round-trip, mBits must be literal") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 100).map(i => s"k$i").toDF("k").createOrReplaceTempView("bloom_t")
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM bloom_t,
+           (SELECT bloom_build(k, 65536) AS bits FROM bloom_t) f
+         WHERE bloom_might_contain(f.bits, bloom_t.k, 65536)""").head().getLong(0)
+    assert(hits == 100) // no false negatives, via pure SQL
+    intercept[Exception] {
+      spark.sql("SELECT bloom_build(k, length(k)) FROM bloom_t").collect()
+    }
   }
 
   test("chunk_text generator matches the q75 sequence/slice composition") {
