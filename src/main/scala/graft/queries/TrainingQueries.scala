@@ -57,6 +57,57 @@ object TrainingQueries {
         .select("doc_id", "term", "tf", "df", "salience")
     }),
 
+    // BM25 lexical retrieval (Robertson–Spärck Jones; k1=1.2, b=0.75)
+    // — top-10 documents for a fixed term query. Scale shape: tf is
+    // the only corpus-sized shuffle (groupBy doc,term after a
+    // selective term filter); df (|terms| rows) and the corpus stats
+    // (1 row) broadcast; the final top-k plans as
+    // TakeOrderedAndProject, never a full sort. Float discipline: all
+    // inputs are exact integers; each per-term score applies the
+    // IDENTICAL parenthesized op sequence in both engines, the
+    // per-doc sum is pinned to textual term order via conditional
+    // aggregates (never an unordered SUM of doubles), and ln runs
+    // through [[graft.functions.LnExact]] (Math.log, correctly
+    // rounded) because the builtin log's StrictMath/fdlibm value
+    // disagrees with DuckDB by 1 ulp on this idf domain — so the
+    // hash check is exact, not approximate.
+    "q85_bm25_topk" -> ((s, dir) => {
+      val terms = Seq("hash", "join", "spark", "stream")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("w"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("sum_len"))
+      // len rides the explode so per-doc length needs NO second join
+      // against the corpus — tf's groupBy is the only corpus-sized
+      // shuffle in the query
+      val pairs = docs
+        .select(col("doc_id"), size(col("w")).cast("long").as("len"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+      val tf = pairs.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      val df = pairs.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val norm = col("len").cast("double") /
+        (col("sum_len").cast("double") / col("n_docs"))
+      val score = graft.functions.LnExact(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * norm)))
+      val perTerm = terms.map(t =>
+        max(when(col("term") === t, col("score"))).as(s"s_$t"))
+      val bm25 = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+        .reduceLeft(_ + _) // textual term order — the pinned fold
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), perTerm: _*)
+        .select(col("doc_id"), col("n_terms"), bm25.as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Deterministic weighted sampling (sequential Poisson / priority
     // sampling, Ohlsson '98): priority ξ = u / w with u an EXACT
     // uniform from the doc's md5 (13 hex digits / 16^13 — a power-of-
@@ -147,6 +198,44 @@ object TrainingQueries {
              ORDER BY salience DESC, term ASC) AS rn
            FROM sal) t
          WHERE rn <= 3""",
+
+    // identical parenthesized float ops, pinned per-term sum order —
+    // see the query comment for why the double hash check is exact
+    "q85_bm25_topk" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM docs),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+         pairs AS (
+           SELECT doc_id, t.term FROM docs, unnest(w) AS t(term)
+           WHERE t.term IN ('hash', 'join', 'spark', 'stream')),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM pairs GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM pairs) GROUP BY 1),
+         scored AS (
+           -- e-notation literals: DuckDB types bare decimals as
+           -- DECIMAL (exact arithmetic), which diverges from Spark's
+           -- IEEE doubles by an ulp; 0.5e0 etc. force DOUBLE so both
+           -- engines run the identical float op sequence
+           SELECT tf.doc_id, tf.term,
+             ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+               * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0
+                   * (CAST(len AS DOUBLE) / (CAST(sum_len AS DOUBLE) / n_docs))))) AS score
+           FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             max(CASE WHEN term = 'hash' THEN score END) AS s_hash,
+             max(CASE WHEN term = 'join' THEN score END) AS s_join,
+             max(CASE WHEN term = 'spark' THEN score END) AS s_spark,
+             max(CASE WHEN term = 'stream' THEN score END) AS s_stream
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, n_terms,
+           coalesce(s_hash, 0.0e0) + coalesce(s_join, 0.0e0)
+             + coalesce(s_spark, 0.0e0) + coalesce(s_stream, 0.0e0) AS bm25
+         FROM agg
+         ORDER BY bm25 DESC, doc_id ASC
+         LIMIT 10""",
 
     // same u construction: 13 md5 hex digits over the power-of-two
     // divisor make u (and u/quality) single exact IEEE ops
