@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-import graft.functions.{ArrayDot, BloomBuildAgg, BloomMightContain, ChunkText, HeavyHitters, NerExtract, WordShingles}
+import graft.functions.{ArrayDot, BloomBuildAgg, BloomMightContain, ChunkText, CountMinAgg, HeavyHitters, NerExtract, WordShingles}
 import graft.text.EntityRuler
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -37,6 +37,10 @@ import graft.text.EntityRuler
   *     ([[graft.functions.BloomBuildAgg]] /
   *     [[graft.functions.BloomMightContain]]); `mBits` is a plan-time
   *     literal for both, like the shingle width.
+  *   - `countmin_build(key, depth, width)` — the Count-Min frequency
+  *     sketch aggregate ([[graft.functions.CountMinAgg]]); estimates
+  *     compose from built-ins (`least(element_at(...))`), so no probe
+  *     function is registered.
   *   - `ner_demo(text)` — the dictionary NER trie matcher
   *     ([[NerExtract]]) over the committed demo pattern set
   *     (reference behavior: /root/reference/demo.py:24-35); the
@@ -123,6 +127,14 @@ object GraftFunctions {
         arity("bloom_build", args, 2)
         BloomBuildAgg(Cast(args(0), org.apache.spark.sql.types.StringType),
           litInt("bloom_build", "mBits", args(1)))
+      }),
+    (FunctionIdentifier("countmin_build"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "countmin_build"),
+      (args: Seq[Expression]) => {
+        arity("countmin_build", args, 3)
+        CountMinAgg(Cast(args(0), org.apache.spark.sql.types.StringType),
+          litInt("countmin_build", "depth", args(1)),
+          litInt("countmin_build", "width", args(2)))
       }),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),

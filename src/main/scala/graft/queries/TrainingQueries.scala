@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HeavyHitters
+import graft.functions.{CountMin, HeavyHitters}
 import graft.io.Sources.table
 import graft.plans.GroupedTopK
 import graft.text.TextStats
@@ -143,6 +143,25 @@ object TrainingQueries {
         .select(col("shard"), col("rank"),
           col("e.term").as("term"), col("e.cnt").as("cnt"))),
 
+    // Count-Min frequency sketch (4×16 counters — width deliberately
+    // far below the vocabulary so collisions force real
+    // overestimates): one narrow build pass with constant state,
+    // sketch broadcast, estimates composed from built-in functions
+    // (least of element_at per md5-word row). Output pins every
+    // estimate AND the never-underestimate guarantee against the
+    // exact counts; the counter array is bit-mirrored by the oracle.
+    "q86_countmin_freq" -> ((s, dir) => {
+      val (d, w) = (4, 16)
+      val toks = table(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("term"))
+      val sketch = toks.agg(CountMin.build(col("term"), d, w).as("cms"))
+      toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select(col("term"), col("exact_cnt"),
+          CountMin.estimate(col("cms"), col("term"), d, w).as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
+    }),
+
     // Shard-local greedy sequence packing: docs are packed into
     // Budget-token bins in doc_id order WITHIN a shard (cumulative sum
     // window); bin id = start-offset div Budget. Shard-local keeps the
@@ -264,6 +283,32 @@ object TrainingQueries {
              row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn
            FROM cnts) t
          WHERE rn <= 5""",
+
+    // bucket p = word_i(md5(term)) % 16 per row i; counter(i,p) sums
+    // the exact counts of every term colliding there; the estimate is
+    // the min over the term's 4 row counters — the CMS definition,
+    // reconstructed from the same md5 hex slices the aggregate uses
+    "q86_countmin_freq" ->
+      """WITH toks AS (
+           SELECT t.term
+           FROM (SELECT string_split(text, ' ') AS w FROM documents),
+                unnest(w) AS t(term)),
+         exact AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM toks GROUP BY term),
+         pos AS (
+           SELECT term, exact_cnt, i,
+             CAST(CAST('0x' || substr(md5(term), 1 + 8 * i, 8) AS UBIGINT) % 16 AS BIGINT) AS p
+           FROM exact, generate_series(0, 3) g(i)),
+         counters AS (
+           SELECT i, p, CAST(sum(exact_cnt) AS BIGINT) AS c
+           FROM pos GROUP BY i, p),
+         est AS (
+           SELECT pos.term, CAST(min(c.c) AS BIGINT) AS cms_est
+           FROM pos JOIN counters c USING (i, p) GROUP BY pos.term)
+         SELECT e.term, e.exact_cnt, est.cms_est,
+           est.cms_est >= e.exact_cnt AS never_under
+         FROM exact e JOIN est USING (term)""",
 
     "q77_seq_pack" ->
       s"""WITH d AS (

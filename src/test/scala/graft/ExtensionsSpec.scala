@@ -40,7 +40,8 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.GraftShims
       .buildFunctionRegistry(ext, FunctionRegistry.builtin.clone())
     for (n <- Seq("array_dot", "word_shingles", "ner_demo",
-        "heavy_hitters", "chunk_text", "bloom_build", "bloom_might_contain"))
+        "heavy_hitters", "chunk_text", "bloom_build", "bloom_might_contain",
+        "countmin_build"))
       assert(reg.functionExists(FunctionIdentifier(n)), s"missing $n")
   }
 
