@@ -47,11 +47,17 @@ object DedupSim {
         col("l_partkey"), col("l_suppkey"), col("l_quantity")).as("key")
       val corpusA = li.filter(pmod(col("l_orderkey"), lit(4)) === 0).select(key)
       val corpusB = li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0).select(key)
-      val bloom = corpusA.agg(BloomFilter.build(col("key"), m).as("bits"))
+      // materialize the 128 KiB sketch ONCE and probe through a
+      // binary literal: codegen references the array a single time.
+      // Shipping it as a joined column instead costs a 128 KiB
+      // UnsafeRow getBinary COPY per probe row (~57 GB of memcpy at
+      // sf0.1's 450k probes — measured 10.8 s vs 1.3 s). This is also
+      // the operational shape: build once, persist, probe many.
+      val bits = corpusA.agg(BloomFilter.build(col("key"), m).as("bits"))
+        .collect()(0).getAs[Array[Byte]]("bits")
       val aKeys = corpusA.distinct().withColumn("exact_hit", lit(true))
       corpusB
-        .crossJoin(broadcast(bloom))
-        .withColumn("bloom_hit", BloomFilter.mightContain(col("bits"), col("key"), m))
+        .withColumn("bloom_hit", BloomFilter.mightContain(lit(bits), col("key"), m))
         .join(broadcast(aKeys), Seq("key"), "left")
         .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
         .groupBy("bloom_hit", "exact_hit")

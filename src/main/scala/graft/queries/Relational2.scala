@@ -175,6 +175,32 @@ object Relational2 {
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx") - col("exact_parts"))
             <= lit(0.06) * col("exact_parts")).as("within_bound"))
+    }),
+
+    // Quantile sketch, q1A's construction: approx_percentile
+    // (Greenwald–Khanna summaries — mergeable, bounded memory; the
+    // sketch a 100 TB percentile needs where exact percentile means a
+    // global sort) is engine-specific, so the ORACLE-CHECKED outputs
+    // are the exact interpolated median plus the sketch's rank-error
+    // verdict: GK at accuracy=100 guarantees the estimate's rank is
+    // within n/100 of the target, and `within_bound` re-derives the
+    // estimate's TRUE rank against that bound (+1 slack for the
+    // discrete rank itself). The boolean is stable under any legal
+    // partial-merge order because the bound is an algorithm guarantee,
+    // not a measurement.
+    "q1E_approx_quantile" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val apx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 100)").as("apx"))
+      li.join(broadcast(apx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
+            .as("rank_apx"))
+        .select(col("l_returnflag"), col("n"), col("exact_p50"),
+          (abs(col("rank_apx") - col("n") * lit(0.5))
+            <= col("n") / lit(100.0) + lit(1.0)).as("within_bound"))
     })
   )
 
@@ -260,6 +286,13 @@ object Relational2 {
     "q1A_approx_distinct" ->
       """SELECT l_returnflag,
            count(DISTINCT l_partkey) AS exact_parts,
+           true AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q1E_approx_quantile" ->
+      """SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
            true AS within_bound
          FROM lineitem GROUP BY l_returnflag""",
 
