@@ -187,6 +187,26 @@ object DedupSim {
       table(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims (Achlioptas
+    // '01: any zero-mean iid family works, here the md5-derived
+    // integer weights shared with q47's hyperplanes — already proven
+    // bit-mirrorable). The 100 TB role: shrink embeddings 4× BEFORE
+    // the ANN index so every downstream distance costs a quarter;
+    // pure narrow map (16 codegen'd ArrayDot folds per row), no
+    // shuffle at all. Outputs the projected vectors themselves —
+    // q47's sign-bit buckets are the 1-bit extreme of the same
+    // family; this keeps the magnitudes.
+    "q87_jl_project" -> ((s, dir) => {
+      val dims = 64
+      val kOut = 16
+      val proj = (0 until kOut).map { j =>
+        val w = (0 until dims).map(d => Similarity.planeWeight(j, d).toDouble)
+        graft.functions.ArrayDot(col("embedding"), lit(w.toArray))
+      }
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), array(proj: _*).as("r"))
     })
   )
 
@@ -493,6 +513,20 @@ object DedupSim {
           b AS (SELECT vec_id, CAST($dots AS BIGINT) AS bucket FROM e)
           SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
           FROM b GROUP BY bucket"""
+    },
+
+    // same weight family as q47, same left-to-right list_sum fold as
+    // the ArrayDot oracle precedent (q45/q46) — bit-exact doubles
+    "q87_jl_project" -> {
+      val cells = (0 until 16).map { j =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(j, d).toDouble)
+          .mkString("[", ", ", "]")
+        s"list_sum(list_transform(list_zip(v, $w), p -> p[1] * p[2]))"
+      }.mkString("[", ",\n            ", "]")
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings)
+          SELECT vec_id, $cells AS r FROM e"""
     }
   )
 }

@@ -85,4 +85,37 @@ class SimilaritySpec extends SparkSpec {
     // the degenerate init must actually be repaired, not merely tied
     assert(trained >= 0.9, f"trained-centroid recall too low: $trained%.3f")
   }
+
+  test("JL projection (q87's family) preserves pairwise distances in expectation") {
+    // w ~ uniform int [-1000, 1000]: Var = (2001^2 - 1)/12. For iid
+    // zero-mean weights, E||p(x)-p(y)||^2 = kOut * Var * ||x-y||^2 —
+    // ratios concentrating near 1 is what makes the reduced space
+    // usable for ANN. A correlated family (the scaladoc'd affine-LCG
+    // failure mode) violates this badly; bounds are loose enough for
+    // kOut=16's real variance, tight enough to catch degeneracy.
+    val dims = 64; val kOut = 16
+    val varW = (2001.0 * 2001.0 - 1.0) / 12.0
+    val weights = Array.tabulate(kOut, dims)((j, d) =>
+      Similarity.planeWeight(j, d).toDouble)
+    def project(v: Array[Double]): Array[Double] =
+      weights.map(w => w.zip(v).map { case (a, b) => a * b }.sum)
+    // deterministic pseudo-random test vectors (md5-derived, like the
+    // planes, so the spec never flakes)
+    def vec(seed: Int): Array[Double] = Array.tabulate(dims) { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v:$seed:$d".getBytes("UTF-8"))
+      ((md(0) & 0xff) - 128).toDouble / 64.0
+    }
+    val ratios = (0 until 20).map { i =>
+      val (x, y) = (vec(i), vec(i + 100))
+      val dOrig = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+      val pX = project(x); val pY = project(y)
+      val dProj = pX.zip(pY).map { case (a, b) => (a - b) * (a - b) }.sum
+      dProj / (kOut * varW * dOrig)
+    }
+    ratios.foreach(r => assert(r > 0.2 && r < 3.0,
+      f"distance ratio $r%.3f outside the JL concentration band"))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, f"mean ratio $mean%.3f biased")
+  }
 }
