@@ -132,6 +132,32 @@ object IoQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus"))
 ,
 
+    // Z-order (Morton) clustering key: bit-interleave two join/filter
+    // dimensions so ONE range-partitioned sort key gives locality in
+    // BOTH — the lakehouse layout technique (Delta/Iceberg OPTIMIZE
+    // ZORDER) that lets min/max file stats prune 2-D predicates at
+    // 100 TB, where sorting by either single column destroys locality
+    // in the other. Output = per-zbucket row counts + both dims'
+    // bounding boxes: tight boxes ARE the pruning win, and the oracle
+    // recomputes the interleave bit-for-bit (exact integer ops).
+    // Computation is a pure narrow map; the groupBy is |buckets| rows.
+    "q88_zorder_layout" -> ((s, dir) => {
+      val bits = 16
+      def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        (0 until bits).map { b =>
+          shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+            .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+        }.reduce(_ bitwiseOR _)
+      table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          interleave(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .withColumn("zbucket", shiftright(col("zval"), 18))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+    }),
+
     // Bucketed co-located join: both fact tables written bucketBy the
     // join key, then joined — the bucketed scan satisfies the join's
     // distribution requirement so NO shuffle exchange is planned on
@@ -260,6 +286,22 @@ object IoQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus
          FROM orders
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""",
+
+    // the interleave spelled out term by term (exact integer shifts,
+    // no subquery — DuckDB 1.0 cannot correlate table functions)
+    "q88_zorder_layout" -> {
+      val terms = (0 until 16).map(b =>
+        s"(((l_partkey >> $b) & 1) << ${2 * b}) + (((l_suppkey >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH z AS (
+            SELECT l_partkey, l_suppkey,
+              CAST($terms AS BIGINT) AS zval
+            FROM lineitem)
+          SELECT (zval >> 18) AS zbucket, CAST(count(*) AS BIGINT) AS n,
+            min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+            min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+          FROM z GROUP BY 1"""
+    },
 
     // plain join over the un-bucketed tables — bucketing must change
     // the PLAN (no exchanges), never the RESULT
