@@ -162,6 +162,36 @@ object TrainingQueries {
         .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
     }),
 
+    // Unigram log-likelihood scoring — the perplexity-proxy quality
+    // filter a training corpus is screened with (low avg logprob =
+    // gibberish / OOD): logprob(doc) = Σ_pos ln(cnt(term)/N). Scale
+    // shape: the vocabulary aggregate broadcasts, the per-doc fold is
+    // one groupBy; nothing quadratic. Float discipline (the q85
+    // playbook): LnExact for correctly-rounded ln, and the per-doc
+    // sum folds in TOKEN-POSITION order on both engines —
+    // sort_array(collect_list(struct(pos, lp))) + aggregate here,
+    // list(lp ORDER BY pos) + list_sum in the oracle — so the DOUBLE
+    // is bit-exact, not approximately compared.
+    "q89_unigram_logprob" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("w"))
+      val pairs = docs.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("pos", "term")))
+      val counts = pairs.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = pairs.agg(count(lit(1)).as("n_total"))
+      pairs
+        .join(broadcast(counts), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("lp",
+          graft.functions.LnExact(col("cnt").cast("double") / col("n_total")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (acc, x) => acc + x.getField("lp")).as("logprob"))
+        .select(col("doc_id"), col("n_toks"), col("logprob"),
+          (col("logprob") / col("n_toks")).as("avg_logprob"))
+    }),
+
     // Shard-local greedy sequence packing: docs are packed into
     // Budget-token bins in doc_id order WITHIN a shard (cumulative sum
     // window); bin id = start-offset div Budget. Shard-local keeps the
@@ -309,6 +339,30 @@ object TrainingQueries {
          SELECT e.term, e.exact_cnt, est.cms_est,
            est.cms_est >= e.exact_cnt AS never_under
          FROM exact e JOIN est USING (term)""",
+
+    // same fold-order pin as the Spark side; constant series bound
+    // with a loud overflow guard (DuckDB 1.0 cannot correlate table
+    // functions — the q71 pattern)
+    "q89_unigram_logprob" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pairs AS (
+           SELECT doc_id, i AS pos,
+             CASE WHEN len(w) > 128 THEN error('token list exceeds bound 128')
+                  ELSE w[i] END AS term
+           FROM docs, generate_series(1, 128) g(i)
+           WHERE i <= len(w)),
+         counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                    FROM pairs GROUP BY 1),
+         total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pairs),
+         lp AS (
+           SELECT doc_id, pos, ln(CAST(cnt AS DOUBLE) / n_total) AS lp
+           FROM pairs JOIN counts USING (term), total),
+         per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             list_sum(list(lp ORDER BY pos)) AS logprob
+           FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_toks, logprob, logprob / n_toks AS avg_logprob
+         FROM per""",
 
     "q77_seq_pack" ->
       s"""WITH d AS (
