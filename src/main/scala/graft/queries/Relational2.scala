@@ -177,6 +177,38 @@ object Relational2 {
             <= lit(0.06) * col("exact_parts")).as("within_bound"))
     }),
 
+    // Unpivot (wide → long, the inverse of the pipeline's pivot):
+    // integer-cents measures so the melt is exact. Narrow reshaping —
+    // at scale unpivot is a flatMap, no shuffle beyond the feeding agg.
+    "q90_unpivot" -> ((s, dir) => {
+      val wide = table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_discount") * 100).cast("long")).as("disc_cents"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+        "measure", "cents")
+    }),
+
+    // Null-safe equality (<=>) and grouping-on-null, pinned against
+    // IS NOT DISTINCT FROM: the status key is NULLed for 'O' rows, so
+    // a plain inner equi-join would DROP the largest group while <=>
+    // matches null to null — the exact semantic difference this query
+    // hash-checks. Aggregate-then-join keeps it |distinct keys| rows.
+    "q91_nullsafe_join" -> ((s, dir) => {
+      def side(n: String) = table(s, dir, "orders")
+        .withColumn("k",
+          when(col("o_orderstatus") =!= "O", col("o_orderstatus")))
+        .groupBy("k").agg(count(lit(1)).as(n))
+      val l = side("n_left")
+      val r = side("n_right").withColumnRenamed("k", "k2")
+      l.join(r, col("k") <=> col("k2"))
+        .select(col("k"), col("n_left"), col("n_right"))
+    }),
+
     // Quantile sketch, q1A's construction: approx_percentile
     // (Greenwald–Khanna summaries — mergeable, bounded memory; the
     // sketch a 100 TB percentile needs where exact percentile means a
@@ -288,6 +320,27 @@ object Relational2 {
            count(DISTINCT l_partkey) AS exact_parts,
            true AS within_bound
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q90_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS cents FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'price_cents', price_cents FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'disc_cents', disc_cents FROM wide""",
+
+    "q91_nullsafe_join" ->
+      """WITH side AS (
+           SELECT CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus END AS k,
+             CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1)
+         SELECT l.k, l.n AS n_left, r.n AS n_right
+         FROM side l JOIN side r ON l.k IS NOT DISTINCT FROM r.k""",
 
     "q1E_approx_quantile" ->
       """SELECT l_returnflag,
