@@ -220,7 +220,7 @@ object Relational2 {
     // discrete rank itself). The boolean is stable under any legal
     // partial-merge order because the bound is an algorithm guarantee,
     // not a measurement.
-    "q1E_approx_quantile" -> ((s, dir) => {
+    "q92_approx_quantile" -> ((s, dir) => {
       val li = table(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
       val apx = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 100)").as("apx"))
@@ -342,7 +342,7 @@ object Relational2 {
          SELECT l.k, l.n AS n_left, r.n AS n_right
          FROM side l JOIN side r ON l.k IS NOT DISTINCT FROM r.k""",
 
-    "q1E_approx_quantile" ->
+    "q92_approx_quantile" ->
       """SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
            quantile_cont(l_extendedprice, 0.5) AS exact_p50,
