@@ -189,6 +189,41 @@ object DedupSim {
         .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
     }),
 
+    // Sorted-neighborhood dedup (Hernández–Stolfo '95) — the classic
+    // entity-resolution method the hash family here doesn't cover:
+    // sort records by a blocking key, then compare each record only
+    // to its w predecessors in sort order (window lag), so the
+    // comparison count is linear in the corpus instead of quadratic.
+    // Scale shape: one shuffle on the block prefix, an in-partition
+    // sort, and lag() comparisons — block-parallel (a GLOBAL sort
+    // order would serialize through one task; the 2-char prefix
+    // blocks are the standard fix). Candidate pairs = neighbors
+    // within edit distance 2.
+    "q93_sorted_neighborhood" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(substring(col("p_name"), 1, 2))
+        .orderBy(col("p_name").asc, col("p_partkey").asc)
+      val o = table(s, dir, "part").select(
+        col("p_partkey"), col("p_name"),
+        lag(col("p_name"), 1).over(w).as("prev1"),
+        lag(col("p_partkey"), 1).over(w).as("prev1_key"),
+        lag(col("p_name"), 2).over(w).as("prev2"),
+        lag(col("p_partkey"), 2).over(w).as("prev2_key"))
+      val near1 = o
+        .filter(col("prev1").isNotNull &&
+          levenshtein(col("p_name"), col("prev1")) <= 2)
+        .select(col("prev1_key").as("key_a"), col("p_partkey").as("key_b"),
+          levenshtein(col("p_name"), col("prev1")).as("dist"),
+          lit(1).as("w_off"))
+      val near2 = o
+        .filter(col("prev2").isNotNull &&
+          levenshtein(col("p_name"), col("prev2")) <= 2)
+        .select(col("prev2_key").as("key_a"), col("p_partkey").as("key_b"),
+          levenshtein(col("p_name"), col("prev2")).as("dist"),
+          lit(2).as("w_off"))
+      near1.union(near2)
+    }),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims (Achlioptas
     // '01: any zero-mean iid family works, here the md5-derived
     // integer weights shared with q47's hyperplanes — already proven
@@ -514,6 +549,27 @@ object DedupSim {
           SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
           FROM b GROUP BY bucket"""
     },
+
+    // identical window + lag spelling; levenshtein returns BIGINT in
+    // DuckDB vs INTEGER in Spark — cast (the driver hash is
+    // type-sensitive)
+    "q93_sorted_neighborhood" ->
+      """WITH o AS (
+           SELECT p_partkey, p_name,
+             lag(p_name, 1) OVER w AS prev1, lag(p_partkey, 1) OVER w AS prev1_key,
+             lag(p_name, 2) OVER w AS prev2, lag(p_partkey, 2) OVER w AS prev2_key
+           FROM part
+           WINDOW w AS (PARTITION BY substr(p_name, 1, 2)
+                        ORDER BY p_name, p_partkey))
+         SELECT prev1_key AS key_a, p_partkey AS key_b,
+           CAST(levenshtein(p_name, prev1) AS INTEGER) AS dist,
+           CAST(1 AS INTEGER) AS w_off
+         FROM o WHERE prev1 IS NOT NULL AND levenshtein(p_name, prev1) <= 2
+         UNION ALL
+         SELECT prev2_key, p_partkey,
+           CAST(levenshtein(p_name, prev2) AS INTEGER),
+           CAST(2 AS INTEGER)
+         FROM o WHERE prev2 IS NOT NULL AND levenshtein(p_name, prev2) <= 2""",
 
     // same weight family as q47, same left-to-right list_sum fold as
     // the ArrayDot oracle precedent (q45/q46) — bit-exact doubles
