@@ -94,6 +94,41 @@ class PropertySpec extends SparkSpec {
     assert(sample(df.orderBy(col("id").desc).coalesce(1)) === base)
   }
 
+  test("bloom filter: no false negatives for ANY generated corpus or layout") {
+    import graft.functions.BloomFilter
+    val m = 1 << 12
+    forAll(Gen.zip(
+      Gen.listOfN(60, Gen.alphaNumStr.map(s => "k" + s.take(12))),
+      Gen.choose(1, 9))) { case (keys, parts) =>
+      val bits = keys.toDF("k").repartition(parts)
+        .agg(BloomFilter.build(col("k"), m).as("b"))
+        .collect()(0).getAs[Array[Byte]]("b")
+      keys.foreach { k =>
+        assert(BloomFilter.mightContain(bits,
+          org.apache.spark.unsafe.types.UTF8String.fromString(k), m),
+          s"false negative for $k")
+      }
+    }
+  }
+
+  test("count-min: never underestimates for ANY generated corpus or layout") {
+    import graft.functions.CountMin
+    val (d, w) = (4, 8)
+    forAll(Gen.zip(
+      Gen.listOfN(120, Gen.oneOf((1 to 15).map("t" + _))),
+      Gen.choose(1, 9))) { case (vals, parts) =>
+      val cms = vals.toDF("v").repartition(parts)
+        .agg(CountMin.build(col("v"), d, w).as("cms"))
+      val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ests = vals.distinct.toDF("t").crossJoin(broadcast(cms))
+        .select(col("t"), CountMin.estimate(col("cms"), col("t"), d, w))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      ests.foreach { case (t, est) =>
+        assert(est >= exact(t), s"CMS underestimated $t: $est < ${exact(t)}")
+      }
+    }
+  }
+
   private implicit class Tup3Ops(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map(t => ((t._1, t._2), t._3)).toMap
