@@ -158,6 +158,34 @@ object IoQueries {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
     }),
 
+    // Table reconciliation digest (Merkle-style anti-entropy): to
+    // compare two 100 TB replicas you never move rows — each side
+    // computes a per-bucket digest (bit_xor of row hashes: order-
+    // independent, overflow-free, ANSI-safe) and only DIFFERING
+    // buckets are investigated. One narrow map + one |buckets|-row
+    // aggregate per side. Here side B is the same table with a known
+    // deletion (orderkey ≡ 7 mod 1000), and the output is exactly the
+    // buckets whose digests/counts disagree — the repair worklist.
+    "q94_table_digest" -> ((s, dir) => {
+      val nb = 1024
+      def withHash(df: DataFrame) = df
+        .withColumn("h",
+          conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))), 1, 13),
+            16, 10).cast("long"))
+        .withColumn("bucket", pmod(col("h"), lit(nb)))
+      def digest(df: DataFrame, n: String, d: String) =
+        withHash(df).groupBy("bucket")
+          .agg(count(lit(1)).as(n), expr("bit_xor(h)").as(d))
+      val li = table(s, dir, "lineitem")
+      val a = digest(li, "n_a", "dig_a")
+      val b = digest(li.filter(pmod(col("l_orderkey"), lit(1000)) =!= 7),
+        "n_b", "dig_b")
+      a.join(b, Seq("bucket"), "full_outer")
+        .filter(!(col("dig_a") <=> col("dig_b")) || !(col("n_a") <=> col("n_b")))
+        .select(col("bucket"), col("n_a"), col("n_b"))
+    }),
+
     // Bucketed co-located join: both fact tables written bucketBy the
     // join key, then joined — the bucketed scan satisfies the join's
     // distribution requirement so NO shuffle exchange is planned on
@@ -286,6 +314,25 @@ object IoQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus
          FROM orders
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""",
+
+    // same hash (13 md5 hex chars → 52-bit int), same bit_xor digest
+    "q94_table_digest" ->
+      """WITH h AS (
+           SELECT CAST(CAST('0x' || substr(md5(
+                    l_orderkey || '|' || l_linenumber || '|' || l_quantity),
+                    1, 13) AS UBIGINT) AS BIGINT) AS h,
+             l_orderkey
+           FROM lineitem),
+         hb AS (SELECT h, h % 1024 AS bucket, l_orderkey FROM h),
+         a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+                 bit_xor(h) AS dig_a
+               FROM hb GROUP BY bucket),
+         b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+                 bit_xor(h) AS dig_b
+               FROM hb WHERE l_orderkey % 1000 <> 7 GROUP BY bucket)
+         SELECT bucket, n_a, n_b
+         FROM a FULL OUTER JOIN b USING (bucket)
+         WHERE dig_a IS DISTINCT FROM dig_b OR n_a IS DISTINCT FROM n_b""",
 
     // the interleave spelled out term by term (exact integer shifts,
     // no subquery — DuckDB 1.0 cannot correlate table functions)
