@@ -209,6 +209,30 @@ object Relational2 {
         .select(col("k"), col("n_left"), col("n_right"))
     }),
 
+    // Re-aggregatable distinct sketches (Spark 4 Datasketches HLL):
+    // the warehouse "sketch rollup" pattern q1A's scalar estimate
+    // cannot express — per-(flag, status) sketches are built ONCE,
+    // then any coarser grouping merges the sketch BYTES
+    // (hll_union_agg) with no re-scan of the fact table. At 100 TB
+    // this is the difference between a distinct-count per dashboard
+    // filter combination and one sketch table serving them all.
+    // Verdict construction as q1A: exact spine + the estimate landing
+    // within the sketch's error bound (lgK=14 → rse ≈ 0.8%; 5%
+    // leaves ~6 sigma).
+    "q95_hll_reaggregate" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val perStatus = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      val merged = perStatus.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx"))
+      li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact_parts"))
+        .join(merged, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts"))
+            <= lit(0.05) * col("exact_parts")).as("within_bound"))
+    }),
+
     // Quantile sketch, q1A's construction: approx_percentile
     // (Greenwald–Khanna summaries — mergeable, bounded memory; the
     // sketch a 100 TB percentile needs where exact percentile means a
@@ -341,6 +365,12 @@ object Relational2 {
            FROM orders GROUP BY 1)
          SELECT l.k, l.n AS n_left, r.n AS n_right
          FROM side l JOIN side r ON l.k IS NOT DISTINCT FROM r.k""",
+
+    "q95_hll_reaggregate" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q92_approx_quantile" ->
       """SELECT l_returnflag,
