@@ -257,6 +257,52 @@ object Relational2 {
         .select(col("l_returnflag"), col("n"), col("exact_p50"),
           (abs(col("rank_apx") - col("n") * lit(0.5))
             <= col("n") / lit(100.0) + lit(1.0)).as("within_bound"))
+    }),
+
+    // Calendar gap-fill + forward-fill: the time-series densify every
+    // monitoring/feature pipeline needs (a customer with no orders in a
+    // month must still emit a row carrying the last observed value).
+    // Spine = per-customer month sequence (integer year*12+month index,
+    // engine-portable); fill = the portable grouping trick — a running
+    // count of non-nulls assigns each gap row the group of its last
+    // observation, then one max per (customer, group) recovers it.
+    // Scale shape: spine is |customers|×|months| rows (never a
+    // cross-join of facts), both windows partition by customer — fully
+    // parallel, one shuffle. Integer cents keep it hash-exact.
+    "q96_gap_fill" -> ((s, dir) => {
+      val o = table(s, dir, "orders").filter(col("o_custkey") < 50)
+        .withColumn("ym",
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val monthly = o.groupBy("o_custkey", "ym")
+        .agg(sum(col("cents")).as("paid_cents"))
+      val span = o.agg(min("ym").as("lo"), max("ym").as("hi"))
+      val spine = o.select("o_custkey").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("o_custkey"), explode(sequence(col("lo"), col("hi"))).as("ym"))
+      val wCum = Window.partitionBy("o_custkey").orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(monthly, Seq("o_custkey", "ym"), "left")
+        .withColumn("grp", count(col("paid_cents")).over(wCum))
+        .withColumn("filled_cents",
+          max(col("paid_cents")).over(Window.partitionBy("o_custkey", "grp")))
+        .select(col("o_custkey"), col("ym"), col("paid_cents"), col("filled_cents"))
+    }),
+
+    // SCD type-2 interval construction from a change log: each event
+    // opens a validity interval closed by the user's next event
+    // (lead), open-ended for the latest (is_current). The
+    // dimension-history build every warehouse ingest runs; window-only
+    // plan — one shuffle on the entity key, no self-join.
+    "q97_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      table(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          row_number().over(w).cast("long").as("version"))
+        .withColumn("is_current", col("valid_to").isNull)
     })
   )
 
@@ -390,6 +436,40 @@ object Relational2 {
          SELECT band, event_type, count(*) AS n,
            round(sum(value) * 100) / 100 AS sum_value
          FROM events JOIN dim ON value >= lo AND value < hi
-         GROUP BY band, event_type"""
+         GROUP BY band, event_type""",
+
+    // range(lo, hi+1) mirrors Spark's inclusive sequence(lo, hi);
+    // sums cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT)
+    "q96_gap_fill" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_custkey < 50),
+         monthly AS (
+           SELECT o_custkey, ym, CAST(sum(cents) AS BIGINT) AS paid_cents
+           FROM o GROUP BY 1, 2),
+         span AS (SELECT min(ym) AS lo, max(ym) AS hi FROM o),
+         spine AS (
+           SELECT c.o_custkey, unnest(range(sp.lo, sp.hi + 1)) AS ym
+           FROM (SELECT DISTINCT o_custkey FROM o) c CROSS JOIN span sp),
+         j AS (
+           SELECT s.o_custkey, s.ym, m.paid_cents,
+             count(m.paid_cents) OVER (PARTITION BY s.o_custkey ORDER BY s.ym
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM spine s LEFT JOIN monthly m
+             ON s.o_custkey = m.o_custkey AND s.ym = m.ym)
+         SELECT o_custkey, ym, paid_cents,
+           max(paid_cents) OVER (PARTITION BY o_custkey, grp) AS filled_cents
+         FROM j""",
+
+    "q97_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+         FROM events WHERE user_id < 50
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
   )
 }
