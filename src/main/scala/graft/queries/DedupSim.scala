@@ -242,6 +242,45 @@ object DedupSim {
       }
       table(s, dir, "embeddings")
         .select(col("vec_id"), array(proj: _*).as("r"))
+    }),
+
+    // MinHash accuracy audit: for every LSH candidate pair, the
+    // signature-agreement Jaccard ESTIMATE (matching components / k —
+    // Broder's unbiased estimator) next to the EXACT shingle-set
+    // Jaccard. This is the calibration query a dedup pipeline runs
+    // before picking its LSH thresholds. Scale shape: the estimate is
+    // O(k) per CANDIDATE pair and the exact audit joins shingles only
+    // for those pairs — never all-pairs; both divisions are single
+    // IEEE ops from exact integers, so the doubles hash bit-exact.
+    "q98_minhash_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
+      val agree = cand
+        .join(sigs.select(col("doc_id").as("id1"), col("k"), col("minhash").as("m1")), Seq("id1"))
+        .join(sigs.select(col("doc_id").as("id2"), col("k"), col("minhash").as("m2")), Seq("id2", "k"))
+        .groupBy("id1", "id2")
+        .agg(sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("n_match"))
+      val shd = d.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(shd.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
+        .join(shd.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
+      agree
+        .join(inter, Seq("id1", "id2"), "left")
+        .na.fill(0L, Seq("inter_n"))
+        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .select(col("id1"), col("id2"), col("n_match"),
+          (col("n_match") / lit(8.0)).as("est"),
+          col("inter_n"),
+          (col("n1") + col("n2") - col("inter_n")).as("union_n"),
+          (col("inter_n").cast("double") / (col("n1") + col("n2") - col("inter_n")))
+            .as("jaccard"))
     })
   )
 
@@ -583,6 +622,49 @@ object DedupSim {
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings)
           SELECT vec_id, $cells AS r FROM e"""
-    }
+    },
+
+    // candidate pairs exactly as q42, then signature agreement + an
+    // exact shingle-set Jaccard restricted to those pairs; LEFT JOIN
+    // keeps zero-overlap false-positive candidates (inter_n = 0)
+    "q98_minhash_jaccard" ->
+      s"""$sigsSql,
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          agree AS (
+            SELECT c.id1, c.id2,
+              CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.id1
+            JOIN sigs b ON b.doc_id = c.id2 AND a.k = b.k
+            GROUP BY c.id1, c.id2),
+          shd AS (
+            SELECT DISTINCT doc_id, s.shingle
+            FROM (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+                 unnest(shingles) AS s(shingle)),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+          inter AS (
+            SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS inter_n
+            FROM cand c
+            JOIN shd x ON x.doc_id = c.id1
+            JOIN shd y ON y.doc_id = c.id2 AND x.shingle = y.shingle
+            GROUP BY c.id1, c.id2)
+          SELECT a.id1, a.id2, a.n_match,
+            a.n_match / 8e0 AS est,
+            COALESCE(i.inter_n, 0) AS inter_n,
+            s1.n + s2.n - COALESCE(i.inter_n, 0) AS union_n,
+            CAST(COALESCE(i.inter_n, 0) AS DOUBLE)
+              / (s1.n + s2.n - COALESCE(i.inter_n, 0)) AS jaccard
+          FROM agree a
+          LEFT JOIN inter i ON i.id1 = a.id1 AND i.id2 = a.id2
+          JOIN sz s1 ON s1.doc_id = a.id1
+          JOIN sz s2 ON s2.doc_id = a.id2"""
   )
 }
