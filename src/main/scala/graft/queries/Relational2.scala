@@ -303,6 +303,75 @@ object Relational2 {
           lead(col("ts"), 1).over(w).as("valid_to"),
           row_number().over(w).cast("long").as("version"))
         .withColumn("is_current", col("valid_to").isNull)
+    }),
+
+    // Changelog compaction (CDC upsert materialization): latest
+    // record wins per key, the MERGE/compact every incremental ingest
+    // runs. Engine plan is a single max_by aggregation — partial
+    // aggregation combines map-side, so the shuffle carries ONE row
+    // per key per task, never the full log; the window-sort idiom
+    // (row_number = 1) would shuffle and sort every record. The
+    // (ts, event_id) ordering struct makes last-wins deterministic
+    // under ts ties.
+    "q99_changelog_compact" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_type"), col("value"), col("ts")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"), col("last.ts").as("last_ts"),
+          col("n_events"))
+    }),
+
+    // Robust outlier detection (median / MAD): the scale- and
+    // skew-insensitive anomaly screen (mean/stddev is dragged by the
+    // outliers it is supposed to find). Flag = |x - median| > 3·MAD.
+    // Exact-hash float discipline: integer cents; the interpolated
+    // median of integers is exactly x or x.5 in a double, deviations
+    // are multiples of 0.5, MAD multiples of 0.25 — every value and
+    // comparison is IEEE-exact on both engines, no rounding anywhere.
+    // Scale shape: two exact-percentile aggs over the fact (each a
+    // single shuffle on the group key) + broadcast joins of the tiny
+    // per-group stats; at 100 TB swap `percentile` for
+    // `approx_percentile` under the q92 verdict construction.
+    "q9B_robust_outliers" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val med = o.groupBy("prio").agg(
+        expr("percentile(cents, 0.5)").as("med"),
+        count(lit(1)).as("n"))
+      val dev = o.join(broadcast(med), "prio")
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy("prio").agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
+    // Key-skew profiler: the pre-flight diagnostic for every join/agg
+    // key — rows, distinct keys, heaviest key (deterministic
+    // tie-break: smallest id among the max count), and the skew ratio
+    // max·keys/rows that decides between plain hash partitioning,
+    // salting (q1B), and AQE skew-join. Two aggregations, both with
+    // map-side partials; the ratio is one IEEE division from exact
+    // integers so the double hash-matches.
+    "q9C_skew_profile" -> ((s, dir) => {
+      val kc = table(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      kc.groupBy("event_type")
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"),
+          max_by(col("user_id"), struct(col("c"), -col("user_id")))
+            .as("top_key"))
+        .withColumn("skew",
+          (col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"))
     })
   )
 
@@ -470,6 +539,54 @@ object Relational2 {
            CAST(row_number() OVER w AS BIGINT) AS version,
            (lead(ts) OVER w IS NULL) AS is_current
          FROM events WHERE user_id < 50
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+
+    // window idiom as the oracle; (ts, event_id) is unique so both
+    // orderings pick the same record
+    "q99_changelog_compact" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+           ts AS last_ts, n_events
+         FROM (SELECT user_id, event_type, value, ts,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+               FROM events)
+         WHERE rn = 1""",
+
+    // quantile_cont of BIGINTs interpolates to exact .0/.5 doubles,
+    // matching Spark's percentile() bit-for-bit
+    "q9B_robust_outliers" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         med AS (
+           SELECT prio, quantile_cont(cents, 0.5) AS med,
+             CAST(count(*) AS BIGINT) AS n
+           FROM o GROUP BY prio),
+         dev AS (
+           SELECT o.prio, abs(cents - med) AS dev, med, n
+           FROM o JOIN med USING (prio)),
+         mad AS (SELECT prio, quantile_cont(dev, 0.5) AS mad
+                 FROM dev GROUP BY prio)
+         SELECT d.prio, max(n) AS n, max(med) AS med, max(mad) AS mad,
+           CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM dev d JOIN mad USING (prio) GROUP BY d.prio""",
+
+    "q9C_skew_profile" ->
+      """WITH kc AS (
+           SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, n_rows, n_keys, max_cnt, user_id AS top_key,
+           CAST(max_cnt * n_keys AS DOUBLE) / n_rows AS skew
+         FROM (SELECT event_type, user_id, c,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY c DESC, user_id ASC) AS rn,
+                 CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_rows,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_keys,
+                 max(c) OVER (PARTITION BY event_type) AS max_cnt
+               FROM kc)
+         WHERE rn = 1"""
   )
 }

@@ -192,6 +192,35 @@ object TrainingQueries {
           (col("logprob") / col("n_toks")).as("avg_logprob"))
     }),
 
+    // Per-document token-distribution Shannon entropy — the gibberish
+    // / boilerplate screen (low entropy = stutter or template text,
+    // near-max = random token soup): H = ln(n) − Σ c·ln(c) / n over
+    // the doc's term frequencies. Complements q65's repetition counts
+    // (entropy sees the WHOLE distribution, not just the top
+    // duplicate) and q89's corpus-relative logprob (entropy is
+    // corpus-free). Scale shape: one (doc, term) groupBy, then one
+    // per-doc agg — no broadcast, nothing corpus-global. Float
+    // discipline (q89 playbook): c and n are exact integers, LnExact
+    // is correctly rounded, the Σ folds in TERM-SORTED order on both
+    // engines, and the final ln(n) − Σ/n is the same two IEEE ops —
+    // the DOUBLE hash-matches exactly.
+    "q9A_token_entropy" -> ((s, dir) => {
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_distinct"),
+          aggregate(sort_array(collect_list(struct(col("term"), col("c")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("c").cast("double") *
+              graft.functions.LnExact(x.getField("c").cast("double")))
+            .as("clnc"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          (graft.functions.LnExact(col("n_toks").cast("double"))
+            - col("clnc") / col("n_toks")).as("entropy"))
+    }),
+
     // Shard-local greedy sequence packing: docs are packed into
     // Budget-token bins in doc_id order WITHIN a shard (cumulative sum
     // window); bin id = start-offset div Budget. Shard-local keeps the
@@ -362,6 +391,27 @@ object TrainingQueries {
              list_sum(list(lp ORDER BY pos)) AS logprob
            FROM lp GROUP BY doc_id)
          SELECT doc_id, n_toks, logprob, logprob / n_toks AS avg_logprob
+         FROM per""",
+
+    // list(... ORDER BY term) + list_sum mirrors Spark's
+    // sort_array(collect_list(struct(term, c))) fold: same term-sorted
+    // (binary-collation) addition order, same single ln/division ops
+    "q9A_token_entropy" ->
+      """WITH pairs AS (
+           SELECT doc_id, t.term
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                unnest(w) AS t(term)),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           FROM pairs GROUP BY 1, 2),
+         per AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               ORDER BY term)) AS clnc
+           FROM tf GROUP BY doc_id)
+         SELECT doc_id, n_toks, n_distinct,
+           ln(CAST(n_toks AS DOUBLE)) - clnc / n_toks AS entropy
          FROM per""",
 
     "q77_seq_pack" ->
