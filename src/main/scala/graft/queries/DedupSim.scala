@@ -281,6 +281,29 @@ object DedupSim {
           (col("n1") + col("n2") - col("inter_n")).as("union_n"),
           (col("inter_n").cast("double") / (col("n1") + col("n2") - col("inter_n")))
             .as("jaccard"))
+    }),
+
+    // Cross-corpus decontamination at the DOCUMENT level: LSH
+    // candidate pairs between a small eval corpus (source = src0) and
+    // the train corpus — the "is any eval doc near-dup'd into
+    // training data" audit (q67 answers the same question at the
+    // n-gram level). Scale shape: band keys are computed once over
+    // everything (one groupBy), the EVAL side's keys are tiny and
+    // broadcast, so the train corpus is never shuffled for the join
+    // and train×train pairs are never generated — at 100 TB that
+    // asymmetry is the whole game.
+    "q9D_cross_corpus_lsh" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+      val bk = Dedup.minhashBandKeys(
+          d.select(col("doc_id"), col("shingles")), "doc_id", "shingles", 8, 2)
+        .join(d.select("doc_id", "source"), "doc_id")
+      val ev = bk.filter(col("source") === "src0")
+        .select(col("band"), col("band_key"), col("doc_id").as("eval_id"))
+      val tr = bk.filter(col("source") =!= "src0")
+        .select(col("band"), col("band_key"), col("doc_id").as("train_id"))
+      tr.join(broadcast(ev), Seq("band", "band_key"))
+        .select("eval_id", "train_id").distinct()
     })
   )
 
@@ -665,6 +688,25 @@ object DedupSim {
           FROM agree a
           LEFT JOIN inter i ON i.id1 = a.id1 AND i.id2 = a.id2
           JOIN sz s1 ON s1.doc_id = a.id1
-          JOIN sz s2 ON s2.doc_id = a.id2"""
+          JOIN sz s2 ON s2.doc_id = a.id2""",
+
+    // same band construction as q42/q98, split by corpus label
+    "q9D_cross_corpus_lsh" ->
+      s"""$sigsSql,
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
+          lab AS (SELECT doc_id, source FROM documents),
+          ev AS (
+            SELECT b.doc_id AS eval_id, band, band_key
+            FROM bands b JOIN lab l ON l.doc_id = b.doc_id
+            WHERE l.source = 'src0'),
+          tr AS (
+            SELECT b.doc_id AS train_id, band, band_key
+            FROM bands b JOIN lab l ON l.doc_id = b.doc_id
+            WHERE l.source <> 'src0')
+          SELECT DISTINCT eval_id, train_id
+          FROM ev JOIN tr USING (band, band_key)"""
   )
 }

@@ -222,7 +222,51 @@ object EventQueries {
     // the watermark, so the result matches exact dedup.
     "q82_stream_dedup_watermark" -> ((s, dir) =>
       s.table(stageQ82(s, dir)).groupBy("event_type")
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))),
+
+    // Ordered conversion funnel (view → click → purchase): first
+    // view, first click strictly after it, first purchase strictly
+    // after that — the product-analytics staple that sessionization
+    // (q52) doesn't answer. Each stage is a filtered min-agg plus a
+    // join, ALL keyed on user_id, so the stages co-partition: one
+    // logical shuffle key end-to-end, and each stage's input shrinks
+    // to the survivors of the previous one. Exact timestamps ⇒
+    // hash-exact.
+    "q9E_event_funnel" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // Cohort retention: cohort = month index of a customer's FIRST
+    // order; for each (cohort, month-offset) count the customers
+    // still active. Runs on orders (an 80-month span; events covers a
+    // single month, which would make every offset 0). Two
+    // aggregations (first-order per customer, distinct
+    // customer-months) and one join, all on the customer key /
+    // integer month indexes — exact counts, no calendar arithmetic
+    // beyond the ym index q96 uses.
+    "q9F_retention_cohorts" -> ((s, dir) => {
+      val e = table(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("ym"))
+      val first = e.groupBy("o_custkey").agg(min(col("ym")).as("cohort_ym"))
+      e.distinct().join(first, "o_custkey")
+        .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("offset_m"))
+        .agg(count(lit(1)).as("n_users"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -333,6 +377,35 @@ object EventQueries {
            CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
            count(*) AS n
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    "q9E_event_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(ts) AS t_click
+           FROM events e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(ts) AS t_purchase
+           FROM events e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+         SELECT v.user_id, t_view, t_click, t_purchase,
+           CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
+             AS INTEGER) AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+
+    "q9F_retention_cohorts" ->
+      """WITH e AS (
+           SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym
+           FROM orders),
+         f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM e GROUP BY o_custkey),
+         a AS (SELECT DISTINCT o_custkey, ym FROM e)
+         SELECT cohort_ym, ym - cohort_ym AS offset_m,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f USING (o_custkey) GROUP BY 1, 2"""
   )
 }
