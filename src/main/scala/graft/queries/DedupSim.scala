@@ -98,6 +98,30 @@ object DedupSim {
       Components.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
     }),
 
+    // q74 carried one step further — the actual keep/drop decision a
+    // dedup pass ships: per duplicate cluster, keep the longest doc
+    // (ties → lowest id) and report what survives. The representative
+    // is picked by max_by over an exact BIGINT score (length
+    // dominates, id breaks ties); a window row_number would re-sort
+    // every cluster member, while max_by is a map-side-partial agg —
+    // the same one-row-per-key-per-task shape as q99's compaction.
+    "qA1_canonical_docs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val d = docs
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
+      Components.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"),
+            col("n_chars") * lit(10000000L) - col("doc_id")).as("keep_id"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // 32-bit SimHash fingerprints.
     "q43_simhash" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -331,6 +355,34 @@ object DedupSim {
           FROM sh, generate_series(0, 7) g(k)
           GROUP BY doc_id, g.k)"""
 
+  /** Shared by q74/qA1: LSH candidate edges → transitive closure →
+    * per-doc min reachable id (`comp(doc_id, mn)`); singletons are
+    * absent and label themselves in the consumer's LEFT JOIN. The
+    * walk CTE needs the RECURSIVE keyword, which must go on the WITH
+    * that sigsSql opens. */
+  private val clustersCte =
+    s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          edges AS (
+            SELECT id1 AS a, id2 AS b FROM cand
+            UNION SELECT id2, id1 FROM cand),
+          walk(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          comp AS (
+            SELECT a AS doc_id, min(b) AS mn
+            FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r
+            GROUP BY a)"""
+
   def oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->
       """SELECT md5(l_partkey || '|' || l_suppkey || '|' || l_quantity) AS dup_key,
@@ -382,33 +434,27 @@ object DedupSim {
 
     // transitive closure over the same candidate edges (recursive CTE
     // with set-union semantics terminates on cycles); min reachable id
-    // = cluster label, LEFT JOIN keeps singletons. The walk CTE needs
-    // the RECURSIVE keyword, which must go on the WITH that sigsSql
-    // opens.
+    // = cluster label, LEFT JOIN keeps singletons.
     "q74_dedup_clusters" ->
-      s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          bands AS (
-            SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
-            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id),
-          edges AS (
-            SELECT id1 AS a, id2 AS b FROM cand
-            UNION SELECT id2, id1 FROM cand),
-          walk(a, b) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
-          comp AS (
-            SELECT a AS doc_id, min(b) AS mn
-            FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r
-            GROUP BY a)
+      s"""$clustersCte
           SELECT d.doc_id, coalesce(comp.mn, d.doc_id) AS cluster_id
           FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id""",
+
+    // q74's clusters reduced to the keep/drop DECISION: arg-max by the
+    // same integer tie-broken score as the Spark side (longest doc
+    // wins, lowest id breaks ties — the score arithmetic is exact
+    // BIGINT so arg_max/max_by agree bit-for-bit).
+    "qA1_canonical_docs" ->
+      s"""$clustersCte,
+          lab AS (
+            SELECT d.doc_id, coalesce(comp.mn, d.doc_id) AS cluster_id,
+              d.n_chars
+            FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+            arg_max(doc_id, n_chars * 10000000 - doc_id) AS keep_id,
+            max(n_chars) AS max_chars,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM lab GROUP BY cluster_id""",
 
     "q43_simhash" -> {
       s"""WITH toks AS (

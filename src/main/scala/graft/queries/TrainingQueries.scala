@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.{CountMin, HeavyHitters}
 import graft.io.Sources.table
 import graft.plans.GroupedTopK
@@ -237,6 +238,39 @@ object TrainingQueries {
       d.withColumn("cum", sum("n_tokens").over(w))
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           expr(s"(cum - n_tokens) div $Budget").as("bin"))
+    }),
+
+    // Domain-mixture (temperature) sampling: multilingual/multi-source
+    // training runs downweight oversized domains by sampling each
+    // source at rate ∝ 1/√tokens (α = 0.5 temperature, the mT5/XLM-R
+    // recipe) so the mixture flattens without starving small sources.
+    // The rate is a 12-bit fixed-point threshold (exact integer
+    // compare, no float-equality hazard in the keep/drop decision; the
+    // only float ops are one √ and one ÷, both correctly-rounded IEEE
+    // so the rate itself hash-checks), and the sampler is the q59
+    // partition-invariant md5 bucket — same docs survive on 1 executor
+    // or 1000. Scale shape: per-source agg is tiny (|sources| rows),
+    // rates broadcast back, keep/drop is a narrow filter; at 100 TB
+    // the second scan folds into the first via a cached token count or
+    // a metadata-level count.
+    "qA0_domain_mixture" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      val avail = d.groupBy("source")
+        .agg(count(lit(1)).as("docs_avail"), sum("n_tok").as("tokens_avail"))
+        .withColumn("rate_4096",
+          least(lit(4096L),
+            floor(lit(65536.0) / sqrt(col("tokens_avail").cast("double")))))
+      val kept = d
+        .join(broadcast(avail.select("source", "rate_4096")), "source")
+        .filter(Dedup.md5Long(col("doc_id").cast("string")) % 4096 < col("rate_4096"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"))
+      avail.join(kept, Seq("source"), "left")
+        .na.fill(0L, Seq("docs_kept", "tokens_kept"))
+        .select("source", "docs_avail", "tokens_avail", "rate_4096",
+          "docs_kept", "tokens_kept")
     })
   )
 
@@ -423,6 +457,36 @@ object TrainingQueries {
             CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                     ROWS UNBOUNDED PRECEDING) - n_tokens) // $Budget
               AS BIGINT) AS bin
-          FROM d"""
+          FROM d""",
+
+    // same √-temperature rate (65536.0/√tokens, floored into 12-bit
+    // fixed point — the keep/drop compare is pure integer) and the
+    // q59 md5 bucket sampler; 0e0 literals force DOUBLE (not DECIMAL)
+    // so both engines run the identical ÷ and √
+    "qA0_domain_mixture" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         avail AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS docs_avail,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_avail
+           FROM d GROUP BY source),
+         rates AS (
+           SELECT *, least(CAST(4096 AS BIGINT),
+             CAST(floor(65536.0e0 / sqrt(CAST(tokens_avail AS DOUBLE))) AS BIGINT))
+               AS rate_4096
+           FROM avail),
+         kept AS (
+           SELECT d.source, CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+           FROM d JOIN rates USING (source)
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 4096 < rate_4096
+           GROUP BY d.source)
+         SELECT source, docs_avail, tokens_avail, rate_4096,
+           coalesce(docs_kept, 0) AS docs_kept,
+           coalesce(tokens_kept, 0) AS tokens_kept
+         FROM rates LEFT JOIN kept USING (source)"""
   )
 }
