@@ -372,6 +372,58 @@ object Relational2 {
             .as("top_key"))
         .withColumn("skew",
           (col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"))
+    }),
+
+    // Table profiling in ONE scan — the pre-flight every 100 TB run
+    // starts with (null rates, cardinalities, bounds per column feed
+    // partition-count / broadcast / skew decisions before any real
+    // query runs). One wide agg then stack() to long form; numeric
+    // bounds are min/max'd NATIVELY then rendered to string (so the
+    // ordering is numeric, not lexicographic), the double column is
+    // profiled as exact integer cents, timestamps as yyyy-MM-dd. The
+    // multi-column exact countDistinct plans via Expand (rows ×
+    // #distinct-aggs) — the documented 100 TB swap is
+    // approx_count_distinct, which collapses this to one pass; exact
+    // is kept here because the profile is the oracle-checked output.
+    "qA2_column_profile" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+      val prof = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("nn1"),
+        countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_custkey")).as("nn2"),
+        countDistinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderstatus")).as("nn3"),
+        countDistinct(col("o_orderstatus")).as("nd3"),
+        min(col("o_orderstatus")).as("mn3"),
+        max(col("o_orderstatus")).as("mx3"),
+        count(col("o_orderpriority")).as("nn4"),
+        countDistinct(col("o_orderpriority")).as("nd4"),
+        min(col("o_orderpriority")).as("mn4"),
+        max(col("o_orderpriority")).as("mx4"),
+        count(col("o_orderdate")).as("nn5"),
+        countDistinct(col("o_orderdate")).as("nd5"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn5"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx5"),
+        count(cents).as("nn6"),
+        countDistinct(cents).as("nd6"),
+        min(cents).cast("string").as("mn6"),
+        max(cents).cast("string").as("mx6"))
+      prof.select(
+        expr("""stack(6,
+            'o_orderkey',      n_rows - nn1, nd1, mn1, mx1,
+            'o_custkey',       n_rows - nn2, nd2, mn2, mx2,
+            'o_orderstatus',   n_rows - nn3, nd3, mn3, mx3,
+            'o_orderpriority', n_rows - nn4, nd4, mn4, mx4,
+            'o_orderdate',     n_rows - nn5, nd5, mn5, mx5,
+            'o_totalprice_cents', n_rows - nn6, nd6, mn6, mx6)
+          as (col_name, n_nulls, n_distinct, min_s, max_s)"""),
+        col("n_rows"))
     })
   )
 
@@ -587,6 +639,43 @@ object Relational2 {
                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_keys,
                  max(c) OVER (PARTITION BY event_type) AS max_cnt
                FROM kc)
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+
+    // one wide agg CTE, six UNION ALL projections — numeric min/max
+    // before the VARCHAR render, cents for the double, yyyy-MM-dd for
+    // the timestamp, all matching the Spark side's stack() rows
+    "qA2_column_profile" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_orderkey) AS BIGINT) AS nn1,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+             CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+             CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+             CAST(count(o_custkey) AS BIGINT) AS nn2,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+             CAST(min(o_custkey) AS VARCHAR) AS mn2,
+             CAST(max(o_custkey) AS VARCHAR) AS mx2,
+             CAST(count(o_orderstatus) AS BIGINT) AS nn3,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+             min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+             CAST(count(o_orderpriority) AS BIGINT) AS nn4,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd4,
+             min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4,
+             CAST(count(o_orderdate) AS BIGINT) AS nn5,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS mn5,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS mx5,
+             CAST(count(o_totalprice) AS BIGINT) AS nn6,
+             CAST(count(DISTINCT CAST(floor(o_totalprice * 100.0e0) AS BIGINT)) AS BIGINT) AS nd6,
+             CAST(CAST(min(floor(o_totalprice * 100.0e0)) AS BIGINT) AS VARCHAR) AS mn6,
+             CAST(CAST(max(floor(o_totalprice * 100.0e0)) AS BIGINT) AS VARCHAR) AS mx6
+           FROM orders)
+         SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_nulls,
+           nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+         UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+         UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
+         UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a
+         UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM a
+         UNION ALL SELECT 'o_totalprice_cents', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM a"""
   )
 }
