@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+
+/** Graph analytics over relational edge lists — PageRank as the
+  * representative iterative-propagation workload (the web-scale
+  * centrality measure of Page et al., and the canonical "does your
+  * engine do iterative joins well" test). Design notes:
+  *
+  *  - **Fixed-point integer arithmetic.** Ranks live in millionths
+  *    (r0 = 1,000,000); each step is `150000 + (85 · Σ floor(r/deg))
+  *    div 100` — the standard d=0.85 update with every operation an
+  *    exact integer op. Floating-point PageRank cannot hash-check
+  *    across engines (Σ over in-neighbors is order-sensitive in IEEE);
+  *    integer Σ is associative, so the same construction that makes
+  *    the oracle exact also makes the distributed sum
+  *    partition-layout-invariant.
+  *  - **Scale shape.** Per iteration: one join (edges ⋈ ranks on src —
+  *    ranks is the small, shrinking side only at toy scale; at 100 TB
+  *    both sides shuffle on src, which AQE plans) and one groupBy(dst)
+  *    with map-side partial sums. Degrees are joined ONCE outside the
+  *    loop and the (src, dst, deg) edge view is localCheckpoint'd —
+  *    the loop re-reads a materialized edge list, not the
+  *    orders⋈lineitem lineage, mirroring [[graft.dedup.Components]].
+  *  - **Convergence is bounded, not detected**: a fixed 3 iterations
+  *    (unrolled in the oracle as chained CTEs). Production PageRank
+  *    iterates to an L1 threshold; a fixed budget keeps the plan
+  *    static and the oracle finite, and 3 rounds already separate the
+  *    hub suppliers from the tail.
+  */
+object GraphQueries {
+
+  /** Damping in percent and the fixed-point base. */
+  private val DampPct = 85
+  private val Base = 1000000L
+  private val Iters = 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank over the undirected customer–supplier trade graph
+    // (edge = "this customer ordered from this supplier"): 3
+    // fixed-point iterations; output = every node's rank in
+    // millionths. High-degree suppliers accumulate rank — the same
+    // power-law hubs that make skew handling (q9C/q1B) matter.
+    "qA3_pagerank" -> ((s, dir) => {
+      val e0 = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // materialize (src, dst, deg) once; the loop never re-derives it
+      val ed = edges.join(deg, "src").localCheckpoint()
+      var ranks = deg.select(col("src").as("node"), lit(Base).as("rank"))
+      for (_ <- 1 to Iters) {
+        ranks = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("rank div deg").as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("node"),
+            (lit(Base * 15 / 100) + expr(s"($DampPct * cs) div 100")).as("rank"))
+      }
+      ranks
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // the same three updates unrolled as chained CTEs; HUGEINT
+    // intermediates collapse back to BIGINT at each rank cast
+    "qA3_pagerank" -> {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           SELECT ed.dst AS node,
+             CAST(150000 + (85 * sum($prev.rank // ed.deg)) // 100 AS BIGINT) AS rank
+           FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY ed.dst)"""
+      s"""WITH e0 AS (
+           SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                 FROM edges GROUP BY src),
+         ed AS (SELECT e.src, e.dst, d.deg
+                FROM edges e JOIN deg d USING (src)),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         ${step("r0", "r1")},
+         ${step("r1", "r2")},
+         ${step("r2", "r3")}
+         SELECT node, rank FROM r3"""
+    }
+  )
+}
