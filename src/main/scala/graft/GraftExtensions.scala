@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-import graft.functions.{ArrayDot, BloomBuildAgg, BloomMightContain, ChunkText, CountMinAgg, HeavyHitters, NerExtract, WordShingles}
+import graft.functions.{ArrayDot, BloomBuildAgg, BloomMightContain, ChunkText, CountMinAgg, HeavyHitters, NerExtract, UnicodeNormalize, WordShingles}
 import graft.text.EntityRuler
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -143,6 +143,22 @@ object GraftFunctions {
         BloomMightContain(args(0),
           Cast(args(1), org.apache.spark.sql.types.StringType),
           litInt("bloom_might_contain", "mBits", args(2)))
+      }),
+    // Unicode canonicalization (DuckDB spells the first one
+    // nfc_normalize too — the SQL surface matches)
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", args, 1)
+        UnicodeNormalize(
+          Cast(args(0), org.apache.spark.sql.types.StringType), nfkc = false)
+      }),
+    (FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfkc_normalize"),
+      (args: Seq[Expression]) => {
+        arity("nfkc_normalize", args, 1)
+        UnicodeNormalize(
+          Cast(args(0), org.apache.spark.sql.types.StringType), nfkc = true)
       })
   )
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.UnicodeNormalize
 import graft.io.Sources.table
 import graft.text.{EntityRuler, Sentiment, TextStats}
 
@@ -198,8 +199,35 @@ object TextQueries {
       table(s, dir, "documents")
         .select(col("doc_id"), size(array_intersect(sh, needles)).as("n_hits"))
         .filter(col("n_hits") > 0)
+    }),
+
+    // Unicode canonicalization ([[UnicodeNormalize]]): the corpus is
+    // ASCII-synthetic, so each doc gets a deterministic decomposed
+    // suffix [[NfcSuffix]] (four combining marks NFC composes away,
+    // plus one pre-composed é that must pass through unchanged —
+    // idempotence). Output pins both the normalized STRING
+    // (byte-compared against DuckDB's nfc_normalize, which implements
+    // the same Unicode tables) and the codepoint-length delta (always
+    // 4 here). Narrow map, codegen'd, quick-check fast path — the
+    // canonicalize-before-hash step q35/q40-style dedup needs on any
+    // real multilingual corpus.
+    "qA4_unicode_nfc" -> ((s, dir) => {
+      val mixed = concat(substring(col("text"), 1, 24), lit(NfcSuffix))
+      table(s, dir, "documents")
+        .select(col("doc_id"), mixed.as("raw"),
+          UnicodeNormalize.nfc(mixed).as("nfc"))
+        .select(col("doc_id"), col("nfc"),
+          length(col("raw")).as("raw_len"),
+          length(col("nfc")).as("nfc_len"))
     })
   )
+
+  /** qA4's probe suffix, shared verbatim with the oracle SQL: one
+    * PRE-composed é (U+00E9), then decomposed e+U+0301, i+U+0308,
+    * A+U+030A, o+U+0308 — NFC leaves the first alone and composes the
+    * four marks, shortening the string by exactly 4 codepoints. */
+  private val NfcSuffix =
+    " caf\u00e9 cafe\u0301 nai\u0308ve A\u030angstro\u0308m"
 
   /** Needle 3-grams for q67: three present in the corpus, one held
     * out (must never match — an always-true overlap would hide a
@@ -572,6 +600,19 @@ object TextQueries {
                  list_zip(w, list_prepend('', w[:len(w) - 1])),
                  p -> p[1] <> p[2]),
                p -> p[1]), ' ') AS clean
-         FROM t"""
+         FROM t""",
+
+    // the suffix is interpolated from the SAME Scala constant the
+    // query uses, so both engines normalize byte-identical input;
+    // DuckDB's nfc_normalize and the JDK Normalizer implement the
+    // same Unicode canonical-composition tables
+    "qA4_unicode_nfc" ->
+      s"""WITH t AS (
+            SELECT doc_id, substr(text, 1, 24) || '$NfcSuffix' AS raw
+            FROM documents)
+          SELECT doc_id, nfc_normalize(raw) AS nfc,
+            CAST(len(raw) AS INTEGER) AS raw_len,
+            CAST(len(nfc_normalize(raw)) AS INTEGER) AS nfc_len
+          FROM t"""
   )
 }
