@@ -104,6 +104,7 @@ object IoQueries {
     "q57_csv_roundtrip" -> ((s, dir) => { stageCsv(s, dir); () }),
     "q5B_bucketed_join" -> ((s, dir) => { stageBucketed(s, dir); () }),
     "q5C_partition_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
+    "qA5_dynamic_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
     "q81_jsonl_roundtrip" -> ((s, dir) => { stageJsonl(s, dir); () }),
     "q83_orc_roundtrip" -> ((s, dir) => { stageOrc(s, dir); () })
   )
@@ -297,6 +298,38 @@ object IoQueries {
         .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-05")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    }),
+
+    // DYNAMIC partition pruning — q5C's static literal replaced by a
+    // dim-side predicate only known at RUN time: "days strictly
+    // busier than the per-day average" (exact integer cross-multiply
+    // n_day·n_days > total, so day selection is scale-free and
+    // hash-stable). The threshold scalars are SCALAR SUBQUERIES so the
+    // dim side keeps a selective Filter node — Catalyst's
+    // PartitionPruning rule requires one (a cross-join + filter gets
+    // pushed into the join condition and DPP declines); with it, the
+    // fact scan's partitionFilters gain a dynamicpruning expression
+    // reusing the broadcast (PartitionedWriteSpec pins the plan).
+    // At 100 TB this is the difference between reading 3 days and 3
+    // years when the qualifying set isn't a compile-time constant.
+    "qA5_dynamic_prune" -> ((s, dir) => {
+      val tmp = stagePartitioned(s, dir)
+      s.read.parquet(s"$tmp/ev").createOrReplaceTempView("graft_qa5_fact")
+      table(s, dir, "events").withColumn("d", to_date(col("ts")))
+        .createOrReplaceTempView("graft_qa5_events")
+      s.sql("""
+        WITH byday AS (
+          SELECT d, count(1) AS n_day FROM graft_qa5_events GROUP BY d)
+        SELECT /*+ BROADCAST(dim) */ f.event_type,
+          count(1) AS n_events,
+          count(DISTINCT f.user_id) AS n_users,
+          max(f.value) AS max_value
+        FROM graft_qa5_fact f
+        JOIN (SELECT d FROM byday
+              WHERE n_day * (SELECT count(1) FROM byday)
+                    > (SELECT sum(n_day) FROM byday)) dim
+          ON f.d = dim.d
+        GROUP BY f.event_type""")
     })
   )
 
@@ -434,6 +467,25 @@ object IoQueries {
            count(DISTINCT user_id) AS n_users
          FROM events
          WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+         GROUP BY event_type""",
+
+    // same runtime day-selection predicate over the un-partitioned
+    // table — dynamic pruning must not change which rows qualify
+    "qA5_dynamic_prune" ->
+      """WITH byday AS (
+           SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_day
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_day) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_days
+           FROM byday),
+         dim AS (
+           SELECT d FROM byday, tot
+           WHERE n_day * n_days > total)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           max(value) AS max_value
+         FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
          GROUP BY event_type"""
   )
 }
