@@ -53,7 +53,18 @@ object Dedup {
     * one row per (id, k) with the per-hash minimum over the shingle
     * set. `shingles` must be an array column. */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String,
-                        numHashes: Int = 8): DataFrame = {
+                        numHashes: Int = 8): DataFrame =
+    minhashSignaturesBy(df, Seq(idCol), shinglesCol, numHashes)
+
+  /** [[minhashSignatures]] generalized to a composite key — the
+    * signature of ANY grouping (doc, source, source×lang, whole
+    * corpus) is the same elementwise min over its shingle rows, which
+    * is what makes the sketch MERGEABLE: min is associative, so
+    * coarse signatures roll up from fine ones without re-reading text
+    * (qA6 pins the identity; same algebra as the HLL rollup, q95). */
+  def minhashSignaturesBy(df: DataFrame, keyCols: Seq[String],
+                          shinglesCol: String,
+                          numHashes: Int = 8): DataFrame = {
     require(numHashes >= 1 && numHashes <= HashA.length,
       s"numHashes must be in [1, ${HashA.length}] (available hash family size)")
     // NOTE: rows with EMPTY shingle arrays produce no signature (and
@@ -62,15 +73,15 @@ object Dedup {
     // hash each shingle ONCE (md5 is the expensive part), then take
     // all k minima in a single aggregation pass — k agg expressions
     // over the shingle rows instead of a k× row fanout — and unpivot
-    // the k columns with stack(). One shuffle of one row per doc.
-    val sh = df.select(col(idCol), explode(col(shinglesCol)).as("shingle"))
+    // the k columns with stack(). One shuffle of one row per key.
+    val sh = df.select(keyCols.map(col) :+ explode(col(shinglesCol)).as("shingle"): _*)
       .withColumn("H", md5Long(col("shingle")) % P)
     val aggs = (0 until numHashes).map { k =>
       min((lit(HashA(k)) * col("H") + lit(HashB(k))) % P).as(s"m$k")
     }
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val wide = sh.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stackArgs = (0 until numHashes).map(k => s"$k, m$k").mkString(", ")
-    wide.selectExpr(idCol, s"stack($numHashes, $stackArgs) AS (k, minhash)")
+    wide.selectExpr(keyCols :+ s"stack($numHashes, $stackArgs) AS (k, minhash)": _*)
   }
 
   /** LSH banding over long-form signatures: band b combines

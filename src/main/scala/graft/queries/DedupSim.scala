@@ -122,6 +122,37 @@ object DedupSim {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Mergeable-sketch algebra for MinHash (the q95-HLL-rollup story
+    // for similarity): a grouping's signature is the elementwise min
+    // of its shingle hashes, so coarse signatures ROLL UP from fine
+    // ones — source-level sigs from (source, lang)-level sigs with no
+    // text re-read, the property that lets a 100 TB corpus keep
+    // per-shard sketches and merge them per tenant/day/source on
+    // demand. Output: per source pair, the signature-agreement count
+    // (the corpus-level Jaccard estimate between sources) plus
+    // rollup_ok — both sources' rolled-up signatures must equal the
+    // directly-computed ones, hash-checked as constant true.
+    "qA6_minhash_rollup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("source", "lang", "shingles")
+      val direct = Dedup.minhashSignaturesBy(d, Seq("source"), "shingles", 8)
+      val fine = Dedup.minhashSignaturesBy(d, Seq("source", "lang"), "shingles", 8)
+      val rolled = fine.groupBy("source", "k").agg(min("minhash").as("rolled"))
+      val ok = direct.join(rolled, Seq("source", "k"))
+        .groupBy("source")
+        .agg(min((col("minhash") === col("rolled")).cast("int")).as("oki"))
+      val a = direct.select(col("source").as("s1"), col("k"), col("minhash").as("h1"))
+      val b = direct.select(col("source").as("s2"), col("k"), col("minhash").as("h2"))
+      a.join(b, "k").filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_agree"))
+        .join(ok.select(col("source").as("s1"), col("oki").as("ok1")), "s1")
+        .join(ok.select(col("source").as("s2"), col("oki").as("ok2")), "s2")
+        .select(col("s1"), col("s2"), col("n_agree"),
+          (col("ok1") === 1 && col("ok2") === 1).as("rollup_ok"))
+    }),
+
     // 32-bit SimHash fingerprints.
     "q43_simhash" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -455,6 +486,42 @@ object DedupSim {
             max(n_chars) AS max_chars,
             CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM lab GROUP BY cluster_id""",
+
+    // direct and rolled-up signatures computed independently with the
+    // same hash family; agreement counts over the k=8 components
+    "qA6_minhash_rollup" -> {
+      val hashExpr =
+        s"($aList[g.k + 1] * (${md5LongSql("shingle")} % $P) + $bList[g.k + 1]) % $P"
+      s"""WITH sh AS (
+            SELECT source, lang, s.shingle
+            FROM (SELECT source, lang, $shinglesSql AS shingles FROM documents),
+                 unnest(shingles) AS s(shingle)),
+          direct AS (
+            SELECT source, g.k, min($hashExpr) AS mh
+            FROM sh, generate_series(0, 7) g(k)
+            GROUP BY source, g.k),
+          fine AS (
+            SELECT source, lang, g.k, min($hashExpr) AS mh
+            FROM sh, generate_series(0, 7) g(k)
+            GROUP BY source, lang, g.k),
+          rolled AS (
+            SELECT source, k, min(mh) AS rmh FROM fine GROUP BY source, k),
+          ok AS (
+            SELECT d.source,
+              min(CASE WHEN d.mh = r.rmh THEN 1 ELSE 0 END) AS oki
+            FROM direct d JOIN rolled r ON d.source = r.source AND d.k = r.k
+            GROUP BY d.source),
+          agree AS (
+            SELECT a.source AS s1, b.source AS s2,
+              CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM direct a JOIN direct b ON a.k = b.k AND a.source < b.source
+            GROUP BY a.source, b.source)
+          SELECT s1, s2, n_agree,
+            (o1.oki = 1 AND o2.oki = 1) AS rollup_ok
+          FROM agree
+          JOIN ok o1 ON o1.source = s1
+          JOIN ok o2 ON o2.source = s2"""
+    },
 
     "q43_simhash" -> {
       s"""WITH toks AS (
