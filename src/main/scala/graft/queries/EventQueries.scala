@@ -266,6 +266,41 @@ object EventQueries {
       e.distinct().join(first, "o_custkey")
         .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("offset_m"))
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Incremental aggregation maintenance — the partial-merge algebra
+    // every materialized view / streaming-total / multi-day backfill
+    // relies on: batch partials (count / integer-cents sum / min /
+    // max are all MERGEABLE) combine into exactly the state a direct
+    // full-table aggregation produces. Two deterministic md5 batches
+    // stand in for "yesterday's state + today's delta"; merge_ok
+    // hash-checks as constant true, so a non-mergeable measure
+    // sneaking into the state (e.g. a raw average) fails the gate.
+    // Scale shape: each partial is one map-side-combined agg over its
+    // batch; the merge re-aggregates |types| rows — state size, not
+    // data size.
+    "qA7_incremental_agg" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("b",
+          substring(md5(col("event_id").cast("string")), 1, 1) < "8")
+        .withColumn("cents", floor(col("value") * lit(100.0)).cast("long"))
+      def partial(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+          min("value").as("mn"), max("value").as("mx"))
+      val merged = partial(ev.filter(col("b")))
+        .unionByName(partial(ev.filter(!col("b"))))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("sc").as("sum_cents"),
+          min("mn").as("min_value"), max("mx").as("max_value"))
+      val direct = partial(ev)
+        .select(col("event_type"), col("n").as("dn"), col("sc").as("dsc"),
+          col("mn").as("dmn"), col("mx").as("dmx"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("n_events"), col("sum_cents"),
+          col("min_value"), col("max_value"),
+          (col("n_events") === col("dn") && col("sum_cents") === col("dsc")
+            && col("min_value") === col("dmn")
+            && col("max_value") === col("dmx")).as("merge_ok"))
     })
   )
 
@@ -406,6 +441,40 @@ object EventQueries {
          a AS (SELECT DISTINCT o_custkey, ym FROM e)
          SELECT cohort_ym, ym - cohort_ym AS offset_m,
            CAST(count(*) AS BIGINT) AS n_users
-         FROM a JOIN f USING (o_custkey) GROUP BY 1, 2"""
+         FROM a JOIN f USING (o_custkey) GROUP BY 1, 2""",
+
+    // same two md5 batches, same mergeable measures; merge_ok is the
+    // partial-merge-equals-direct verdict
+    "qA7_incremental_agg" ->
+      """WITH ev AS (
+           SELECT event_type, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS b,
+             CAST(floor(value * 100.0e0) AS BIGINT) AS cents
+           FROM events),
+         p1 AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             min(value) AS mn, max(value) AS mx
+           FROM ev WHERE b GROUP BY event_type),
+         p2 AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             min(value) AS mn, max(value) AS mx
+           FROM ev WHERE NOT b GROUP BY event_type),
+         merged AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(sc) AS BIGINT) AS sum_cents,
+             min(mn) AS min_value, max(mx) AS max_value
+           FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+           GROUP BY event_type),
+         direct AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS dn,
+             CAST(sum(cents) AS BIGINT) AS dsc,
+             min(value) AS dmn, max(value) AS dmx
+           FROM ev GROUP BY event_type)
+         SELECT event_type, n_events, sum_cents, min_value, max_value,
+           (n_events = dn AND sum_cents = dsc AND min_value = dmn
+             AND max_value = dmx) AS merge_ok
+         FROM merged JOIN direct USING (event_type)"""
   )
 }

@@ -219,6 +219,26 @@ object TextQueries {
         .select(col("doc_id"), col("nfc"),
           length(col("raw")).as("raw_len"),
           length(col("nfc")).as("nfc_len"))
+    }),
+
+    // Curriculum binning: equal-size difficulty tiers (ntile over the
+    // quality ordering, doc_id tiebreak → total order → deterministic
+    // membership in both engines). Per-tier audit = the data-mixing
+    // table a curriculum schedule consumes. NOTE the global window is
+    // the exact-equal-bins semantics and costs a global sort; the
+    // 100 TB form swaps ntile for approx-quantile cutoffs (q92) +
+    // a narrow filter, trading exact bin sizes for no global order.
+    "qA9_curriculum_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.qualityScoreMilli(col("text")).as("quality"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      d.withColumn("bin",
+          ntile(8).over(Window.orderBy(col("quality").desc, col("doc_id").asc)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), max("quality").as("q_hi"),
+          min("quality").as("q_lo"), sum("n_tok").as("n_tokens"))
     })
   )
 
@@ -613,6 +633,23 @@ object TextQueries {
           SELECT doc_id, nfc_normalize(raw) AS nfc,
             CAST(len(raw) AS INTEGER) AS raw_len,
             CAST(len(nfc_normalize(raw)) AS INTEGER) AS nfc_len
-          FROM t"""
+          FROM t""",
+
+    // same quality milli-score, same (quality DESC, doc_id) total
+    // order feeding ntile(8)
+    "qA9_curriculum_bins" ->
+      s"""$qualityMilliSql,
+          t AS (
+            SELECT q.doc_id, q.quality,
+              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+            FROM q JOIN documents d USING (doc_id)),
+          b AS (
+            SELECT *, CAST(ntile(8) OVER (ORDER BY quality DESC, doc_id ASC)
+              AS INTEGER) AS bin
+            FROM t)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+            max(quality) AS q_hi, min(quality) AS q_lo,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM b GROUP BY bin"""
   )
 }

@@ -271,6 +271,32 @@ object TrainingQueries {
         .na.fill(0L, Seq("docs_kept", "tokens_kept"))
         .select("source", "docs_avail", "tokens_avail", "rate_4096",
           "docs_kept", "tokens_kept")
+    }),
+
+    // Deterministic train/val/test assignment (80/10/10 by md5
+    // bucket): the split every experiment pipeline needs to be
+    // LEAKAGE-FREE and reproducible — a content-hash bucket is
+    // partition-invariant and stable across reruns/engines, where
+    // rand(seed) is neither. Output is the per-(source, split) audit
+    // (doc/token counts + per-mille share against the source total) a
+    // release gate would check. Narrow map + one small agg; the
+    // window total is over |source × split| rows, not docs.
+    "qA8_split_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket", Dedup.md5Long(col("doc_id").cast("string")) % 256)
+        .withColumn("split",
+          when(col("bucket") < 204, lit("train"))
+            .when(col("bucket") < 230, lit("val"))
+            .otherwise(lit("test")))
+      val per = d.groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      per.withColumn("n_total",
+          sum("n_docs").over(Window.partitionBy("source")))
+        .withColumn("frac_pm", expr("n_docs * 1000 div n_total"))
+        .select("source", "split", "n_docs", "n_tokens", "n_total", "frac_pm")
     })
   )
 
@@ -487,6 +513,29 @@ object TrainingQueries {
          SELECT source, docs_avail, tokens_avail, rate_4096,
            coalesce(docs_kept, 0) AS docs_kept,
            coalesce(tokens_kept, 0) AS tokens_kept
-         FROM rates LEFT JOIN kept USING (source)"""
+         FROM rates LEFT JOIN kept USING (source)""",
+
+    // same 256-bucket md5 assignment and per-mille integer shares
+    "qA8_split_assign" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 256 AS bucket
+           FROM documents),
+         s AS (
+           SELECT *, CASE WHEN bucket < 204 THEN 'train'
+                          WHEN bucket < 230 THEN 'val'
+                          ELSE 'test' END AS split
+           FROM d),
+         per AS (
+           SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM s GROUP BY 1, 2)
+         SELECT source, split, n_docs, n_tokens,
+           CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS n_total,
+           n_docs * 1000
+             // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS frac_pm
+         FROM per"""
   )
 }
