@@ -52,7 +52,8 @@ object OpBench {
       heavyHittersPair(spark, sfDir),
       componentsPair(spark, sfDir),
       bloomProbePair(spark, sfDir),
-      compactionPair(spark, sfDir))
+      compactionPair(spark, sfDir),
+      profileDistinctPair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -79,6 +80,35 @@ object OpBench {
           struct(col("ts"), col("event_id"))).as("last"))
         .select(col("user_id"), col("last.event_type"), col("last.value"),
           col("last.ts")).count())
+  }
+
+  /** Per-column exact distinct counts for a 6-column profile (qA2's
+    * task): one agg with six countDistincts — plans an Expand, every
+    * row replicated once per distinct branch and all branches
+    * shuffled — vs unpivot + two-phase distinct-then-count, whose
+    * exchange carries one row per distinct (column, value) after
+    * map-side partials. */
+  private def profileDistinctPair(s: SparkSession, dir: String) = {
+    val o = table(s, dir, "orders")
+    val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+    ("profile_distincts_twophase_vs_expand",
+      () => o.agg(
+        countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")),
+        countDistinct(col("o_orderstatus")),
+        countDistinct(col("o_orderpriority")),
+        countDistinct(col("o_orderdate")), countDistinct(cents)).count(),
+      () => o.select(expr("""stack(6,
+            'o_orderkey',      CAST(o_orderkey AS STRING),
+            'o_custkey',       CAST(o_custkey AS STRING),
+            'o_orderstatus',   o_orderstatus,
+            'o_orderpriority', o_orderpriority,
+            'o_orderdate',     CAST(o_orderdate AS STRING),
+            'o_totalprice_cents',
+              CAST(CAST(FLOOR(o_totalprice * 100.0D) AS BIGINT) AS STRING))
+          as (c, v)"""))
+        .filter(col("v").isNotNull)
+        .groupBy("c", "v").agg(count(lit(1)))
+        .groupBy("c").agg(count(lit(1))).count())
   }
 
   /** Per-supplier top-2 lineitems: window row_number idiom vs

@@ -435,6 +435,25 @@ object Relational2 {
         .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
       bounds.join(nd, "col_name")
         .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+    }),
+
+    // RANGE-frame window (vs q16's ROWS frame): trailing 7-day spend
+    // per customer — the frame is defined by the ORDER-BY VALUE
+    // (day index −6 … current), so same-day peer rows all see the
+    // full peer-inclusive total no matter their physical order, which
+    // is exactly what makes RANGE deterministic where a ROWS spelling
+    // of "last 7 days" is not. Integer cents, integer day index —
+    // exact. One shuffle (customer partition), sorted within.
+    "qAA_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("day_idx"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+      o.withColumn("trail7_cents", sum("cents").over(w))
+        .withColumn("trail7_orders", count(lit(1)).over(w))
     })
   )
 
@@ -687,6 +706,22 @@ object Relational2 {
          UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
          UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a
          UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM a
-         UNION ALL SELECT 'o_totalprice_cents', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM a"""
+         UNION ALL SELECT 'o_totalprice_cents', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM a""",
+
+    // same integer day index (epoch-seconds div 86400) and RANGE
+    // frame; DuckDB's RANGE over an integer ORDER BY key matches
+    // Spark's rangeBetween semantics (value distance, peer-inclusive)
+    "qAA_range_frame" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_idx,
+             CAST(floor(o_totalprice * 100.0e0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey, day_idx, cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS trail7_cents,
+           CAST(count(*) OVER w AS BIGINT) AS trail7_orders
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
   )
 }
