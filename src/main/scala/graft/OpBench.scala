@@ -82,33 +82,36 @@ object OpBench {
           col("last.ts")).count())
   }
 
-  /** Per-column exact distinct counts for a 6-column profile (qA2's
-    * task): one agg with six countDistincts — plans an Expand, every
-    * row replicated once per distinct branch and all branches
-    * shuffled — vs unpivot + two-phase distinct-then-count, whose
-    * exchange carries one row per distinct (column, value) after
-    * map-side partials. */
+  /** Full 6-column profile (qA2's task): the single wide agg — 19
+    * count/min/max expressions PLUS six exact countDistincts, which
+    * plans an Expand replicating every WIDE row once per distinct
+    * branch — vs qA2's split shape (narrow agg for counts/bounds, and
+    * distincts via unpivot + two-phase distinct-then-count over a
+    * thin (col, value) projection). The isolated distinct-only
+    * comparison is ~even at this scale; the win is keeping the Expand
+    * off the wide row. collect(), not count() — count() of an agg
+    * result lets the optimizer PRUNE the aggregates (the ArrayDot
+    * count()-timed-an-empty-scan trap, BASELINE.md). */
   private def profileDistinctPair(s: SparkSession, dir: String) = {
     val o = table(s, dir, "orders")
-    val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
-    ("profile_distincts_twophase_vs_expand",
+    def cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+    ("profile_split_vs_wide_expand",
       () => o.agg(
-        countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")),
-        countDistinct(col("o_orderstatus")),
-        countDistinct(col("o_orderpriority")),
-        countDistinct(col("o_orderdate")), countDistinct(cents)).count(),
-      () => o.select(expr("""stack(6,
-            'o_orderkey',      CAST(o_orderkey AS STRING),
-            'o_custkey',       CAST(o_custkey AS STRING),
-            'o_orderstatus',   o_orderstatus,
-            'o_orderpriority', o_orderpriority,
-            'o_orderdate',     CAST(o_orderdate AS STRING),
-            'o_totalprice_cents',
-              CAST(CAST(FLOOR(o_totalprice * 100.0D) AS BIGINT) AS STRING))
-          as (c, v)"""))
-        .filter(col("v").isNotNull)
-        .groupBy("c", "v").agg(count(lit(1)))
-        .groupBy("c").agg(count(lit(1))).count())
+        count(lit(1)), count(col("o_orderkey")),
+        countDistinct(col("o_orderkey")),
+        min(col("o_orderkey")).cast("string"), max(col("o_orderkey")).cast("string"),
+        count(col("o_custkey")), countDistinct(col("o_custkey")),
+        min(col("o_custkey")).cast("string"), max(col("o_custkey")).cast("string"),
+        count(col("o_orderstatus")), countDistinct(col("o_orderstatus")),
+        min(col("o_orderstatus")), max(col("o_orderstatus")),
+        count(col("o_orderpriority")), countDistinct(col("o_orderpriority")),
+        min(col("o_orderpriority")), max(col("o_orderpriority")),
+        count(col("o_orderdate")), countDistinct(col("o_orderdate")),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd"),
+        count(cents), countDistinct(cents),
+        min(cents).cast("string"), max(cents).cast("string")).collect(),
+      () => SparkEntry.queries("qA2_column_profile")(s, dir).collect())
   }
 
   /** Per-supplier top-2 lineitems: window row_number idiom vs
