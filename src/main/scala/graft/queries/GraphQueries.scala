@@ -38,6 +38,32 @@ object GraphQueries {
   private val Base = 1000000L
   private val Iters = 3
 
+  /** Fixed-point integer PageRank over a DIRECTED edge list (pass
+    * both directions for an undirected graph). Every node must
+    * appear as a src (deg ≥ 1) — true by construction for
+    * both-direction lists. The edge list is localCheckpoint'd once;
+    * deg, the (src, dst, deg) view, and r0 all derive from the
+    * materialized frame, so the caller's build lineage runs exactly
+    * once. Returns (node, rank) with rank in millionths; the update
+    * is r' = 0.15·Base + ⌊0.85 · Σ ⌊r/deg⌋⌋ in exact integer ops, so
+    * the distributed Σ is partition-invariant (ScaleSmokeSpec pins
+    * the closed form on a ring graph). */
+  def pageRank(directedEdges: DataFrame, iters: Int = Iters): DataFrame = {
+    val edges = directedEdges.localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(Base).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("node"),
+          (lit(Base * 15 / 100) + expr(s"($DampPct * cs) div 100")).as("rank"))
+    }
+    ranks
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PageRank over the undirected customer–supplier trade graph
     // (edge = "this customer ordered from this supplier"): 3
@@ -55,25 +81,8 @@ object GraphQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      // materialize the edge list ONCE — deg, ed and r0 all derive
-      // from the checkpointed frame, so the orders⋈lineitem+distinct
-      // chain runs exactly once (deriving r0 from the un-checkpointed
-      // lineage re-ran the whole build inside the first iteration)
-      val edges = e0.union(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val ed = edges.join(deg, "src").localCheckpoint()
-      var ranks = deg.select(col("src").as("node"), lit(Base).as("rank"))
-      for (_ <- 1 to Iters) {
-        ranks = ed.join(ranks, ed("src") === ranks("node"))
-          .select(col("dst"), expr("rank div deg").as("c"))
-          .groupBy("dst")
-          .agg(sum(col("c")).as("cs"))
-          .select(col("dst").as("node"),
-            (lit(Base * 15 / 100) + expr(s"($DampPct * cs) div 100")).as("rank"))
-      }
-      ranks
+      pageRank(e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"))), Iters)
     })
   )
 

@@ -198,6 +198,22 @@ object Relational {
         .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
     }),
 
+    // Arbitrary GROUPING SETS (the general form rollup/cube are sugar
+    // for — here both 1-D marginals plus the 2-D cells, but NOT the
+    // grand total, which neither rollup nor cube can express): one
+    // pass over the fact, grouping_id disambiguates set membership.
+    "qAB_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"),
+          grouping_id().as("gid"))
+        .na.fill("ALL", Seq("o_orderstatus", "o_orderpriority"))
+    }),
+
     // Conditional expressions: when/otherwise + nullif/coalesce
     // (FILL / U-family shape).
     "q15_conditional" -> ((s, dir) => {
@@ -324,6 +340,16 @@ object Relational {
          round(sum(l_quantity), 2) AS sum_qty,
          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "qAB_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0e0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           (o_orderstatus), (o_orderpriority))""",
 
     "q15_conditional" ->
       """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'

@@ -454,6 +454,30 @@ object Relational2 {
         .rangeBetween(-6, Window.currentRow)
       o.withColumn("trail7_cents", sum("cents").over(w))
         .withColumn("trail7_orders", count(lit(1)).over(w))
+    }),
+
+    // Window navigation family (first/last/nth over the full
+    // partition frame + lag/lead offsets): per-customer order
+    // timeline — first/latest/second spend and the gap to the
+    // neighboring orders. (day_idx, o_orderkey) is a total order, so
+    // every navigation target is unique; integer cents/days — exact.
+    "qAC_window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("day_idx"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("day_idx"), col("o_orderkey"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day_idx"),
+        col("cents"),
+        first("cents").over(full).as("first_cents"),
+        last("cents").over(full).as("last_cents"),
+        nth_value(col("cents"), 2).over(full).as("second_cents"),
+        (col("day_idx") - lag("day_idx", 1).over(ord)).as("days_since_prev"),
+        (lead("day_idx", 1).over(ord) - col("day_idx")).as("days_to_next"))
     })
   )
 
@@ -722,6 +746,25 @@ object Relational2 {
            CAST(count(*) OVER w AS BIGINT) AS trail7_orders
          FROM o
          WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
-           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    // same total order; full-frame first/last/nth, default-frame
+    // lag/lead (offset functions ignore frames in both engines)
+    "qAC_window_nav" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_idx,
+             CAST(floor(o_totalprice * 100.0e0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey, day_idx, cents,
+           first_value(cents) OVER f AS first_cents,
+           last_value(cents) OVER f AS last_cents,
+           nth_value(cents, 2) OVER f AS second_cents,
+           day_idx - lag(day_idx, 1) OVER w AS days_since_prev,
+           lead(day_idx, 1) OVER w - day_idx AS days_to_next
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx, o_orderkey),
+           f AS (PARTITION BY o_custkey ORDER BY day_idx, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
   )
 }

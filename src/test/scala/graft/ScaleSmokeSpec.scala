@@ -131,6 +131,26 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(got.exceptAll(idiom).isEmpty && idiom.exceptAll(got).isEmpty)
   }
 
+  test("pageRank: 500k-node ring matches the fixed-point closed form") {
+    import graft.queries.GraphQueries
+    val n = 500000L
+    // undirected ring: every node has degree 2 and, by symmetry,
+    // every node's rank stays identical through all iterations — so
+    // the distributed result must equal the scalar recurrence
+    // r' = 150000 + (85 * 2*(r div 2)) div 100 exactly, on all 500k
+    // rows. Any partial-sum drift, dropped edge, or float sneaking
+    // into the update breaks equality.
+    val fwd = spark.range(n)
+      .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = GraphQueries.pageRank(edges, iters = 3)
+    var r = 1000000L
+    for (_ <- 1 to 3) r = 150000L + (85L * (2L * (r / 2L))) / 100L
+    val distinctRanks = ranks.groupBy("rank").count().collect()
+    assert(distinctRanks.length === 1 && distinctRanks.head.getLong(0) === r)
+    assert(ranks.count() === n)
+  }
+
   test("native sentiment over 200k docs stays distributed") {
     val out = Sentiment.scoreNative(
       corpus.withColumn("text", concat(col("text"), lit(" good not bad"))),
