@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.UnicodeNormalize
+import graft.functions.{LnExact, UnicodeNormalize}
 import graft.io.Sources.table
 import graft.text.{EntityRuler, Sentiment, TextStats}
 
@@ -239,6 +239,36 @@ object TextQueries {
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"), max("quality").as("q_hi"),
           min("quality").as("q_lo"), sum("n_tok").as("n_tokens"))
+    }),
+
+    // PMI collocation mining (Church–Hanks): top word pairs by
+    // pointwise mutual information ln(P(ab)/(P(a)P(b))) — the
+    // classic "multi-word expression" extractor (and the statistic
+    // behind word2vec's SGNS objective). Float discipline: counts
+    // are exact integers and the score is a fixed-order sum of FOUR
+    // correctly-rounded LnExact values — no division, so the DOUBLE
+    // hash-matches. Scale shape: two count aggs (bigram, unigram) +
+    // two broadcast-joinable count lookups + TakeOrdered top-20; the
+    // corpus is never paired quadratically.
+    "qAD_pmi_collocations" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val toks = TextStats.tokens(col("text"))
+      val bg = d.select(explode(TextStats.shingles(toks, 2)).as("bg"))
+      val bgc = bg.groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      val uni = d.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      val tot = bg.agg(count(lit(1)).as("n_big"))
+      bgc.filter(col("n_ab") >= 5)
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("w").as("a"), col("nw").as("n_a")), "a")
+        .join(uni.select(col("w").as("b"), col("nw").as("n_b")), "b")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi",
+          LnExact(col("n_ab")) + LnExact(col("n_big"))
+            - LnExact(col("n_a")) - LnExact(col("n_b")))
+        .orderBy(col("pmi").desc, col("bg").asc).limit(20)
+        .select("bg", "n_ab", "n_a", "n_b", "pmi")
     })
   )
 
@@ -650,6 +680,36 @@ object TextQueries {
           SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
             max(quality) AS q_hi, min(quality) AS q_lo,
             CAST(sum(n_tok) AS BIGINT) AS n_tokens
-          FROM b GROUP BY bin"""
+          FROM b GROUP BY bin""",
+
+    // same bigrams (q67's comprehension idiom), same four-ln
+    // fixed-order PMI sum — parenthesized to match Spark's
+    // left-associative + and -
+    "qAD_pmi_collocations" ->
+      """WITH t AS (
+           SELECT string_split(text, ' ') AS w FROM documents),
+         bgs AS (
+           SELECT u.bg FROM t,
+             unnest(CASE WHEN len(w) >= 2
+               THEN [array_to_string(w[i:i+1], ' ')
+                     for i in generate_series(1, len(w) - 1)]
+               ELSE [] END) AS u(bg)),
+         bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_ab
+                 FROM bgs GROUP BY bg),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bgs),
+         uni AS (
+           SELECT u.word, CAST(count(*) AS BIGINT) AS nw
+           FROM t, unnest(t.w) AS u(word) GROUP BY u.word),
+         parts AS (
+           SELECT bg, n_ab,
+             string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+           FROM bgc WHERE n_ab >= 5)
+         SELECT bg, n_ab, ua.nw AS n_a, ub.nw AS n_b,
+           ((ln(CAST(n_ab AS DOUBLE)) + ln(CAST(n_big AS DOUBLE)))
+             - ln(CAST(ua.nw AS DOUBLE))) - ln(CAST(ub.nw AS DOUBLE)) AS pmi
+         FROM parts
+         JOIN uni ua ON ua.word = parts.a
+         JOIN uni ub ON ub.word = parts.b, tot
+         ORDER BY pmi DESC, bg ASC LIMIT 20"""
   )
 }
