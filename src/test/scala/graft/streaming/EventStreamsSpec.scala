@@ -80,6 +80,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running cents matches the flatMapGroupsWithState contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the new-API operator only runs on the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = util.Try(Option(spark.conf.get(key))).toOption.flatten
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = runningUserCentsTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_cents_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Event(ts("2024-01-01 00:00:01"), 7, "click", 10.004),
+        Event(ts("2024-01-01 00:00:02"), 7, "view", 5.005),
+        Event(ts("2024-01-01 00:00:03"), 9, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2024-01-01 00:10:00"), 7, "click", 2.5))
+      q.processAllAvailable()
+      val byUser = spark.table("tws_cents_test")
+        .as[UserTotals].collect().groupBy(_.user_id)
+      // state survives the micro-batch boundary; cents fixed-pointed
+      // exactly like the flatMapGroupsWithState form (floor(x*100+.5))
+      assert(byUser(7L).map(_.n_events).max === 3L)
+      assert(byUser(7L).map(_.sum_cents).max === (1000L + 501L + 250L))
+      assert(byUser(9L).map(_.sum_cents).max === 100L)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedupes with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
