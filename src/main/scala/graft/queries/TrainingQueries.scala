@@ -297,6 +297,26 @@ object TrainingQueries {
           sum("n_docs").over(Window.partitionBy("source")))
         .withColumn("frac_pm", expr("n_docs * 1000 div n_total"))
         .select("source", "split", "n_docs", "n_tokens", "n_total", "frac_pm")
+    }),
+
+    // Count-based bigram LM: per context token, the top-3 next tokens
+    // with integer per-mille conditional probability — the n-gram
+    // model behind perplexity filters and contamination heuristics,
+    // and a second consumer of the GroupedTopK operator (the
+    // context × next-token tail never reaches a sort; ≤3 rows per
+    // context per task cross the exchange).
+    "qAE_bigram_lm" -> ((s, dir) => {
+      val bg = table(s, dir, "documents")
+        .select(explode(TextStats.shingles(TextStats.tokens(col("text")), 2)).as("bg"))
+        .withColumn("ctx", split(col("bg"), " ").getItem(0))
+        .withColumn("nxt", split(col("bg"), " ").getItem(1))
+      val counts = bg.groupBy("ctx", "nxt").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("ctx").agg(sum("c").as("ctx_total"))
+      GroupedTopK.topK(counts, Seq(col("ctx")),
+          Seq(col("c").desc, col("nxt").asc), 3)
+        .join(totals, "ctx")
+        .select(col("ctx"), col("nxt"), col("c"), col("ctx_total"),
+          expr("c * 1000 div ctx_total").as("p_pm"))
     })
   )
 
@@ -536,6 +556,33 @@ object TrainingQueries {
            CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS n_total,
            n_docs * 1000
              // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS frac_pm
-         FROM per"""
+         FROM per""",
+
+    // same bigrams (q67's comprehension idiom), row_number idiom for
+    // the per-context top-3
+    "qAE_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bgs AS (
+           SELECT u.bg FROM t,
+             unnest(CASE WHEN len(w) >= 2
+               THEN [array_to_string(w[i:i+1], ' ')
+                     for i in generate_series(1, len(w) - 1)]
+               ELSE [] END) AS u(bg)),
+         counts AS (
+           SELECT string_split(bg, ' ')[1] AS ctx,
+             string_split(bg, ' ')[2] AS nxt,
+             CAST(count(*) AS BIGINT) AS c
+           FROM bgs GROUP BY 1, 2),
+         totals AS (
+           SELECT ctx, CAST(sum(c) AS BIGINT) AS ctx_total
+           FROM counts GROUP BY ctx),
+         ranked AS (
+           SELECT ctx, nxt, c,
+             row_number() OVER (PARTITION BY ctx
+               ORDER BY c DESC, nxt ASC) AS rn
+           FROM counts)
+         SELECT ctx, nxt, c, ctx_total, c * 1000 // ctx_total AS p_pm
+         FROM ranked JOIN totals USING (ctx)
+         WHERE rn <= 3"""
   )
 }
