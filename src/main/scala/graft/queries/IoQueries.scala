@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.io.{Sinks, Sources, Staging}
 import graft.io.Sources.table
 
@@ -330,6 +331,39 @@ object IoQueries {
                     > (SELECT sum(n_day) FROM byday)) dim
           ON f.d = dim.d
         GROUP BY f.event_type""")
+    }),
+
+    // Row-level snapshot diff — q94's digest says WHETHER two table
+    // versions diverge; this says WHAT changed: full-outer join on
+    // the key, classify added / removed / changed / same, report
+    // counts + the net measure delta. Two md5-bucket slices of orders
+    // simulate the versions (overlap, with one bucket's cents bumped
+    // = an "update"). At 100 TB both sides shuffle on the key once —
+    // the same plan CDC reconciliation jobs run; a bucketed layout
+    // (q5B) makes it exchange-free.
+    "qAF_snapshot_diff" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("bucket",
+          Dedup.md5Long(col("o_orderkey").cast("string")) % 16)
+        .withColumn("cents",
+          floor(col("o_totalprice") * lit(100.0)).cast("long"))
+      val v1 = o.filter(col("bucket") < 14).select("o_orderkey", "cents")
+      val v2 = o.filter(col("bucket") >= 2)
+        .withColumn("cents",
+          when(col("bucket") === 5, col("cents") + 1).otherwise(col("cents")))
+        .select("o_orderkey", "cents")
+      v1.select(col("o_orderkey"), col("cents").as("c1"))
+        .join(v2.select(col("o_orderkey"), col("cents").as("c2")),
+          Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("c2").isNull, lit("removed"))
+            .when(col("c1").isNull, lit("added"))
+            .when(col("c1") =!= col("c2"), lit("changed"))
+            .otherwise(lit("same")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+            .as("delta_cents"))
     })
   )
 
@@ -486,6 +520,29 @@ object IoQueries {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            max(value) AS max_value
          FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
-         GROUP BY event_type"""
+         GROUP BY event_type""",
+
+    // same buckets/slices, same full-outer classification
+    "qAF_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 16 AS bucket,
+             CAST(floor(o_totalprice * 100.0e0) AS BIGINT) AS cents
+           FROM orders),
+         v1 AS (SELECT o_orderkey, cents AS c1 FROM o WHERE bucket < 14),
+         v2 AS (SELECT o_orderkey,
+                  CASE WHEN bucket = 5 THEN cents + 1 ELSE cents END AS c2
+                FROM o WHERE bucket >= 2),
+         d AS (
+           SELECT CASE WHEN c2 IS NULL THEN 'removed'
+                       WHEN c1 IS NULL THEN 'added'
+                       WHEN c1 <> c2 THEN 'changed'
+                       ELSE 'same' END AS status,
+             coalesce(c2, 0) - coalesce(c1, 0) AS delta
+           FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta) AS BIGINT) AS delta_cents
+         FROM d GROUP BY status"""
   )
 }
