@@ -359,6 +359,64 @@ object DedupSim {
         .select(col("band"), col("band_key"), col("doc_id").as("train_id"))
       tr.join(broadcast(ev), Seq("band", "band_key"))
         .select("eval_id", "train_id").distinct()
+    }),
+
+    // Sparse TF cosine similarity via an INVERTED-INDEX join — the
+    // IR-native dual of the dense-embedding paths (q45/q46): each
+    // doc is a sparse vector over 3-gram dims, candidate pairs come
+    // only from shared dims (never all-pairs), and high-df dims are
+    // pruned before the join (the stopword-dimension cut — candidate
+    // work is Σ C(df,2), so the df cap bounds the quadratic term; at
+    // this corpus's vocabulary the cap never binds, but at 100 TB it
+    // is what keeps the index join linear). The window df count
+    // leaves the frame partitioned by dim, exactly the layout the
+    // self-join needs — one shuffle serves both. Exact: dot/norms
+    // are integer sums; cos is one cast + sqrt + divide.
+    "qB4_sparse_cosine" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val pruned = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .where(col("df") <= 50)
+      val norms = pruned.groupBy("doc_id")
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val dots = pruned.as("a").join(pruned.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (col("a.tf") * col("b.tf")).as("p"))
+        .groupBy("d1", "d2").agg(sum("p").as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("n2").as("na")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb")), "d2")
+        .select(col("d1"), col("d2"), col("dot"),
+          (col("dot").cast("double")
+            / sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+        .where(col("cos") >= 0.5)
+    }),
+
+    // Cross-document duplicated-span detection (the exact-substring
+    // dedup signal of Lee et al. 2022, at 8-token granularity): for
+    // every doc, how many of its distinct 8-gram spans also occur in
+    // at least one OTHER doc. Scale shape: one distinct on
+    // (doc, span), one window count partitioned by span (no join —
+    // the count rides the same shuffle), one groupBy(doc). Spans
+    // hash to fixed-width keys at production scale; strings here
+    // keep the oracle exact.
+    "qB5_dup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextStats.shingles(TextStats.tokens(col("text")), 8)).as("span"))
+        .distinct()
+      sh.withColumn("nd", count(lit(1)).over(Window.partitionBy("span")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_ratio"))
     })
   )
 
@@ -820,6 +878,60 @@ object DedupSim {
             FROM bands b JOIN lab l ON l.doc_id = b.doc_id
             WHERE l.source <> 'src0')
           SELECT DISTINCT eval_id, train_id
-          FROM ev JOIN tr USING (band, band_key)"""
+          FROM ev JOIN tr USING (band, band_key)""",
+
+    "qB4_sparse_cosine" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (
+           SELECT doc_id, u.g AS g
+           FROM t, unnest(CASE WHEN len(w) >= 3
+             THEN [array_to_string(w[i:i+2], ' ')
+                   for i in generate_series(1, len(w) - 2)]
+             ELSE [] END) AS u(g)),
+         tf AS (
+           SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+           FROM s GROUP BY doc_id, g),
+         pruned AS (
+           SELECT doc_id, g, tf FROM (
+             SELECT doc_id, g, tf,
+               count(*) OVER (PARTITION BY g) AS df FROM tf)
+           WHERE df <= 50),
+         norms AS (
+           SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+           FROM pruned GROUP BY doc_id),
+         dots AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+           FROM pruned a JOIN pruned b
+             ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, dot,
+           CAST(dot AS DOUBLE) / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cos
+         FROM dots
+         JOIN norms x ON x.doc_id = d1
+         JOIN norms y ON y.doc_id = d2
+         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) >= 0.5""",
+
+    "qB5_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, u.span AS span
+           FROM t, unnest(CASE WHEN len(w) >= 8
+             THEN [array_to_string(w[i:i+7], ' ')
+                   for i in generate_series(1, len(w) - 7)]
+             ELSE [] END) AS u(span)),
+         f AS (
+           SELECT doc_id,
+             count(*) OVER (PARTITION BY span) AS nd
+           FROM sh)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_ratio
+         FROM f GROUP BY doc_id"""
   )
 }

@@ -301,7 +301,24 @@ object EventQueries {
           (col("n_events") === col("dn") && col("sum_cents") === col("dsc")
             && col("min_value") === col("dmn")
             && col("max_value") === col("dmx")).as("merge_ok"))
-    })
+    }),
+
+    // Spark 4 VARIANT ingestion path: parse_json once into the typed
+    // binary VARIANT encoding, then typed variant_get extraction —
+    // the semi-structured column strategy that replaces per-access
+    // string re-parsing (q53's get_json_object shape reparses the
+    // JSON text per field; VARIANT parses once and field access is a
+    // binary probe, the difference that matters when props carries
+    // dozens of fields at 100 TB). Missing paths surface as NULL,
+    // audited by n_null.
+    "qB8_variant_json" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count(when(col("k").isNull, 1)).as("n_null")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -475,6 +492,17 @@ object EventQueries {
          SELECT event_type, n_events, sum_cents, min_value, max_value,
            (n_events = dn AND sum_cents = dsc AND min_value = dmn
              AND max_value = dmx) AS merge_ok
-         FROM merged JOIN direct USING (event_type)"""
+         FROM merged JOIN direct USING (event_type)""",
+
+    "qB8_variant_json" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k,
+           CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_null
+         FROM e GROUP BY event_type"""
   )
 }

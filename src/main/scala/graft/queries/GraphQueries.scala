@@ -83,6 +83,55 @@ object GraphQueries {
         .distinct()
       pageRank(e0.union(
         e0.select(col("dst").as("src"), col("src").as("dst"))), Iters)
+    }),
+
+    // Triangle counting (Schank–Wagner degree-ordered orientation)
+    // over the part co-order graph: parts are adjacent when they
+    // appear in the same order (deterministic 1-in-8 order subset —
+    // the FULL graph's 148M wedges are exactly the blow-up this
+    // algorithm exists to dodge, see below). Every edge is oriented
+    // from its lower-(degree, id) endpoint, so wedge enumeration is
+    // Σ C(outdeg,2) with outdeg ≤ O(√m) on ANY graph — the skewed
+    // hub that makes naive Σ C(deg,2) quadratic fans its wedges out
+    // across its (many) higher-order neighbors instead. The closing
+    // edge lookup is an equi-join because the (deg,id) total order
+    // stores each edge exactly once, already sorted. Output
+    // (1 summary row) is orientation-invariant, so the id-ordered
+    // DuckDB oracle checks it exactly: n_edges, Σ-C(d,2) wedges,
+    // triangles, and global clustering 3T/W (one division).
+    "qB2_triangle_count" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint() // built once; reused by deg + 3 join sides
+      val deg = e.select(col("p1").as("u")).union(e.select(col("p2")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+      // total order key: degree in the high bits, id breaks ties
+      // (part ids < 2^32 through sf100k; degree < 2^31 trivially)
+      val key = (col("d") * lit(4294967296L) + col("u")).as("okey")
+      val dk = deg.select(col("u"), key)
+      val dir0 = e
+        .join(dk.select(col("u").as("p1"), col("okey").as("k1")), "p1")
+        .join(dk.select(col("u").as("p2"), col("okey").as("k2")), "p2")
+        .select(
+          when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src"),
+          when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst"))
+        .localCheckpoint() // feeds both wedge sides + the closing semi join
+      val tri = dir0.as("w1").join(dir0.as("w2"),
+          col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+        .select(col("w1.dst").as("src"), col("w2.dst").as("dst"))
+        .join(dir0, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val summary = e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+        .crossJoin(tri)
+      summary.select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        ((col("n_triangles") * 3).cast("double")
+          / col("n_wedges").cast("double")).as("clustering"))
     })
   )
 
@@ -109,6 +158,33 @@ object GraphQueries {
          ${step("r1", "r2")},
          ${step("r2", "r3")}
          SELECT node, rank FROM r3"""
-    }
+    },
+
+    // id-ordered a<b<c triple join — the triangle count, wedge count
+    // and clustering coefficient are orientation-invariant, so this
+    // checks the degree-oriented engine plan exactly
+    "qB2_triangle_count" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_orderkey % 8 = 0),
+         deg AS (
+           SELECT u, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT p1 AS u FROM e UNION ALL SELECT p2 FROM e)
+           GROUP BY u),
+         tri AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM e e1
+           JOIN e e2 ON e2.p1 = e1.p2
+           JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           CAST(n_triangles * 3 AS DOUBLE)
+             / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+             AS clustering
+         FROM tri"""
   )
 }

@@ -100,9 +100,21 @@ object IoQueries {
       tmp
     }
 
+  /** Spark 4 native XML source fixture: supplier written as nested
+    * <supplier> row elements (schema inferred on read-back). */
+  private def stageXml(s: SparkSession, dir: String): String =
+    Staging.once(s"qB9_xml:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qB9_xml").toString
+      table(s, dir, "supplier")
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "supplier").save(s"$tmp/supplier")
+      tmp
+    }
+
   /** Staging hooks Bench runs ahead of the per-query timer. */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
     "q57_csv_roundtrip" -> ((s, dir) => { stageCsv(s, dir); () }),
+    "qB9_xml_roundtrip" -> ((s, dir) => { stageXml(s, dir); () }),
     "q5B_bucketed_join" -> ((s, dir) => { stageBucketed(s, dir); () }),
     "q5C_partition_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
     "qA5_dynamic_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
@@ -364,6 +376,24 @@ object IoQueries {
         .agg(count(lit(1)).as("n"),
           sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
             .as("delta_cents"))
+    }),
+
+    // Spark 4 NATIVE XML source (spark-xml graduated into core):
+    // parquet → <supplier> row-element files (staged) → schema-
+    // inferred read-back → aggregate. The oracle reads parquet
+    // directly, so inference drift (s_nationkey widens to long — we
+    // pin it) or double-format loss in the XML text layer breaks the
+    // hash, same contract as the CSV/JSONL/ORC round-trips.
+    "qB9_xml_roundtrip" -> ((s, dir) => {
+      val tmp = stageXml(s, dir)
+      s.read.format("xml").option("rowTag", "supplier")
+        .load(s"$tmp/supplier")
+        .select(col("s_nationkey").cast("long").as("s_nationkey"),
+          col("s_name"), col("s_acctbal"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(round(col("s_acctbal") * 100).cast("long")).as("acct_cents"),
+          max(length(col("s_name"))).as("max_name_len"))
     })
   )
 
@@ -543,6 +573,16 @@ object IoQueries {
            FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
          SELECT status, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(delta) AS BIGINT) AS delta_cents
-         FROM d GROUP BY status"""
+         FROM d GROUP BY status""",
+
+    // parquet directly — the XML text layer must round-trip every
+    // value losslessly for the hash to match
+    "qB9_xml_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           count(*) AS n_supp,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acct_cents,
+           CAST(max(len(s_name)) AS INTEGER) AS max_name_len
+         FROM supplier GROUP BY 1"""
   )
 }

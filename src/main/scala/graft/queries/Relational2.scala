@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -478,6 +478,103 @@ object Relational2 {
         nth_value(col("cents"), 2).over(full).as("second_cents"),
         (col("day_idx") - lag("day_idx", 1).over(ord)).as("days_since_prev"),
         (lead("day_idx", 1).over(ord) - col("day_idx")).as("days_to_next"))
+    }),
+
+    // Per-group OLS regression (price-cents on quantity) via the
+    // one-pass closed form. Spark ships regr_slope/regr_intercept/
+    // regr_r2, but their running double sums are partition-order-
+    // sensitive and cannot hash-check across engines — so the moment
+    // sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal(38,0)
+    // integers (map-side partial aggregation still applies; decimal
+    // sums are associative), and each float is produced by one
+    // pinned cast/divide sequence on those exact integers. Magnitude
+    // audit: y ≤ 1e7 cents, y² ≤ 1e14, n ≤ 6e5 ⇒ n·Σy² ≤ ~1e25 ≪
+    // 1e38. Shape: one shuffle on a 3-value key, 6-row output.
+    "qB3_group_regression" -> ((s, dir) => {
+      val xy = table(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = xy.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+      val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+      val den = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+      val deny = dec(col("n")) * col("syy") - col("sy") * col("sy")
+      m.select(col("l_returnflag"), col("n"),
+          num.cast("double").as("numd"), den.cast("double").as("dend"),
+          deny.cast("double").as("denyd"),
+          col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+        .select(col("l_returnflag"), col("n"),
+          (col("numd") / col("dend")).as("slope"),
+          ((col("syd") - (col("numd") / col("dend")) * col("sxd")) / col("n"))
+            .as("intercept"),
+          (col("numd") * col("numd") / (col("dend") * col("denyd"))).as("r2"))
+    }),
+
+    // LATERAL correlated subquery join (SQL surface): top-2 customers
+    // by balance per nation, the subquery re-planned per outer row by
+    // Catalyst's DecorrelateInnerQuery — compiles to a ranked join,
+    // not a per-row loop. (c_acctbal, c_name) is a total order, so
+    // the 2-row cut is deterministic in both engines.
+    "qB6_lateral_topk" -> ((s, dir) => {
+      Seq("nation", "customer")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) c""")
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): bounded BFS over the
+    // customer–supplier trade graph (nodes long-encoded 2c / 2s+1 as
+    // in qA3) — min hop count within 3 hops of customer 1. The
+    // frontier recursion carries (node, hop) paths; min() collapses
+    // path multiplicity after the fixpoint. Scale shape: each level
+    // is one shuffle join frontier⋈edges; the hop bound caps the
+    // iteration like qA3's fixed rounds.
+    "qB7_recursive_cte" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        WITH RECURSIVE reach(node, hop) AS (
+          SELECT CAST(2 AS BIGINT) AS node, 0 AS hop
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM reach r
+          JOIN (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_custkey < 500
+                UNION
+                SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_custkey < 500) e
+            ON e.src = r.node
+          WHERE r.hop < 3)
+        SELECT node, min(hop) AS min_hops
+        FROM reach GROUP BY node""")
+    }),
+
+    // SQL pipe syntax (Spark 4 |> operators) — the linear dataflow
+    // spelling of filter → aggregate → having → order; parses to the
+    // identical logical plan as the nested-ANSI oracle.
+    "qBA_pipe_syntax" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS qty,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 50""")
     })
   )
 
@@ -765,6 +862,68 @@ object Relational2 {
          FROM o
          WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx, o_orderkey),
            f AS (PARTITION BY o_custkey ORDER BY day_idx, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+
+    // HUGEINT sums are exact like Spark's decimal(38,0); every float
+    // is the same cast/divide sequence on the same exact integers
+    "qB3_group_regression" ->
+      """WITH xy AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM xy GROUP BY l_returnflag),
+         d AS (
+           SELECT l_returnflag, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS dend,
+             CAST(n * syy - sy * sy AS DOUBLE) AS denyd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM m)
+         SELECT l_returnflag, n,
+           numd / dend AS slope,
+           (syd - (numd / dend) * sxd) / n AS intercept,
+           numd * numd / (dend * denyd) AS r2
+         FROM d""",
+
+    "qB6_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) c""",
+
+    "qB7_recursive_cte" ->
+      """WITH RECURSIVE reach(node, hop) AS (
+           SELECT CAST(2 AS BIGINT) AS node, 0 AS hop
+           UNION ALL
+           SELECT e.dst, r.hop + 1
+           FROM reach r
+           JOIN (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 WHERE o_custkey < 500
+                 UNION
+                 SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 WHERE o_custkey < 500) e
+             ON e.src = r.node
+           WHERE r.hop < 3)
+         SELECT node, CAST(min(hop) AS INTEGER) AS min_hops
+         FROM reach GROUP BY node""",
+
+    "qBA_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, n, qty, cents FROM (
+           SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM lineitem
+           WHERE l_quantity >= 10
+           GROUP BY l_returnflag, l_linestatus) t
+         WHERE n > 50"""
   )
 }

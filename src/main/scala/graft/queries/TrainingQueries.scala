@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -317,6 +318,59 @@ object TrainingQueries {
         .join(totals, "ctx")
         .select(col("ctx"), col("nxt"), col("c"), col("ctx_total"),
           expr("c * 1000 div ctx_total").as("p_pm"))
+    }),
+
+    // BPE tokenizer training, the distributed inner loop: count
+    // adjacent character pairs across the corpus weighted by word
+    // frequency, take the top merge candidates. One round shown (the
+    // argmax pair IS the first BPE merge — Sennrich et al. 2016);
+    // production iterates: driver broadcasts the chosen merge back
+    // (a few bytes) and re-counts, so each round is one shuffle on
+    // the pair key. The word pre-aggregation is the key scale move —
+    // pair generation runs over DISTINCT words (vocab-sized, Zipf-
+    // bounded), never the raw token stream.
+    "qB0_bpe_pairs" -> ((s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic between the
+    // length distributions of two source cohorts — the standard
+    // "did the ingest distribution shift" gate on a training corpus.
+    // Integer-exact: D is computed as max |cumA·nB - cumB·nA| over
+    // the pooled distinct values (scaled by nA·nB), so the max runs
+    // on exact integers and the final ks double is one cast + one
+    // division. Scale shape: groupBy(x) first collapses the corpus
+    // to |distinct x| rows, and only THAT compact frame crosses the
+    // single-partition cumulative window.
+    "qB1_ks_drift" -> ((s, dir) => {
+      val v = table(s, dir, "documents")
+        .select(col("n_chars").as("x"),
+          when(substring(col("source"), 4, 8).cast("int") < 10, 1L)
+            .otherwise(0L).as("a"))
+        .select(col("x"), col("a"), (lit(1L) - col("a")).as("b"))
+      val cnt = v.groupBy("x").agg(sum("a").as("ca"), sum("b").as("cb"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnt.select(col("x"),
+        sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+      val tot = cnt.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("d_scaled"))
+        .select(col("na"), col("nb"), col("d_scaled"),
+          (col("d_scaled").cast("double") / (col("na") * col("nb")))
+            .as("ks"))
     })
   )
 
@@ -583,6 +637,55 @@ object TrainingQueries {
            FROM counts)
          SELECT ctx, nxt, c, ctx_total, c * 1000 // ctx_total AS p_pm
          FROM ranked JOIN totals USING (ctx)
-         WHERE rn <= 3"""
+         WHERE rn <= 3""",
+
+    // (cnt DESC, pair ASC) is a total order, so the 20-row cut is
+    // deterministic in both engines
+    "qB0_bpe_pairs" ->
+      """WITH words AS (
+           SELECT t.w AS w, CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+                unnest(ws) AS t(w)
+           WHERE len(t.w) >= 2
+           GROUP BY t.w),
+         pairs AS (
+           -- constant series bound (32 ≫ max word length 8 in the
+           -- synthetic corpus); overflow fails loudly, never silently
+           SELECT CASE WHEN len(w) > 33
+                       THEN error('word exceeds pair bound 32')
+                       ELSE substring(w, i, 2) END AS pair, wc
+           FROM words, generate_series(1, 32) g(i)
+           WHERE i <= len(w) - 1)
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+         FROM pairs GROUP BY pair
+         ORDER BY cnt DESC, pair ASC
+         LIMIT 20""",
+
+    "qB1_ks_drift" ->
+      """WITH v AS (
+           SELECT n_chars AS x,
+             CASE WHEN CAST(substring(source, 4, 8) AS INTEGER) < 10
+                  THEN 1 ELSE 0 END AS a
+           FROM documents),
+         cnt AS (
+           SELECT x, CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(1 - a) AS BIGINT) AS cb
+           FROM v GROUP BY x),
+         cum AS (
+           SELECT x,
+             CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER w AS BIGINT) AS cumb
+           FROM cnt
+           WINDOW w AS (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+           FROM cnt)
+         SELECT na, nb,
+           CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_scaled,
+           CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb) AS ks
+         FROM cum, tot
+         GROUP BY na, nb"""
   )
 }
