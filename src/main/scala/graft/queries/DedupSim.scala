@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Components, Dedup}
@@ -417,6 +417,43 @@ object DedupSim {
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
         .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
           (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_ratio"))
+    }),
+
+    // Greedy k-center coreset selection (Gonzalez 1985 farthest-
+    // point traversal) — the diversity-sampling step of training-
+    // data curation: each round adds the point farthest from the
+    // selected set and shrinks every point's min-distance. The
+    // iteration never leaves the plan: each center is a 1-row
+    // TakeOrdered broadcast into the next round's narrow least()
+    // update — no driver collect, so the same plan runs on 10^9
+    // vectors (per round: one narrow map + one 1-row reduce). L2²
+    // is the sequential zip-fold (q45's list_sum precedent), the
+    // least() chain keeps one double per point, and (dmin DESC, id
+    // ASC) is a total order so every pick is deterministic. Output:
+    // 3 rounds of (center, radius² at selection) — radius traces
+    // the classic 2-approximation coverage certificate.
+    "qBD_kcenter_coreset" -> ((s, dir) => {
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seed = e.orderBy("vec_id").limit(1).select(col("v").as("cv"))
+      var f = e.crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("v"), d2(col("v"), col("cv")).as("dmin"))
+        .localCheckpoint()
+      var picks = Seq.empty[DataFrame]
+      for (round <- 1 to 3) {
+        val p = f.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+          .localCheckpoint() // 1 row; cuts the growing round lineage
+        picks :+= p.select(lit(round).as("round"),
+          col("vec_id").as("center_id"), col("dmin").as("radius2"))
+        f = f.crossJoin(broadcast(p.select(col("v").as("cv"))))
+          .select(col("vec_id"), col("v"),
+            least(col("dmin"), d2(col("v"), col("cv"))).as("dmin"))
+          .localCheckpoint()
+      }
+      picks.reduce(_ unionByName _)
     })
   )
 
@@ -932,6 +969,35 @@ object DedupSim {
              AS n_dup_spans,
            CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS dup_ratio
-         FROM f GROUP BY doc_id"""
+         FROM f GROUP BY doc_id""",
+
+    // the same 3 farthest-point rounds unrolled as chained CTEs;
+    // list_sum folds the squared diffs in list order like the
+    // engine's sequential zip-fold
+    "qBD_kcenter_coreset" -> {
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      def round(prev: String, p: String, f: String) =
+        s"""$p AS (
+             SELECT vec_id AS center_id, v AS cv, dmin AS radius2
+             FROM $prev ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+           $f AS (
+             SELECT $prev.vec_id, $prev.v,
+               least($prev.dmin, ${d2(s"$prev.v", s"$p.cv")}) AS dmin
+             FROM $prev, $p)"""
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          seed AS (SELECT v AS cv FROM e ORDER BY vec_id LIMIT 1),
+          f0 AS (
+            SELECT vec_id, v, ${d2("v", "cv")} AS dmin
+            FROM e, seed),
+          ${round("f0", "p1", "f1")},
+          ${round("f1", "p2", "f2")},
+          ${round("f2", "p3", "f3")}
+          SELECT 1 AS round, center_id, radius2 FROM p1
+          UNION ALL SELECT 2, center_id, radius2 FROM p2
+          UNION ALL SELECT 3, center_id, radius2 FROM p3"""
+    }
   )
 }

@@ -269,6 +269,42 @@ object TextQueries {
             - LnExact(col("n_a")) - LnExact(col("n_b")))
         .orderBy(col("pmi").desc, col("bg").asc).limit(20)
         .select("bg", "n_ab", "n_a", "n_b", "pmi")
+    }),
+
+    // χ² keyness (term–language association over doc presence): for
+    // each language, the top-5 terms whose document frequency most
+    // deviates from corpus expectation — the classic keyword-
+    // extraction / corpus-comparison statistic (Dunning/Rayson
+    // family, χ² form). Exact by the qB3 discipline: the 2×2 margins
+    // (a=docs(lang,term), nl, nt, N) are integer counts, χ² =
+    // N(ad-bc)² / (nl·(N-nl)·nt·(N-nt)) folds in decimal(38,0)
+    // (HUGEINT in the oracle), and the only float op is the final
+    // cast-cast-divide. Scale shape: presence lists are per-doc
+    // distinct (vocab-bounded), margins are two broadcast-sized
+    // aggregates, top-5/lang runs on GroupedTopK partial heaps.
+    "qBB_chi2_keyness" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pres = docs.select(col("lang"), col("doc_id"),
+        explode(array_distinct(TextStats.tokens(col("text")))).as("term"))
+      val a = pres.groupBy("lang", "term").agg(count(lit(1)).as("a"))
+      val nl = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val nt = pres.groupBy("term").agg(count(lit(1)).as("nt"))
+      val tot = docs.agg(count(lit(1)).as("nn"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val scored = a.join(broadcast(nl), "lang").join(broadcast(nt), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("b", col("nl") - col("a"))
+        .withColumn("c", col("nt") - col("a"))
+        .withColumn("d", col("nn") - col("nl") - col("nt") + col("a"))
+        .withColumn("num0",
+          dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c")))
+        .withColumn("chi2",
+          (dec(col("nn")) * col("num0") * col("num0")).cast("double")
+            / (dec(col("nl")) * dec(col("nn") - col("nl"))
+               * dec(col("nt")) * dec(col("nn") - col("nt"))).cast("double"))
+      graft.plans.GroupedTopK.topK(scored, Seq(col("lang")),
+          Seq(col("chi2").desc, col("term").asc), 5)
+        .select("lang", "term", "a", "nl", "nt", "chi2")
     })
   )
 
@@ -710,6 +746,36 @@ object TextQueries {
          FROM parts
          JOIN uni ua ON ua.word = parts.a
          JOIN uni ub ON ub.word = parts.b, tot
-         ORDER BY pmi DESC, bg ASC LIMIT 20"""
+         ORDER BY pmi DESC, bg ASC LIMIT 20""",
+
+    // HUGEINT margins mirror Spark's decimal(38,0); one final
+    // cast-cast-divide per row
+    "qBB_chi2_keyness" ->
+      """WITH pres AS (
+           SELECT DISTINCT lang, doc_id, u.term AS term
+           FROM (SELECT lang, doc_id, string_split(text, ' ') AS w
+                 FROM documents), unnest(w) AS u(term)),
+         a AS (
+           SELECT lang, term, CAST(count(*) AS BIGINT) AS a
+           FROM pres GROUP BY lang, term),
+         nl AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS nl
+           FROM documents GROUP BY lang),
+         nt AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS nt
+           FROM pres GROUP BY term),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         scored AS (
+           SELECT lang, term, a, nl, nt,
+             CAST(nn * (a * (nn - nl - nt + a) - (nl - a) * (nt - a))
+                     * (a * (nn - nl - nt + a) - (nl - a) * (nt - a))
+                  AS DOUBLE)
+               / CAST(nl * (nn - nl) * nt * (nn - nt) AS DOUBLE) AS chi2
+           FROM a JOIN nl USING (lang) JOIN nt USING (term), tot)
+         SELECT lang, term, a, nl, nt, chi2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY chi2 DESC, term ASC) AS rn
+           FROM scored) t
+         WHERE rn <= 5"""
   )
 }

@@ -371,6 +371,29 @@ object TrainingQueries {
         .select(col("na"), col("nb"), col("d_scaled"),
           (col("d_scaled").cast("double") / (col("na") * col("nb")))
             .as("ks"))
+    }),
+
+    // Batch model inference: score every embedding with a fixed
+    // linear head (weights are an exact-in-double rational literal)
+    // and histogram the logits per label — the "apply a trained
+    // quality/toxicity classifier to the whole corpus" shape.
+    // Distribution: the weight vector broadcasts as a literal inside
+    // the codegen'd ArrayDot fold — a pure narrow map, no shuffle
+    // until the tiny bucket aggregate. Bucketing happens in LOGIT
+    // space (thresholds on z), which sidesteps exp()/sigmoid — the
+    // one transcendental whose libm rounding differs across engines;
+    // min/max of z are order-invariant so the doubles hash exactly.
+    "qBC_linear_scoring" -> ((s, dir) => {
+      val w = (0 until 64).map(j => ((j * 37) % 21 - 10) / 10.0).toArray
+      val z = graft.functions.ArrayDot(col("embedding"), lit(w)) + lit(0.25)
+      table(s, dir, "embeddings")
+        .select(col("label"), z.as("z"))
+        .withColumn("bucket",
+          when(col("z") < -1, "z1_lt_-1").when(col("z") < 0, "z2_neg")
+            .when(col("z") < 1, "z3_pos").otherwise("z4_ge_1"))
+        .groupBy("label", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("z").as("min_z"), max("z").as("max_z"))
     })
   )
 
@@ -686,6 +709,25 @@ object TrainingQueries {
            CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_scaled,
            CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb) AS ks
          FROM cum, tot
-         GROUP BY na, nb"""
+         GROUP BY na, nb""",
+
+    // identical weight literal; list_sum folds the products in list
+    // order exactly like the ArrayDot codegen loop (q45 precedent)
+    "qBC_linear_scoring" -> {
+      val w = (0 until 64).map(j => ((j * 37) % 21 - 10) / 10.0)
+        .mkString("[", ", ", "]")
+      s"""WITH scored AS (
+            SELECT label,
+              list_sum(list_transform(
+                list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         $w),
+                p -> p[1] * p[2])) + 0.25 AS z
+            FROM embeddings)
+          SELECT label,
+            CASE WHEN z < -1 THEN 'z1_lt_-1' WHEN z < 0 THEN 'z2_neg'
+                 WHEN z < 1 THEN 'z3_pos' ELSE 'z4_ge_1' END AS bucket,
+            count(*) AS n, min(z) AS min_z, max(z) AS max_z
+          FROM scored GROUP BY 1, 2"""
+    }
   )
 }
