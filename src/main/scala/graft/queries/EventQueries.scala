@@ -60,6 +60,18 @@ object EventQueries {
           s, stageSource(s, dir, "q56")), "1 hour")
     }
 
+  private def stageQBE(s: SparkSession, dir: String): String =
+    drained(s, dir, "qBE", OutputMode.Complete()) {
+      graft.streaming.EventStreams.readEventsStream(
+          s, stageSource(s, dir, "qBE"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"))
+    }
+
   private def stageQ79(s: SparkSession, dir: String): String =
     drained(s, dir, "q79", OutputMode.Complete()) {
       val dim = table(s, dir, "events").select("event_type").distinct()
@@ -129,7 +141,8 @@ object EventQueries {
     "q7A_stream_stream_join" -> ((s, dir) => { stageQ7A(s, dir); () }),
     "q5A_stream_stateful" -> ((s, dir) => { stageQ5A(s, dir); () }),
     "q5D_stream_dedup" -> ((s, dir) => { stageQ5D(s, dir); () }),
-    "q82_stream_dedup_watermark" -> ((s, dir) => { stageQ82(s, dir); () })
+    "q82_stream_dedup_watermark" -> ((s, dir) => { stageQ82(s, dir); () }),
+    "qBE_stream_session" -> ((s, dir) => { stageQBE(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,6 +315,17 @@ object EventQueries {
             && col("min_value") === col("dmn")
             && col("max_value") === col("dmx")).as("merge_ok"))
     }),
+
+    // NATIVE streaming session windows (session_window under
+    // readStream — q52 is the batch twin, q5A the hand-rolled
+    // mapGroupsWithState equivalent): merging-window state per user,
+    // watermark-bounded, drained to a memory sink in Complete mode so
+    // the result equals the batch sessionization the oracle computes
+    // via the lag/cumsum islands construction. Per-session grain
+    // (user, session_start, n_events) keeps the streaming plan to ONE
+    // stateful aggregation — chained stateful aggs are the documented
+    // streaming anti-pattern.
+    "qBE_stream_session" -> ((s, dir) => s.table(stageQBE(s, dir))),
 
     // Spark 4 VARIANT ingestion path: parse_json once into the typed
     // binary VARIANT encoding, then typed variant_get extraction —
@@ -493,6 +517,25 @@ object EventQueries {
            (n_events = dn AND sum_cents = dsc AND min_value = dmn
              AND max_value = dmx) AS merge_ok
          FROM merged JOIN direct USING (event_type)""",
+
+    // the islands construction (lag ≥ gap ⇒ new session, cumulative
+    // session id), per-session grain; session_window.start = min ts
+    "qBE_stream_session" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM o)
+         SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events
+         FROM sess GROUP BY user_id, sess_id""",
 
     "qB8_variant_json" ->
       """WITH e AS (

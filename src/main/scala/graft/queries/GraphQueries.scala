@@ -107,33 +107,47 @@ object GraphQueries {
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("p1"), col("b.p").as("p2"))
         .distinct()
-        .localCheckpoint() // built once; reused by deg + 3 join sides
-      val deg = e.select(col("p1").as("u")).union(e.select(col("p2")))
-        .groupBy("u").agg(count(lit(1)).as("d"))
-      // total order key: degree in the high bits, id breaks ties
-      // (part ids < 2^32 through sf100k; degree < 2^31 trivially)
-      val key = (col("d") * lit(4294967296L) + col("u")).as("okey")
-      val dk = deg.select(col("u"), key)
-      val dir0 = e
-        .join(dk.select(col("u").as("p1"), col("okey").as("k1")), "p1")
-        .join(dk.select(col("u").as("p2"), col("okey").as("k2")), "p2")
-        .select(
-          when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src"),
-          when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst"))
-        .localCheckpoint() // feeds both wedge sides + the closing semi join
-      val tri = dir0.as("w1").join(dir0.as("w2"),
-          col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
-        .select(col("w1.dst").as("src"), col("w2.dst").as("dst"))
-        .join(dir0, Seq("src", "dst"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val summary = e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
-        .crossJoin(tri)
-      summary.select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        ((col("n_triangles") * 3).cast("double")
-          / col("n_wedges").cast("double")).as("clustering"))
+      triangleCount(e)
     })
   )
+
+  /** Triangle count + wedge count + global clustering over a distinct
+    * undirected edge list (p1 < p2, both < 2^32). Degree-ordered
+    * orientation (Schank–Wagner): every edge points from its lower-
+    * (degree, id) endpoint, so enumerated wedges are Σ C(outdeg,2)
+    * with outdeg ≤ O(√m) on ANY graph — a 50k-spoke star has 1.25e9
+    * undirected wedges but ZERO oriented ones (every spoke points at
+    * the hub; the hub points nowhere), which is what ScaleSmokeSpec
+    * pins. The closing-edge lookup is an equi-semi-join because the
+    * total order stores each edge exactly once, already sorted. The
+    * summary row is orientation-invariant, so an id-ordered oracle
+    * checks it exactly. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint() // built once; deg + 3 join sides
+    val deg = e.select(col("p1").as("u")).union(e.select(col("p2")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    // total order key: degree in the high bits, id breaks ties
+    val key = (col("d") * lit(4294967296L) + col("u")).as("okey")
+    val dk = deg.select(col("u"), key)
+    val dir0 = e
+      .join(dk.select(col("u").as("p1"), col("okey").as("k1")), "p1")
+      .join(dk.select(col("u").as("p2"), col("okey").as("k2")), "p2")
+      .select(
+        when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src"),
+        when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst"))
+      .localCheckpoint() // feeds both wedge sides + the closing semi join
+    val tri = dir0.as("w1").join(dir0.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .select(col("w1.dst").as("src"), col("w2.dst").as("dst"))
+      .join(dir0, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val summary = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+      .crossJoin(tri)
+    summary.select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+      ((col("n_triangles") * 3).cast("double")
+        / col("n_wedges").cast("double")).as("clustering"))
+  }
 
   def oracles: Map[String, String] = Map(
     // the same three updates unrolled as chained CTEs; HUGEINT

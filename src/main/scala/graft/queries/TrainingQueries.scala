@@ -394,6 +394,24 @@ object TrainingQueries {
         .groupBy("label", "bucket")
         .agg(count(lit(1)).as("n"),
           min("z").as("min_z"), max("z").as("max_z"))
+    }),
+
+    // Exact-k per-group sampling: bottom-k by content hash — the
+    // distributed stand-in for per-group reservoir sampling that is
+    // DETERMINISTIC (re-runs and backfills pick identical rows, the
+    // property a training-data snapshot needs) and single-pass.
+    // Rides GroupedTopK's partial heaps: each task keeps ≤k rows per
+    // group, so the exchange carries O(groups·k), never the corpus —
+    // unlike orderBy(rand()) which global-sorts everything. q7B is
+    // the fraction-based cousin; this one guarantees exactly
+    // min(k, |group|) rows.
+    "qBF_bottomk_sample" -> ((s, dir) => {
+      val pr = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          Dedup.md5Long(col("doc_id").cast("string")).as("priority"))
+      GroupedTopK.topK(pr, Seq(col("source")),
+          Seq(col("priority").asc, col("doc_id").asc), 5)
+        .select("source", "doc_id", "priority")
     })
   )
 
@@ -728,6 +746,19 @@ object TrainingQueries {
                  WHEN z < 1 THEN 'z3_pos' ELSE 'z4_ge_1' END AS bucket,
             count(*) AS n, min(z) AS min_z, max(z) AS max_z
           FROM scored GROUP BY 1, 2"""
-    }
+    },
+
+    // same 15-hex-char md5 prefix → 60-bit integer priority
+    "qBF_bottomk_sample" ->
+      """WITH pr AS (
+           SELECT source, doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS UBIGINT) AS BIGINT) AS priority
+           FROM documents)
+         SELECT source, doc_id, priority FROM (
+           SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY priority ASC, doc_id ASC) AS rn
+           FROM pr) t
+         WHERE rn <= 5"""
   )
 }
