@@ -567,6 +567,26 @@ object Relational2 {
         FROM reach GROUP BY node""")
     }),
 
+    // SQL-defined functions (Spark 4): a scalar SQL UDF nested inside
+    // a SQL TABLE function — reusable query logic declared in pure
+    // SQL, inlined by the analyzer into the caller's plan (no opaque
+    // closure, so pushdown/codegen see through both). The oracle is
+    // the hand-inlined equivalent — matching hashes prove the
+    // function layer is a zero-cost abstraction.
+    "qC0_sql_udf" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)
+               RETURNS BIGINT RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION flag_items(flag STRING)
+               RETURNS TABLE(cents BIGINT, qty BIGINT)
+               RETURN SELECT disc_cents(l_extendedprice, l_discount) AS cents,
+                             CAST(l_quantity AS BIGINT) AS qty
+                      FROM lineitem WHERE l_returnflag = flag""")
+      s.sql("""SELECT count(*) AS n, sum(cents) AS revenue_cents,
+                      sum(qty) AS qty
+               FROM flag_items('R')""")
+    }),
+
     // SQL pipe syntax (Spark 4 |> operators) — the linear dataflow
     // spelling of filter → aggregate → having → order; parses to the
     // identical logical plan as the nested-ANSI oracle.
@@ -919,6 +939,15 @@ object Relational2 {
            WHERE r.hop < 3)
          SELECT node, CAST(min(hop) AS INTEGER) AS min_hops
          FROM reach GROUP BY node""",
+
+    // the function bodies hand-inlined; identical double sequence
+    // p*(1-d)*100 then round
+    "qC0_sql_udf" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem WHERE l_returnflag = 'R'""",
 
     "qBA_pipe_syntax" ->
       """SELECT l_returnflag, l_linestatus, n, qty, cents FROM (
