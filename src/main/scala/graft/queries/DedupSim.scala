@@ -454,6 +454,55 @@ object DedupSim {
           .localCheckpoint()
       }
       picks.reduce(_ unionByName _)
+    }),
+
+    // The COMPOSED curation pipeline — the "one call from raw corpus
+    // to packed training shards" flagship for the dedup surface:
+    //   lang gate → token-count quality gate → exact-text dedup
+    //   (window min, no join) → MinHash-LSH near-dedup → connected
+    //   components → canonical survivors → shard-local sequence
+    //   packing (q77's bins) — with every stage's row count carried
+    //   in the output as the audit trail.
+    // Each stage is the already-certified operator (q33/q34 gates,
+    // q40 exact, q42/q74 LSH+components, q77 packing); this query
+    // pins that they COMPOSE — filters push to the scan, the dedup
+    // runs over the gated subset only, and the packing windows only
+    // the survivors. Scale: every stage is the certified shape;
+    // nothing here adds a shuffle beyond the stages' own.
+    "qC1_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val filtered = docs
+        .withColumn("toks", TextStats.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .where(col("lang") === "en" && col("n_tok") >= 30)
+      val exact = filtered
+        .withColumn("keep",
+          min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") === col("keep"))
+        .localCheckpoint() // feeds LSH, components verts, survivors
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashBandKeys(
+          exact.withColumn("shingles", TextStats.shingles(col("toks"), 3))
+            .select("doc_id", "shingles"),
+          "doc_id", "shingles", 8, 2), "doc_id")
+      val comp = Components.connectedComponents(
+        pairs, exact.select("doc_id"), "doc_id")
+      val surv = comp.where(col("cluster_id") === col("doc_id"))
+        .select("doc_id")
+        .join(exact.select("doc_id", "n_tok"), "doc_id")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = surv.withColumn("shard", col("doc_id") % 8)
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 512"))
+      val stats = docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(filtered.agg(count(lit(1)).as("n_filtered")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(surv.agg(count(lit(1)).as("n_near")))
+      packed.groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+        .crossJoin(broadcast(stats))
     })
   )
 
@@ -970,6 +1019,73 @@ object DedupSim {
            CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS dup_ratio
          FROM f GROUP BY doc_id""",
+
+    // the full curation chain with the LSH/components CTEs
+    // instantiated over the GATED relation (ex), not raw documents —
+    // same formulas as q74/qA1's clustersCte
+    "qC1_curation_pipeline" ->
+      s"""WITH RECURSIVE filt AS (
+            SELECT doc_id, text,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+            WHERE lang = 'en' AND len(string_split(text, ' ')) >= 30),
+          ex AS (
+            SELECT doc_id, text, n_tok FROM (
+              SELECT doc_id, text, n_tok,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+              FROM filt) t
+            WHERE doc_id = keep),
+          sh AS (
+            SELECT doc_id, s.shingle
+            FROM (SELECT doc_id, $shinglesSql AS shingles FROM ex),
+                 unnest(shingles) AS s(shingle)),
+          sigs AS (
+            SELECT doc_id, g.k,
+              min(($aList[g.k + 1] * (${md5LongSql("shingle")} % $P) + $bList[g.k + 1]) % $P) AS minhash
+            FROM sh, generate_series(0, 7) g(k)
+            GROUP BY doc_id, g.k),
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          edges AS (
+            SELECT id1 AS a, id2 AS b FROM cand
+            UNION SELECT id2, id1 FROM cand),
+          walk(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          comp AS (
+            SELECT a AS doc_id, min(b) AS mn
+            FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r
+            GROUP BY a),
+          surv AS (
+            SELECT e.doc_id, e.n_tok
+            FROM ex e LEFT JOIN comp c ON c.doc_id = e.doc_id
+            WHERE coalesce(c.mn, e.doc_id) = e.doc_id),
+          packed AS (
+            SELECT doc_id, doc_id % 8 AS shard, n_tok,
+              CAST(sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM surv),
+          stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+              (SELECT CAST(count(*) AS BIGINT) FROM filt) AS n_filtered,
+              (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+              (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_near)
+          SELECT shard, (cum - n_tok) // 512 AS bin,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+            n_input, n_filtered, n_exact, n_near
+          FROM packed, stats
+          GROUP BY shard, (cum - n_tok) // 512,
+            n_input, n_filtered, n_exact, n_near""",
 
     // the same 3 farthest-point rounds unrolled as chained CTEs;
     // list_sum folds the squared diffs in list order like the
