@@ -50,6 +50,37 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n"),
           sum("width").as("sum_w"), sum("height").as("sum_h"),
           max("n_frames").cast("long").as("max_frames"))
+    }),
+
+    // Perceptual-hash near-duplicate detection over the media column
+    // — the image-dedup analogue of q54's banded simhash. The 60-bit
+    // "pHash" is the documented content-hash STUB (a real pipeline
+    // swaps in a DCT pHash; everything downstream is the production
+    // shape): pigeonhole banding into 4×15-bit keys guarantees zero
+    // false negatives at Hamming radius 3 (4 bands, ≤3 flipped bits
+    // ⇒ ≥1 band untouched), candidates come only from band-key
+    // equality (never all-pairs), and the verify is one xor +
+    // bit_count per CANDIDATE. Emits every candidate with its
+    // distance + the radius verdict, so the verify logic itself is
+    // hash-checked.
+    "qC2_phash_media_dedup" -> ((s, dir) => {
+      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
+      val h = docs.select(col("doc_id"),
+        graft.dedup.Dedup.md5Long(col("media").cast("string")).as("ph"))
+      val bands = h.select(col("doc_id"), col("ph"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("shiftright(ph, band * 15) & 32767"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(h.select(col("doc_id").as("id1"), col("ph").as("ph1")), "id1")
+        .join(h.select(col("doc_id").as("id2"), col("ph").as("ph2")), "id2")
+        .select(col("id1"), col("id2"),
+          expr("bit_count(ph1 ^ ph2)").as("hamming"))
+        .withColumn("is_near", col("hamming") <= 3)
     })
   )
 
@@ -96,6 +127,29 @@ object MultimodalQueries {
          SELECT format, count(*) AS n,
            CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
            CAST(max(n_frames) AS BIGINT) AS max_frames
-         FROM m GROUP BY format"""
+         FROM m GROUP BY format""",
+
+    // same 60-bit md5 prefix, same 4x15-bit bands; xor + bit_count
+    // verify per candidate
+    "qC2_phash_media_dedup" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS ph
+           FROM documents),
+         b AS (
+           SELECT doc_id, ph, g.i AS band,
+             (ph >> (g.i * 15)) & 32767 AS bv
+           FROM h, generate_series(0, 3) g(i)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+           FROM b a JOIN b b2
+             ON a.band = b2.band AND a.bv = b2.bv
+            AND a.doc_id < b2.doc_id)
+         SELECT id1, id2,
+           CAST(bit_count(xor(h1.ph, h2.ph)) AS INTEGER) AS hamming,
+           bit_count(xor(h1.ph, h2.ph)) <= 3 AS is_near
+         FROM cand
+         JOIN h h1 ON h1.doc_id = id1
+         JOIN h h2 ON h2.doc_id = id2"""
   )
 }
