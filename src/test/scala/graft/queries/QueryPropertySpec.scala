@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants for the round-5 operators that a hash-equality oracle
+  * can't express: algebraic bounds, relabeling invariance, and
+  * monotone stage counts — run at sf0.001 so the whole suite stays
+  * fast. */
+class QueryPropertySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("qB1: KS statistic is a bounded ECDF distance") {
+    val r = SparkEntry.queries("qB1_ks_drift")(spark, dir).collect()(0)
+    val na = r.getAs[Long]("na")
+    val nb = r.getAs[Long]("nb")
+    val d = r.getAs[Long]("d_scaled")
+    val ks = r.getAs[Double]("ks")
+    assert(na > 0 && nb > 0)
+    assert(d >= 0 && d <= na * nb, "scaled D outside [0, na*nb]")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("qB2: triangle summary is invariant under node relabeling") {
+    import graft.queries.GraphQueries
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    def edges(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(least(f(col("a.p")), f(col("b.p"))).as("p1"),
+          greatest(f(col("a.p")), f(col("b.p"))).as("p2"))
+        .distinct()
+    val base = GraphQueries.triangleCount(edges(identity)).collect()(0)
+    // order-reversing injection: id -> C - id flips every degree tie
+    // and the whole orientation; counts must not move
+    val relabeled = GraphQueries
+      .triangleCount(edges(c => lit(1000000L) - c)).collect()(0)
+    assert(base.getAs[Long]("n_triangles") === relabeled.getAs[Long]("n_triangles"))
+    assert(base.getAs[Long]("n_wedges") === relabeled.getAs[Long]("n_wedges"))
+    assert(base.getAs[Long]("n_edges") === relabeled.getAs[Long]("n_edges"))
+  }
+
+  test("qBD: k-center selection radius is non-increasing") {
+    val rows = SparkEntry.queries("qBD_kcenter_coreset")(spark, dir)
+      .orderBy("round").collect()
+    assert(rows.length === 3)
+    val radii = rows.map(_.getAs[Double]("radius2"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radius grew across rounds: ${radii.mkString(", ")}")
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length === 3,
+      "a center was selected twice")
+  }
+
+  test("qC1: curation stage counts are monotone non-increasing") {
+    val r = SparkEntry.queries("qC1_curation_pipeline")(spark, dir).collect()
+    assert(r.nonEmpty)
+    val h = r.head
+    val nIn = h.getAs[Long]("n_input")
+    val nF = h.getAs[Long]("n_filtered")
+    val nE = h.getAs[Long]("n_exact")
+    val nN = h.getAs[Long]("n_near")
+    assert(nIn >= nF && nF >= nE && nE >= nN && nN > 0,
+      s"stage counts not monotone: $nIn >= $nF >= $nE >= $nN")
+    // packed docs across all bins == survivors
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nN)
+  }
+
+  test("qB0: BPE pair counts are bounded by the corpus pair total") {
+    val rows = SparkEntry.queries("qB0_bpe_pairs")(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      "top-20 not sorted by count")
+    import graft.text.TextStats
+    val totalPairs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextStats.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .agg(sum(length(col("w")) - 1)).head().getLong(0)
+    assert(counts.sum <= totalPairs)
+  }
+
+  test("qC2: banding finds every exact duplicate hash") {
+    // inject a guaranteed duplicate by unioning a doc with itself
+    // under a new id, then check the pair surfaces with hamming 0
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dup = docs.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    import graft.dedup.Dedup
+    val h = docs.select(col("doc_id"), col("text"))
+      .unionByName(dup)
+      .select(col("doc_id"), Dedup.md5Long(col("text")).as("ph"))
+    val bands = h.select(col("doc_id"), col("ph"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(ph, band * 15) & 32767"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.ph ^ b.ph)").as("hamming"))
+      .distinct()
+    val exact = cand.filter(col("id2") === col("id1") + 1000000L
+      && col("hamming") === 0)
+    assert(exact.count() === 1L, "planted duplicate not found by banding")
+  }
+}
