@@ -111,10 +111,29 @@ object IoQueries {
       tmp
     }
 
+  /** Schema-evolution fixture: the same fact written by two pipeline
+    * generations — v1 without, v2 WITH a later-added `channel`
+    * column — into sibling directories, the layout a long-lived
+    * ingest accumulates. */
+  private def stageEvolved(s: SparkSession, dir: String): String =
+    Staging.once(s"qC3_evolve:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qC3_evo").toString
+      val o = table(s, dir, "orders")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$tmp/gen=v1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").as("channel"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=v2")
+      tmp
+    }
+
   /** Staging hooks Bench runs ahead of the per-query timer. */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
     "q57_csv_roundtrip" -> ((s, dir) => { stageCsv(s, dir); () }),
     "qB9_xml_roundtrip" -> ((s, dir) => { stageXml(s, dir); () }),
+    "qC3_schema_evolution" -> ((s, dir) => { stageEvolved(s, dir); () }),
     "q5B_bucketed_join" -> ((s, dir) => { stageBucketed(s, dir); () }),
     "q5C_partition_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
     "qA5_dynamic_prune" -> ((s, dir) => { stagePartitioned(s, dir); () }),
@@ -394,6 +413,25 @@ object IoQueries {
         .agg(count(lit(1)).as("n_supp"),
           sum(round(col("s_acctbal") * 100).cast("long")).as("acct_cents"),
           max(length(col("s_name"))).as("max_name_len"))
+    }),
+
+    // Schema evolution across pipeline generations: two parquet
+    // directories — one written BEFORE a column existed — read as one
+    // frame via mergeSchema (footer union, per-file projection; old
+    // files surface the new column as NULL, no rewrite of historical
+    // data). The partition-style gen=v1/v2 path also exercises
+    // partition-column discovery next to the merged schema. The
+    // oracle recomputes both generations from the source table, so a
+    // dropped column, a type widen, or misattributed NULLs all break
+    // the hash.
+    "qC3_schema_evolution" -> ((s, dir) => {
+      val tmp = stageEvolved(s, dir)
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("sum_cust"),
+          count(col("channel")).as("n_channel"),
+          countDistinct(col("channel")).as("n_channels"))
     })
   )
 
@@ -583,6 +621,21 @@ object IoQueries {
            CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
              AS acct_cents,
            CAST(max(len(s_name)) AS INTEGER) AS max_name_len
-         FROM supplier GROUP BY 1"""
+         FROM supplier GROUP BY 1""",
+
+    // both generations reconstructed from the source table; v1 rows
+    // carry NULL channel
+    "qC3_schema_evolution" ->
+      """WITH u AS (
+           SELECT 'v1' AS gen, o_custkey, CAST(NULL AS VARCHAR) AS channel
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT 'v2', o_custkey, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT gen, count(*) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(count(channel) AS BIGINT) AS n_channel,
+           count(DISTINCT channel) AS n_channels
+         FROM u GROUP BY gen"""
   )
 }
