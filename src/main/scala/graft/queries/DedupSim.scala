@@ -503,7 +503,28 @@ object DedupSim {
       packed.groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
         .crossJoin(broadcast(stats))
-    })
+    }),
+
+    // Per-label embedding centroids (class prototypes — the vector
+    // averaging every curation/labeling pipeline needs) computed so
+    // the DISTRIBUTED mean is deterministic: float sums are order-
+    // sensitive and cannot hash-check, so each component is
+    // quantized to 1/65536 fixed-point (floor — no round-half
+    // ambiguity), summed as exact integers (associative ⇒ partition-
+    // layout-invariant, map-side combinable), and the mean is two
+    // pinned divisions at the end. Quantization error ≤ 2^-16 per
+    // component — far below any embedding's noise floor, and the
+    // price of a result that is bit-identical on 1 executor or 1000.
+    "qC4_label_centroids" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))"))
+            .as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .select(col("label"), col("dim"), col("n"), col("sv"),
+          (col("sv").cast("double") / col("n") / 65536.0).as("centroid")))
   )
 
   /** Shared SQL fragments (kept in lockstep with the Scala ops). */
@@ -1086,6 +1107,19 @@ object DedupSim {
           FROM packed, stats
           GROUP BY shard, (cum - n_tok) // 512,
             n_input, n_filtered, n_exact, n_near""",
+
+    // same fixed-point quantization; DuckDB 1.0 has no WITH
+    // ORDINALITY, so the 64-dim vectors are indexed by a constant
+    // series (1-based list indexing)
+    "qC4_label_centroids" ->
+      """WITH q AS (
+           SELECT label, CAST(g.i - 1 AS INTEGER) AS dim,
+             CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 65536) AS BIGINT) AS v
+           FROM embeddings, generate_series(1, 64) g(i))
+         SELECT label, dim, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(sum(v) AS DOUBLE) / count(*) / 65536.0 AS centroid
+         FROM q GROUP BY label, dim""",
 
     // the same 3 farthest-point rounds unrolled as chained CTEs;
     // list_sum folds the squared diffs in list order like the
