@@ -167,6 +167,28 @@ object Relational {
         .groupBy("tag").agg(count(lit(1)).as("n"))
     }),
 
+    // Multiset (bag) set operations — q11's ALL-variant siblings:
+    // EXCEPT ALL / INTERSECT ALL preserve per-row multiplicity
+    // (SQL:2003 bag semantics; min/difference of multiplicities per
+    // value), which is what reconciliation between fact extracts
+    // needs — DISTINCT forms hide duplicate-row drift entirely. Both
+    // plan as a single aggregate on the value computing the two
+    // counts, then a generate — no sort, no join. Output folds each
+    // result to (rows, distinct values) so the multiset-vs-set gap
+    // is itself the checked signal.
+    "qC5_setops_all" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      val f = li.filter(col("l_linestatus") === "F").select(col("l_partkey"))
+      def fold(df: DataFrame, tag: String) =
+        df.agg(lit(tag).as("op"), count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_values"))
+      fold(r.exceptAll(f), "except_all")
+        .unionByName(fold(r.intersectAll(f), "intersect_all"))
+        .unionByName(fold(r.except(f), "except_distinct"))
+        .unionByName(fold(r.intersect(f), "intersect_distinct"))
+    }),
+
     // Date-part derivations: year/month/quarter (SURVEY §2.6
     // F.year/F.month/F.quarter).
     "q12_date_parts" -> ((s, dir) => {
@@ -319,6 +341,22 @@ object Relational {
              UNION ALL
              SELECT o_custkey, 'urgent_only' AS tag FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big))
          SELECT tag, count(*) AS n FROM tagged GROUP BY tag""",
+
+    "qC5_setops_all" ->
+      """WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+           f AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+           ea AS (SELECT * FROM r EXCEPT ALL SELECT * FROM f),
+           ia AS (SELECT * FROM r INTERSECT ALL SELECT * FROM f),
+           ed AS (SELECT * FROM r EXCEPT SELECT * FROM f),
+           id AS (SELECT * FROM r INTERSECT SELECT * FROM f)
+         SELECT 'except_all' AS op, count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_values FROM ea
+         UNION ALL SELECT 'intersect_all', count(*),
+           count(DISTINCT l_partkey) FROM ia
+         UNION ALL SELECT 'except_distinct', count(*),
+           count(DISTINCT l_partkey) FROM ed
+         UNION ALL SELECT 'intersect_distinct', count(*),
+           count(DISTINCT l_partkey) FROM id""",
 
     "q12_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -305,7 +305,24 @@ object TextQueries {
       graft.plans.GroupedTopK.topK(scored, Seq(col("lang")),
           Seq(col("chi2").desc, col("term").asc), 5)
         .select("lang", "term", "a", "nl", "nt", "chi2")
-    })
+    }),
+
+    // Higher-order array functions as the user-facing surface:
+    // filter / exists / forall / aggregate lambdas over the token
+    // array, all evaluated INSIDE the row (no explode, no shuffle,
+    // codegen'd) — the idiom that keeps per-doc token analytics a
+    // narrow map at 100 TB instead of a corpus-sized explode. The
+    // integer fold (aggregate) is exact; the three predicates mirror
+    // DuckDB's list_filter spellings.
+    "qC6_array_hof" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(filter(col("w"), t => length(t) >= 6)).as("n_long"),
+          exists(col("w"), t => t.rlike("[0-9]")).as("has_digit"),
+          forall(col("w"), t => length(t) <= 12).as("all_short"),
+          aggregate(col("w"), lit(0L), (a, t) => a + length(t))
+            .as("total_chars")))
   )
 
   /** qA4's probe suffix, shared verbatim with the oracle SQL: one
@@ -776,6 +793,21 @@ object TextQueries {
            SELECT *, row_number() OVER (PARTITION BY lang
              ORDER BY chi2 DESC, term ASC) AS rn
            FROM scored) t
-         WHERE rn <= 5"""
+         WHERE rn <= 5""",
+
+    // list_filter / list_sum(list_transform) mirror the HOF lambdas;
+    // exists/forall spelled as filtered-length predicates
+    "qC6_array_hof" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(w, x -> strlen(x) >= 6)) AS INTEGER)
+             AS n_long,
+           len(list_filter(w, x -> regexp_matches(x, '[0-9]'))) > 0
+             AS has_digit,
+           len(list_filter(w, x -> strlen(x) > 12)) = 0 AS all_short,
+           CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT)
+             AS total_chars
+         FROM t"""
   )
 }
