@@ -137,6 +137,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(row.getAs[Long]("n_triangles") === 100L)
   }
 
+  test("sparse cosine: the df cap keeps a stopword dimension feasible") {
+    import org.apache.spark.sql.expressions.Window
+    // 50k docs that ALL share one dimension ("the"): uncapped, that
+    // dim alone contributes C(50k,2) ≈ 1.25e9 candidate pairs — the
+    // blow-up qB4's df cut exists for. Capped at df ≤ 50, the
+    // stopword dim is dropped and only the planted rare dims pair.
+    val n = 50000L
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+      // every doc has the stopword dim; each pair (2k, 2k+1) shares
+      // a rare dim "r<k>" → exactly n/2 candidate pairs survive
+      .withColumn("g", explode(array(lit("the"),
+        concat(lit("r"), (col("doc_id") / 2).cast("long")))))
+      .withColumn("tf", lit(1L))
+    val pruned = docs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .where(col("df") <= 50)
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("dot"))
+    assert(pairs.count() === n / 2,
+      "df cap failed to bound candidate pairs to the rare dims")
+  }
+
   test("GroupedTopK over 200k rows matches the window idiom") {
     import graft.plans.GroupedTopK
     val df = spark.range(200000)

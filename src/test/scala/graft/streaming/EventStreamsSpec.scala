@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -156,6 +157,42 @@ class EventStreamsSpec extends SparkSpec {
       assert(byUser(7L).map(_.n_events).max === 2L)
       // 12.345 → floor(1234.5 + 0.5) = 1235 (the half-up edge)
       assert(byUser(9L).map(_.sum_cents).max === 1235L)
+    } finally q.stop()
+  }
+
+  test("session windows in APPEND mode emit only watermark-closed sessions") {
+    // qBE's drain harness uses Complete for batch-equality; this is
+    // the unbounded-PRODUCTION mode: append emits a session exactly
+    // once, after the watermark passes its close, and evicts its
+    // state — bounded memory on an infinite stream.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_append")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 2 min apart = one session; user 2: one event
+      mem.addData(
+        Event(ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 00:02:00"), 1, "view", 1.0),
+        Event(ts("2024-01-01 00:03:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the session ends
+      assert(spark.table("sess_append").count() === 0L)
+      // advance event time far enough to close all three sessions
+      mem.addData(Event(ts("2024-01-01 01:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_append")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(rows === Set(
+        (1L, ts("2024-01-01 00:00:00"), 2L),
+        (2L, ts("2024-01-01 00:03:00"), 1L)))
     } finally q.stop()
   }
 }
