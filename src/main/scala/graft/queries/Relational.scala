@@ -189,6 +189,28 @@ object Relational {
         .unionByName(fold(r.intersect(f), "intersect_distinct"))
     }),
 
+    // Typed Dataset API end-to-end: case-class Encoders +
+    // KeyValueGroupedDataset + a custom `Aggregator` (compile-time
+    // row types, case-class buffer). Catalyst plans the typed agg as
+    // an ordinary partial+final aggregate — map-side combine runs
+    // through `merge`, so the type safety is free at the exchange.
+    // All buffer fields are exact integers ⇒ hash-checks like any
+    // untyped agg.
+    "qC7_typed_aggregator" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TypedStats
+      val ds = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .as[(String, Long)]
+      ds.groupByKey(_._1)
+        .agg(TypedStats.CentStatsAgg.toColumn.name("s"))
+        .toDF("flag", "s")
+        .select(col("flag"), col("s.n").as("n"),
+          col("s.cents").as("sum_cents"),
+          col("s.mn").as("min_cents"), col("s.mx").as("max_cents"))
+    }),
+
     // Date-part derivations: year/month/quarter (SURVEY §2.6
     // F.year/F.month/F.quarter).
     "q12_date_parts" -> ((s, dir) => {
@@ -357,6 +379,16 @@ object Relational {
            count(DISTINCT l_partkey) FROM ed
          UNION ALL SELECT 'intersect_distinct', count(*),
            count(DISTINCT l_partkey) FROM id""",
+
+    "qC7_typed_aggregator" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q12_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
