@@ -324,7 +324,10 @@ object EventQueries {
     // via the lag/cumsum islands construction. Per-session grain
     // (user, session_start, n_events) keeps the streaming plan to ONE
     // stateful aggregation — chained stateful aggs are the documented
-    // streaming anti-pattern.
+    // streaming anti-pattern. Complete is the drain-equality harness
+    // choice; the unbounded-production mode is Append (each session
+    // emitted once when the watermark closes it, state evicted) —
+    // pinned in EventStreamsSpec's append-mode case.
     "qBE_stream_session" -> ((s, dir) => s.table(stageQBE(s, dir))),
 
     // Spark 4 VARIANT ingestion path: parse_json once into the typed

@@ -351,7 +351,10 @@ object TrainingQueries {
     // on exact integers and the final ks double is one cast + one
     // division. Scale shape: groupBy(x) first collapses the corpus
     // to |distinct x| rows, and only THAT compact frame crosses the
-    // single-partition cumulative window.
+    // single-partition cumulative window — the standard two-phase
+    // ECDF. If the value domain itself were corpus-sized (continuous
+    // scores), the next step is a range-partitioned prefix sum
+    // (per-partition partials + a broadcast carry), not this window.
     "qB1_ks_drift" -> ((s, dir) => {
       val v = table(s, dir, "documents")
         .select(col("n_chars").as("x"),
