@@ -567,6 +567,27 @@ object Relational2 {
         FROM reach GROUP BY node""")
     }),
 
+    // Ratio-to-report (percent-of-total) window: each order's share
+    // of its priority class's revenue — the unbounded-frame SUM
+    // window that reports contribution without a self-join against
+    // a totals aggregate. Exact: share in parts-per-million is
+    // integer floor-division of exact cent sums; the double ratio is
+    // one cast-divide on the same integers. Scale: partitions by the
+    // 5-value class — at a skewed key this is q1B's salting
+    // territory; here the window is the honest single-pass shape.
+    "qC8_ratio_to_report" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("o_orderpriority")
+      o.select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        sum("cents").over(w).as("class_cents"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          col("class_cents"),
+          expr("cents * 1000000 div class_cents").as("share_ppm"),
+          (col("cents").cast("double") / col("class_cents")).as("share"))
+    }),
+
     // SQL-defined functions (Spark 4): a scalar SQL UDF nested inside
     // a SQL TABLE function — reusable query logic declared in pure
     // SQL, inlined by the analyzer into the caller's plan (no opaque
@@ -939,6 +960,22 @@ object Relational2 {
            WHERE r.hop < 3)
          SELECT node, CAST(min(hop) AS INTEGER) AS min_hops
          FROM reach GROUP BY node""",
+
+    // window SUM is HUGEINT in DuckDB — cast before the divisions
+    "qC8_ratio_to_report" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         t AS (
+           SELECT o_orderkey, o_orderpriority, cents,
+             CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS class_cents
+           FROM o)
+         SELECT o_orderkey, o_orderpriority, cents, class_cents,
+           cents * 1000000 // class_cents AS share_ppm,
+           CAST(cents AS DOUBLE) / class_cents AS share
+         FROM t""",
 
     // the function bodies hand-inlined; identical double sequence
     // p*(1-d)*100 then round
