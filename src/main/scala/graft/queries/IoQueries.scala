@@ -432,7 +432,25 @@ object IoQueries {
           sum("o_custkey").as("sum_cust"),
           count(col("channel")).as("n_channel"),
           countDistinct(col("channel")).as("n_channels"))
-    })
+    }),
+
+    // DataSource V2 custom connector (graft.io.GenSource): the
+    // engine's own TableProvider with column pruning, id-range filter
+    // pushdown, AND partition-range pruning (the id bound skips whole
+    // input partitions — GenSourceSpec pins 24/32 planned). The id
+    // filter here reaches the source as pushed GreaterThanOrEqual/
+    // LessThan; every derived column is exact integer arithmetic the
+    // generate_series oracle mirrors bit-for-bit, so a reader bug,
+    // a lost filter, or a mis-pruned column all break the hash.
+    "qC9_dsv2_source" -> ((s, _) =>
+      s.read.format("graftgen")
+        .option("rows", 400000).option("parts", 32).load()
+        .filter(col("id") >= 50000 && col("id") < 350000)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum("v").as("sum_v"),
+          min("id").as("min_id"), max("id").as("max_id"),
+          countDistinct("tag").as("n_tags")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -636,6 +654,21 @@ object IoQueries {
            CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
            CAST(count(channel) AS BIGINT) AS n_channel,
            count(DISTINCT channel) AS n_channels
-         FROM u GROUP BY gen"""
+         FROM u GROUP BY gen""",
+
+    // the source's deterministic generator reproduced row-for-row:
+    // same Lehmer step, same mod fields, same id bound
+    "qC9_dsv2_source" ->
+      """WITH g AS (
+           SELECT gs.i AS id, gs.i % 97 AS grp,
+             (gs.i * 48271) % 2147483647 AS v,
+             't' || CAST(gs.i % 7 AS VARCHAR) AS tag
+           FROM generate_series(0, 399999) gs(i))
+         SELECT grp, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           min(id) AS min_id, max(id) AS max_id,
+           count(DISTINCT tag) AS n_tags
+         FROM g WHERE id >= 50000 AND id < 350000
+         GROUP BY grp"""
   )
 }
