@@ -237,6 +237,15 @@ object DedupSim {
         queryId = 0, kCentroids = 16, nProbe = 4, topK = 10)
     }),
 
+    // Int8 scalar quantization + integer-dot re-rank (the 4× memory
+    // compression path; see Similarity.int8TopK). Global symmetric
+    // scale, floor codes, exact integer dots — the oracle re-derives
+    // every code and the full per-query top-5, so a scale drift, a
+    // rounding difference, or a ranking tie-break bug breaks the hash.
+    "qCA_int8_ann" -> ((s, dir) =>
+      Similarity.int8TopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = 8, k = 5)),
+
     // Hyperplane-LSH bucket histogram (the ANN scale path).
     "q47_lsh_ann_buckets" -> ((s, dir) => {
       table(s, dir, "embeddings")
@@ -845,6 +854,30 @@ object DedupSim {
             sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
          FROM e, q WHERE e.vec_id <> 0
          ORDER BY cos DESC, e.vec_id ASC LIMIT 20""",
+
+    // same global scale, same floor codes, same integer dot, same
+    // (qdot DESC, nn_id ASC) tiebreak
+    "qCA_int8_ann" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT max(abs(u.x)) AS m FROM (SELECT unnest(v) AS x FROM e) u),
+         c AS (
+           SELECT vec_id,
+             list_transform(v, x -> CAST(floor((x * 127.0) / m.m + 0.5) AS BIGINT)) AS codes
+           FROM e, m),
+         p AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nn_id,
+             CAST(list_sum(list_transform(list_zip(q.codes, c.codes),
+               z -> z[1] * z[2])) AS BIGINT) AS qdot
+           FROM c q, c
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         SELECT qid, nn_id, qdot, CAST(rn AS INTEGER) AS rn
+         FROM (SELECT qid, nn_id, qdot,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY qdot DESC, nn_id ASC) AS rn
+               FROM p) t
+         WHERE rn <= 5""",
 
     "q48_ivf_ann" ->
       """WITH e AS (

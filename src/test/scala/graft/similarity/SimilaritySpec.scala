@@ -118,4 +118,50 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.4, f"mean ratio $mean%.3f biased")
   }
+
+  test("int8 quantized ranking: high recall@5 vs the exact double-dot top-5") {
+    // margin-separated corpus: 40 one-hot clusters × 5 members, so
+    // each query's true top-4 (its co-members, dot ≈ 100) is cleanly
+    // separated from everything else (dot ≈ noise). On pure-noise
+    // vectors (the parquet corpus, or top-5-of-25 within a wide
+    // cluster) the exact ranking gaps sit below ANY 8-bit noise floor
+    // — recall there measures the data, not the quantizer.
+    val dims = 40
+    val emb = (0L until 200L).map { id =>
+      val cl = (id % 40).toInt
+      val v = (0 until dims).map { d =>
+        val base = if (d == cl) 10.0f else 0.0f
+        base + 0.1f * (((id * 31 + d * 7) % 11).toFloat - 5.0f)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val k = 4
+    val quant = Similarity.int8TopK(emb, "vec_id", "embedding",
+      nQueries = 8, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    // exact ranking under the SAME metric (unquantized dot): recall
+    // here isolates pure quantization loss, not a metric mismatch
+    val e = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        Similarity.dot(col("qv"), col("v")).as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (qq, xs) => qq -> xs.map(_._2).toSet }
+
+    assert(quant.keySet === exact.keySet)
+    // .toSeq: keys is a Set — mapping it to per-query recalls would
+    // DEDUPLICATE equal fractions before the sum
+    val recall = quant.keys.toSeq.map(qq =>
+      (quant(qq) intersect exact(qq)).size.toDouble / k).sum / quant.size
+    assert(recall >= 0.9, f"int8 recall@5 vs exact dot degraded: $recall%.3f")
+  }
 }
