@@ -149,6 +149,33 @@ object EventQueries {
     "q50_window_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(table(s, dir, "events"), "1 hour")),
 
+    // Time-weighted average over an IRREGULAR event stream (the
+    // metric/position/price semantics where a value HOLDS until the
+    // next observation — a plain avg() overweights chatty periods).
+    // Each value is weighted by its holding duration (lead() per
+    // user), aggregated bit-safely: cents and µs durations are exact
+    // BIGINTs, the only float op is the one final division, applied
+    // identically on both engines. One shuffle on user_id (window +
+    // groupBy share it); at 100 TB this is the standard sessionized-
+    // window shape — partition by entity, sort by time within.
+    "qCB_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("dur_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dur_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum("dur_us").as("span_us"),
+          sum(col("cents") * col("dur_us")).as("wsum"))
+        .withColumn("twap_cents",
+          col("wsum").cast("double") / col("span_us").cast("double"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -354,6 +381,25 @@ object EventQueries {
            count(*) AS n,
            round(sum(value) * 100) / 100 AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // same (ts, event_id) ordering, same exact integer weights, same
+    // single final division
+    "qCB_twap" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_us
+           FROM events),
+         seg AS (
+           SELECT user_id, cents, next_us - us AS dur_us
+           FROM o WHERE next_us IS NOT NULL)
+         SELECT user_id, count(*) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CAST(sum(cents * dur_us) AS BIGINT) AS wsum,
+           CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+             AS twap_cents
+         FROM seg GROUP BY user_id""",
 
     // each event belongs to two 1h/30min sliding windows:
     // starts floor30(ts) and floor30(ts) - 30min

@@ -143,6 +143,37 @@ object Relational2 {
           expr("percentile(l_quantity, 0.75)").as("p75"))
     }),
 
+    // Winsorized (clamped-tail) robust mean — the outlier-resistant
+    // aggregate data-quality pipelines use where mean() is skewed by
+    // a fat tail and trimming would change N. Two-phase: exact
+    // percentile bounds per group (tiny frame, broadcast back), then
+    // ONE exact-integer pass — counts below/above + the untouched
+    // mid-range sum — with the winsorized mean assembled in a single
+    // fixed-order float expression from those exact parts (the
+    // bit-safe pattern: never sum clamped DOUBLES across partitions,
+    // derive clamp effects algebraically as n_low·p05 + n_high·p95).
+    "qCC_winsorized" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val pct = li.groupBy("flag")
+        .agg(expr("percentile(cents, 0.05)").as("p05"),
+          expr("percentile(cents, 0.95)").as("p95"))
+      li.join(broadcast(pct), Seq("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("cents") >= col("p05") && col("cents") <= col("p95"),
+            col("cents")).otherwise(0L)).as("mid_sum"),
+          first(col("p05")).as("p05"), first(col("p95")).as("p95"))
+        .withColumn("wins_mean",
+          (col("mid_sum").cast("double")
+            + col("n_low").cast("double") * col("p05")
+            + col("n_high").cast("double") * col("p95"))
+            / col("n").cast("double"))
+    }),
+
     // String function family over part names.
     "q1D_string_funcs" -> ((s, dir) => {
       table(s, dir, "part")
@@ -690,6 +721,31 @@ object Relational2 {
            quantile_cont(l_quantity, 0.5) AS p50,
            quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag""",
+
+    // same two-phase shape: exact percentile bounds, exact integer
+    // tail counts/mid sum, identical final fixed-order float assembly
+    "qCC_winsorized" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         p AS (
+           SELECT flag, quantile_cont(cents, 0.05) AS p05,
+             quantile_cont(cents, 0.95) AS p95
+           FROM li GROUP BY flag),
+         a AS (
+           SELECT li.flag, count(*) AS n,
+             CAST(sum(CASE WHEN cents < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             CAST(sum(CASE WHEN cents >= p05 AND cents <= p95 THEN cents ELSE 0 END)
+               AS BIGINT) AS mid_sum,
+             any_value(p05) AS p05, any_value(p95) AS p95
+           FROM li JOIN p USING (flag) GROUP BY li.flag)
+         SELECT flag, n, n_low, n_high, mid_sum, p05, p95,
+           (CAST(mid_sum AS DOUBLE)
+             + CAST(n_low AS DOUBLE) * p05
+             + CAST(n_high AS DOUBLE) * p95) / CAST(n AS DOUBLE) AS wins_mean
+         FROM a""",
 
     "q1D_string_funcs" ->
       """SELECT p_partkey,
