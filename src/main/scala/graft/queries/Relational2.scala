@@ -143,6 +143,34 @@ object Relational2 {
           expr("percentile(l_quantity, 0.75)").as("p75"))
     }),
 
+    // DDSketch mergeable quantile sketch (graft.functions.DDSketch) —
+    // q1A's oracle construction applied to quantiles: the hash-checked
+    // outputs are the exact spine (n + interpolated percentiles, the
+    // q1C-proven quantile_cont equivalence) plus the sketch's
+    // relative-error verdicts. Bound = 1.5·α: the α guarantee is on
+    // the rank item, the spine interpolates between adjacent items —
+    // the slack absorbs that gap while any real bucket-math or merge
+    // regression still flips the booleans and fails the gate.
+    "qCD_dd_quantiles" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      li.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.95)").as("p95"),
+          expr("percentile(cents, 0.99)").as("p99"),
+          graft.functions.DDSketch(col("cents"), 0.02, 1024,
+            Seq(0.5, 0.95, 0.99)).as("est"))
+        .select(col("flag"), col("n"), col("p50"), col("p95"), col("p99"),
+          (abs(element_at(col("est"), 1) - col("p50"))
+            <= lit(0.03) * col("p50")).as("ok50"),
+          (abs(element_at(col("est"), 2) - col("p95"))
+            <= lit(0.03) * col("p95")).as("ok95"),
+          (abs(element_at(col("est"), 3) - col("p99"))
+            <= lit(0.03) * col("p99")).as("ok99"))
+    }),
+
     // Winsorized (clamped-tail) robust mean — the outlier-resistant
     // aggregate data-quality pipelines use where mean() is skewed by
     // a fat tail and trimming would change N. Two-phase: exact
@@ -721,6 +749,20 @@ object Relational2 {
            quantile_cont(l_quantity, 0.5) AS p50,
            quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag""",
+
+    // exact spine only; the sketch verdicts hash as constant true
+    // (see the Spark-side comment for the bound construction)
+    "qCD_dd_quantiles" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem)
+         SELECT flag, count(*) AS n,
+           quantile_cont(cents, 0.5) AS p50,
+           quantile_cont(cents, 0.95) AS p95,
+           quantile_cont(cents, 0.99) AS p99,
+           true AS ok50, true AS ok95, true AS ok99
+         FROM li GROUP BY flag""",
 
     // same two-phase shape: exact percentile bounds, exact integer
     // tail counts/mid sum, identical final fixed-order float assembly
