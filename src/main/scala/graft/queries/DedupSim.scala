@@ -253,6 +253,15 @@ object DedupSim {
         .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
     }),
 
+    // Multi-probe LSH over q47's single hyperplane table: own bucket
+    // + all Hamming-1 flips, exact-cosine re-rank, top-3 per query
+    // (see Similarity.multiProbeTopK). The oracle re-derives the
+    // plane signs, the XOR probe set, and the full re-rank, so a
+    // probe-generation or tie-break bug breaks the hash.
+    "qCE_multiprobe_lsh" -> ((s, dir) =>
+      Similarity.multiProbeTopK(table(s, dir, "embeddings"),
+        "vec_id", "embedding", nQueries = 8, numPlanes = 8, k = 3)),
+
     // Sorted-neighborhood dedup (Hernández–Stolfo '95) — the classic
     // entity-resolution method the hash family here doesn't cover:
     // sort records by a blocking key, then compare each record only
@@ -921,6 +930,45 @@ object DedupSim {
           b AS (SELECT vec_id, CAST($dots AS BIGINT) AS bucket FROM e)
           SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
           FROM b GROUP BY bucket"""
+    },
+
+    // same plane signs, same XOR probe set (j = 8 ⇒ the unflipped own
+    // bucket), same cosine shape and (cos DESC, nn ASC) tiebreak
+    "qCE_multiprobe_lsh" -> {
+      val dots = (0 until 8).map { k =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(k, d).toDouble)
+          .mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(list_zip(v, $w), p -> p[1] * p[2])) > 0 THEN ${1L << k} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          en AS (
+            SELECT vec_id, v,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM e),
+          b AS (
+            SELECT vec_id, v, nrm, CAST($dots AS BIGINT) AS bucket
+            FROM en WHERE nrm > 0),
+          q AS (
+            SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb
+            FROM b WHERE vec_id < 8),
+          p AS (
+            SELECT qid, qv, qn,
+              CASE WHEN g.j = 8 THEN qb
+                   ELSE xor(qb, CAST(1 << g.j AS BIGINT)) END AS bucket
+            FROM q, generate_series(0, 8) g(j)),
+          c AS (
+            SELECT p.qid, b.vec_id AS nn_id,
+              list_sum(list_transform(list_zip(p.qv, b.v), z -> z[1] * z[2]))
+                / (b.nrm * p.qn) AS cos
+            FROM p JOIN b ON b.bucket = p.bucket AND b.vec_id <> p.qid)
+          SELECT qid, nn_id, cos, CAST(rn AS INTEGER) AS rn
+          FROM (SELECT qid, nn_id, cos,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, nn_id ASC) AS rn
+                FROM c) t
+          WHERE rn <= 3"""
     },
 
     // identical window + lag spelling; levenshtein returns BIGINT in

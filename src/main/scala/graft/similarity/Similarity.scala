@@ -261,6 +261,47 @@ object Similarity {
     h % 2001L - 1000L
   }
 
+  /** Multi-probe hyperplane LSH (Lv et al., VLDB'07): each query
+    * searches its own bucket PLUS the `numPlanes` Hamming-1 buckets
+    * (one sign bit flipped — the buckets a near-boundary neighbor most
+    * likely fell into), then exact-cosine re-ranks the candidates.
+    * Multi-probe recovers most of the recall of building multiple
+    * hash TABLES while storing exactly ONE — at 100 TB that is the
+    * difference between T copies of the index and one copy with T×
+    * probes, and probing is a broadcast of #queries·(numPlanes+1)
+    * tiny rows against the bucketed corpus (an equi-join; the corpus
+    * is never re-hashed or re-shuffled per probe).
+    *
+    * Candidate sets are deterministic (derived sign planes), so the
+    * whole output — candidates, cosine re-rank, top-k — is DuckDB-
+    * oracle-checkable; recall ≥ the single-probe table at equal index
+    * cost is pinned by SimilaritySpec. */
+  def multiProbeTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     nQueries: Int = 8, numPlanes: Int = 8, dims: Int = 64,
+                     k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("raw"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0) // zero-norm: cos NaN sorts above all numbers
+      .withColumn("bucket", lshBucket(col("raw"), numPlanes, dims))
+      .select(col("id"), col("v"), col("nrm"), col("bucket"))
+    val q = e.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qb"))
+    val probes = q.select(col("qid"), col("qv"), col("qn"),
+      explode(array(col("qb") +:
+        (0 until numPlanes).map(j => col("qb").bitwiseXOR(lit(1L << j))): _*))
+        .as("bucket"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id over `numPlanes` planes for a
     * `dims`-dim embedding: bit k = sign of ⟨v, plane_k⟩. `dims` must
     * match the vector length (a shorter plane would silently

@@ -164,4 +164,50 @@ class SimilaritySpec extends SparkSpec {
       (quant(qq) intersect exact(qq)).size.toDouble / k).sum / quant.size
     assert(recall >= 0.9, f"int8 recall@5 vs exact dot degraded: $recall%.3f")
   }
+
+  test("multi-probe LSH: recall >= single-probe at the same one-table index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val k = 3
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    val multi = sets(Similarity.multiProbeTopK(emb, "vec_id", "embedding",
+      nQueries = 8, numPlanes = 8, k = k))
+    // single-probe twin: own bucket only, same re-rank
+    val e = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+      .withColumn("nrm", Similarity.norm2(col("v")))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val single = sets(e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        (Similarity.dot(col("qv"), col("v")) / (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k))
+    // exact cosine top-3 (the recall target)
+    val exact = sets(e.crossJoin(broadcast(
+        q.select(col("qid").as("xqid"), col("qv").as("xqv"), col("qn").as("xqn"))))
+      .filter(col("vec_id") =!= col("xqid"))
+      .select(col("xqid"), col("vec_id").as("nn_id"),
+        (Similarity.dot(col("xqv"), col("v")) / (col("nrm") * col("xqn"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("xqid")
+          .orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k))
+
+    def recallOf(approx: Map[Long, Set[Long]]) = exact.keys.toSeq.map(qq =>
+      (approx.getOrElse(qq, Set.empty[Long]) intersect exact(qq)).size.toDouble / k)
+      .sum / exact.size
+    val (rm, rs) = (recallOf(multi), recallOf(single))
+    assert(rm >= rs,
+      f"multi-probe recall $rm%.3f fell below single-probe $rs%.3f")
+    assert(rm > 0.0, "multi-probe found none of the true top-3")
+  }
 }
