@@ -164,6 +164,38 @@ object TrainingQueries {
         .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
     }),
 
+    // CMS join-size estimation (Cormode–Muthukrishnan §4.2: the
+    // inner product of two Count-Min sketches over-estimates
+    // Σ_k cntA(k)·cntB(k), the equi-join cardinality) — the
+    // OPTIMIZER-STATISTICS use of the sketch family: a planner
+    // choosing broadcast vs shuffle for a 100 TB join can't afford
+    // to count the true join size, but two one-pass 32 KB sketches
+    // built map-side give a never-under estimate of it. Both
+    // sketches, the per-row inner products, the min-over-rows
+    // estimate, AND the exact join size are integer-exact and
+    // mirrored by the oracle (q86's md5-word hash construction), so
+    // the whole estimator hash-checks.
+    "qCF_cms_join_size" -> ((s, dir) => {
+      val (d, w) = (4, 65536)
+      val a = table(s, dir, "events")
+        .select(col("user_id").cast("string").as("k"))
+      val b = table(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("k"))
+      val sa = a.agg(CountMin.build(col("k"), d, w).as("cms_a"))
+      val sb = b.agg(CountMin.build(col("k"), d, w).as("cms_b"))
+      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_size"))
+      exact.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("prod",
+          zip_with(col("cms_a"), col("cms_b"), (x, y) => x * y))
+        .withColumn("cms_est", (0 until d).map(r =>
+            expr(s"aggregate(slice(prod, ${r * w + 1}, $w), 0L, (acc, x) -> acc + x)"))
+          .reduce(least(_, _)))
+        .select(col("exact_size"), col("cms_est"),
+          (col("cms_est") >= col("exact_size")).as("never_under"))
+    }),
+
     // Unigram log-likelihood scoring — the perplexity-proxy quality
     // filter a training corpus is screened with (low avg logprob =
     // gibberish / OOD): logprob(doc) = Σ_pos ln(cnt(term)/N). Scale
@@ -525,6 +557,34 @@ object TrainingQueries {
     // the exact counts of every term colliding there; the estimate is
     // the min over the term's 4 row counters — the CMS definition,
     // reconstructed from the same md5 hex slices the aggregate uses
+    // both sketches re-derived with the md5-word hash, same min of
+    // per-row inner products, same exact spine
+    "qCF_cms_join_size" ->
+      """WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         b AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         ea AS (SELECT k, CAST(count(*) AS BIGINT) AS ca FROM a GROUP BY k),
+         eb AS (SELECT k, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY k),
+         pa AS (SELECT ca, i,
+                  CAST(CAST('0x' || substr(md5(k), 1 + 8 * i, 8) AS UBIGINT)
+                    % 65536 AS BIGINT) AS p
+                FROM ea, generate_series(0, 3) g(i)),
+         ra AS (SELECT i, p, CAST(sum(ca) AS BIGINT) AS ct
+                FROM pa GROUP BY i, p),
+         pb AS (SELECT cb, i,
+                  CAST(CAST('0x' || substr(md5(k), 1 + 8 * i, 8) AS UBIGINT)
+                    % 65536 AS BIGINT) AS p
+                FROM eb, generate_series(0, 3) g(i)),
+         rb AS (SELECT i, p, CAST(sum(cb) AS BIGINT) AS ct
+                FROM pb GROUP BY i, p),
+         ip AS (SELECT ra.i, CAST(sum(ra.ct * rb.ct) AS BIGINT) AS v
+                FROM ra JOIN rb ON ra.i = rb.i AND ra.p = rb.p GROUP BY ra.i),
+         est AS (SELECT min(v) AS cms_est FROM ip),
+         ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_size
+                FROM ea JOIN eb USING (k))
+         SELECT ex.exact_size, est.cms_est,
+           est.cms_est >= ex.exact_size AS never_under
+         FROM ex, est""",
+
     "q86_countmin_freq" ->
       """WITH toks AS (
            SELECT t.term
