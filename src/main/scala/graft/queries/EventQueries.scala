@@ -149,6 +149,29 @@ object EventQueries {
     "q50_window_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(table(s, dir, "events"), "1 hour")),
 
+    // Per-entity state-run compression (gaps-and-islands run-length
+    // encoding): maximal runs of consecutive same-type events per
+    // user, via the classic rn − rn_per_state difference — both
+    // row_numbers share ONE user_id partition, so the whole query is
+    // a single shuffle plus a groupBy on the run key. This is the
+    // CDC/state-log compaction shape: a 100 TB event log whose
+    // entities mostly sit in one state compresses to one row per
+    // run, and the construction never compares across entities.
+    "qD0_state_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w2 = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("grp", row_number().over(w1) - row_number().over(w2))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(count(lit(1)).as("run_len"),
+          min("event_id").as("start_id"), max("event_id").as("end_id"))
+        .drop("grp")
+    }),
+
     // Time-weighted average over an IRREGULAR event stream (the
     // metric/position/price semantics where a value HOLDS until the
     // next observation — a plain avg() overweights chatty periods).
@@ -381,6 +404,19 @@ object EventQueries {
            count(*) AS n,
            round(sum(value) * 100) / 100 AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // same per-user rn-difference run key, same run aggregates
+    "qD0_state_runs" ->
+      """WITH o AS (
+           SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS grp
+           FROM events)
+         SELECT user_id, event_type, count(*) AS run_len,
+           min(event_id) AS start_id, max(event_id) AS end_id
+         FROM o GROUP BY user_id, event_type, grp""",
 
     // same (ts, event_id) ordering, same exact integer weights, same
     // single final division

@@ -143,6 +143,31 @@ object Relational2 {
           expr("percentile(l_quantity, 0.75)").as("p75"))
     }),
 
+    // Pareto frontier (skyline): the set of (quantity, price) points
+    // not dominated by any other — maximize quantity, minimize price.
+    // Two-phase scale shape (the qB1 ECDF discipline): the corpus
+    // collapses FIRST via a partial-agg groupBy to min-price-per-
+    // quantity (|domain| rows), and only that collapsed frame sees a
+    // window — the running min over higher quantities — so the
+    // O(n²) dominance test never materializes and no corpus-sized
+    // data crosses a single-partition window. Prices stay exact
+    // integer cents end-to-end.
+    "qD1_pareto_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perQty = table(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("qty").agg(min("cents").as("best_cents"),
+          count(lit(1)).as("n_lines"))
+      // frontier: strictly cheaper than every higher-quantity point
+      val w = Window.orderBy(col("qty").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perQty
+        .withColumn("min_above", min("best_cents").over(w))
+        .filter(col("min_above").isNull || col("best_cents") < col("min_above"))
+        .select("qty", "best_cents", "n_lines")
+    }),
+
     // DDSketch mergeable quantile sketch (graft.functions.DDSketch) —
     // q1A's oracle construction applied to quantiles: the hash-checked
     // outputs are the exact spine (n + interpolated percentiles, the
@@ -749,6 +774,22 @@ object Relational2 {
            quantile_cont(l_quantity, 0.5) AS p50,
            quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag""",
+
+    // same collapse-then-window construction, same strict dominance
+    "qD1_pareto_frontier" ->
+      """WITH pq AS (
+           SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS best_cents,
+             count(*) AS n_lines
+           FROM lineitem GROUP BY 1),
+         f AS (
+           SELECT qty, best_cents, n_lines,
+             min(best_cents) OVER (ORDER BY qty DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_above
+           FROM pq)
+         SELECT qty, best_cents, n_lines
+         FROM f WHERE min_above IS NULL OR best_cents < min_above""",
 
     // exact spine only; the sketch verdicts hash as constant true
     // (see the Spark-side comment for the bound construction)
