@@ -45,6 +45,31 @@ object TextQueries {
     "bigdata" -> Seq("spark", "stream", "batch"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-phrase search via POSITIONAL postings — the inverted-index
+    // query class qB4 (bag-of-words cosine) and q85 (BM25) cannot
+    // answer: "hash join" must be adjacent in order. Postings =
+    // (doc, pos, term) from one posexplode; the phrase match is an
+    // equi-join of the two terms' (selective, filter-pushed) posting
+    // lists on (doc, pos+1). At 100 TB this is the web-index shape:
+    // the text is scanned once, each term's postings are a small
+    // fraction of the corpus, and the join never touches documents
+    // containing neither term.
+    "qD2_phrase_search" -> ((s, dir) => {
+      val (t1, t2) = ("hash", "join")
+      val posts = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "term")))
+      val a = posts.filter(col("term") === t1)
+        .select(col("doc_id"), col("pos"))
+      val b = posts.filter(col("term") === t2)
+        .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+      a.join(b, col("doc_id") === col("doc_b")
+          && col("pos_b") === col("pos") + 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occurrences"),
+          min("pos").as("first_pos"))
+    }),
+
     // NER trie matcher (broadcast-dictionary extraction), hash-checked
     // against the generated recursive-CTE oracle.
     "q30_ner_topics" -> ((s, dir) => {
@@ -556,6 +581,25 @@ object TextQueries {
          FROM m)"""
 
   def oracles: Map[String, String] = Map(
+    // same postings (0-based positions via the constant-series +
+    // len-filter pattern, loud overflow guard), same adjacency join
+    "qD2_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         posts AS (
+           SELECT doc_id, g.i - 1 AS pos,
+             CASE WHEN len(w) > 4096
+                  THEN error('token list exceeds postings bound 4096')
+                  ELSE w[g.i] END AS term
+           FROM t, generate_series(1, 4096) g(i)
+           WHERE g.i <= len(w)),
+         a AS (SELECT doc_id, pos FROM posts WHERE term = 'hash'),
+         b AS (SELECT doc_id, pos FROM posts WHERE term = 'join')
+         SELECT a.doc_id, count(*) AS n_occurrences,
+           CAST(min(a.pos) AS INTEGER) AS first_pos
+         FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         GROUP BY a.doc_id""",
+
     "q30_ner_topics" ->
       s"""WITH RECURSIVE $nerWalkSql
           SELECT doc_id, array_to_string(phrases, ',') AS topics FROM phrases""",
