@@ -53,7 +53,8 @@ object OpBench {
       componentsPair(spark, sfDir),
       bloomProbePair(spark, sfDir),
       compactionPair(spark, sfDir),
-      profileDistinctPair(spark, sfDir))
+      profileDistinctPair(spark, sfDir),
+      ddsketchPair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -232,6 +233,26 @@ object OpBench {
       () => { val (p, v) = fixtures; naive(p, v) },
       () => { val (p, v) = fixtures
         Components.connectedComponents(p, v, "doc_id").count() })
+  }
+
+  /** Grouped p50/p95/p99 over exact cents (qCD's task): the exact
+    * percentile aggregate (which buffers a counts-map of every
+    * distinct value per group) vs DDSketch (bounded buckets, α=2%).
+    * Near-equal time at sf0.1 is the expected, honest reading — the
+    * sketch's value is BOUNDED state + exact mergeability when
+    * groups×distincts explode; this row proves the bounded path
+    * costs no more than the exact one it replaces. */
+  private def ddsketchPair(s: SparkSession, dir: String) = {
+    import graft.functions.DDSketch
+    def li = table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    ("ddsketch_vs_exact_percentile",
+      () => li.groupBy("flag").agg(
+        expr("percentile(cents, array(0.5, 0.95, 0.99))").as("p")).collect(),
+      () => li.groupBy("flag").agg(
+        DDSketch(col("cents"), 0.02, 1024, Seq(0.5, 0.95, 0.99)).as("p"))
+        .collect())
   }
 
   /** Per-shard top-5 tokens: exact groupBy count + window vs the

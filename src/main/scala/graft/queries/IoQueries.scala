@@ -165,6 +165,28 @@ object IoQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus"))
 ,
 
+    // Approximate query processing from the deterministic sample:
+    // answer a grouped count from q59's 1/16 content-hash sample at
+    // 1/16 the scan (the AQP dashboard pattern — at 100 TB the
+    // sample is a materialized 6 TB table), with the scale-up AND the
+    // true error reported side by side. Because the sampler is a
+    // pure row function (md5, partition-invariant), the estimate is
+    // reproducible and the ORACLE reproduces it exactly — estimate,
+    // exact, and integer-ppm error all hash-check; abs() keeps the
+    // ppm division on nonnegative ints so div/floor agree.
+    "qD3_aqp_estimate" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      val est = ev.filter(
+          substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+        .groupBy("event_type").agg((count(lit(1)) * 16).as("est_raw"))
+      exact.join(est, Seq("event_type"), "left")
+        .withColumn("est_n", coalesce(col("est_raw"), lit(0L)))
+        .withColumn("abs_err_ppm",
+          expr("abs(est_n - exact_n) * 1000000 div exact_n"))
+        .select("event_type", "exact_n", "est_n", "abs_err_ppm")
+    }),
+
     // Z-order (Morton) clustering key: bit-interleave two join/filter
     // dimensions so ONE range-partitioned sort key gives locality in
     // BOTH — the lakehouse layout technique (Delta/Iceberg OPTIMIZE
@@ -486,6 +508,21 @@ object IoQueries {
          SELECT bucket, n_a, n_b
          FROM a FULL OUTER JOIN b USING (bucket)
          WHERE dig_a IS DISTINCT FROM dig_b OR n_a IS DISTINCT FROM n_b""",
+
+    // same sampler, same scale-up, same nonnegative integer ppm
+    "qD3_aqp_estimate" ->
+      """WITH ex AS (
+           SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1),
+         sm AS (
+           SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS est_raw
+           FROM events
+           WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+           GROUP BY 1)
+         SELECT ex.event_type, ex.exact_n,
+           CAST(coalesce(sm.est_raw, 0) AS BIGINT) AS est_n,
+           (abs(coalesce(sm.est_raw, 0) - ex.exact_n) * 1000000) // ex.exact_n
+             AS abs_err_ppm
+         FROM ex LEFT JOIN sm USING (event_type)""",
 
     // the interleave spelled out term by term (exact integer shifts,
     // no subquery — DuckDB 1.0 cannot correlate table functions)
