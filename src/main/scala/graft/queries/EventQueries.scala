@@ -149,6 +149,40 @@ object EventQueries {
     "q50_window_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(table(s, dir, "events"), "1 hour")),
 
+    // Time-aligned linear interpolation: estimate a reference signal
+    // ('click' values) AT the timestamps of a sparse other series
+    // ('error' events) per user — the sensor-fusion / feature-
+    // alignment op (as-of join q18 snaps to ONE side; this blends
+    // both neighbors). Surrounding observations come from IGNORE
+    // NULLS window fills over ONE user-partitioned ordering (no
+    // self-join, no per-row search); the lerp is exact ints into one
+    // fixed-order float expression, identical on both engines.
+    "qD4_time_align" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "click",
+            round(col("value") * 100).cast("long")).as("ref_cents"),
+          when(col("event_type") === "click",
+            unix_micros(col("ts"))).as("ref_us"))
+        .withColumn("v0", last(col("ref_cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("t0", last(col("ref_us"), ignoreNulls = true).over(wPrev))
+        .withColumn("v1", first(col("ref_cents"), ignoreNulls = true).over(wNext))
+        .withColumn("t1", first(col("ref_us"), ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "error"
+          && col("v0").isNotNull && col("v1").isNotNull
+          && col("t1") =!= col("t0"))
+        .select(col("user_id"), col("event_id"), col("v0"), col("v1"),
+          (col("v0").cast("double") + (col("v1") - col("v0")).cast("double")
+            * ((col("us") - col("t0")).cast("double")
+              / (col("t1") - col("t0")).cast("double"))).as("interp_cents"))
+    }),
+
     // Per-entity state-run compression (gaps-and-islands run-length
     // encoding): maximal runs of consecutive same-type events per
     // user, via the classic rn − rn_per_state difference — both
@@ -404,6 +438,39 @@ object EventQueries {
            count(*) AS n,
            round(sum(value) * 100) / 100 AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // same IGNORE NULLS fills over the same (ts, event_id) ordering,
+    // same fixed-order lerp
+    "qD4_time_align" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS ref_cents,
+             CASE WHEN event_type = 'click'
+                  THEN epoch_us(ts) END AS ref_us
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, event_type, us,
+             last_value(ref_cents IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v0,
+             last_value(ref_us IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t0,
+             first_value(ref_cents IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(ref_us IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+           FROM e)
+         SELECT user_id, event_id, v0, v1,
+           CAST(v0 AS DOUBLE) + CAST(v1 - v0 AS DOUBLE)
+             * (CAST(us - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+             AS interp_cents
+         FROM f
+         WHERE event_type = 'error' AND v0 IS NOT NULL
+           AND v1 IS NOT NULL AND t1 <> t0""",
 
     // same per-user rn-difference run key, same run aggregates
     "qD0_state_runs" ->
