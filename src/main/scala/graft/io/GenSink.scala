@@ -1,0 +1,151 @@
+package graft.io
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE connector — the sink half of the engine's
+  * custom-connector surface ([[GenSource]] is the read half): a
+  * line-delimited-JSON writer implemented directly against the V2
+  * write protocol (WriteBuilder → BatchWrite → per-partition
+  * DataWriter → driver-side commit), the API shape every external
+  * store sink (warehouse, queue, index) plugs in through.
+  *
+  * `df.write.format("graftsink").option("path", dir).save()`
+  *
+  * What the protocol buys at scale, demonstrated for real here:
+  *  - each input partition streams through its OWN DataWriter (one
+  *    task, one file, no driver funnel — 1000 executors write 1000
+  *    files concurrently);
+  *  - task outputs are provisional until the DRIVER commits: writers
+  *    emit their file as a WriterCommitMessage, abort() deletes
+  *    partial files, so a failed/speculative task never corrupts the
+  *    sink (the unit of atomicity a distributed sink needs);
+  *  - overwrite mode arrives as SupportsTruncate on the builder —
+  *    the sink clears the target before the new write commits.
+  *
+  * Types: long/int/double/string/boolean columns (the JSONL training
+  * -corpus subset); strings are JSON-escaped. GenSinkSpec pins the
+  * round-trip, per-partition file layout, and truncate; qD5 drives
+  * write → schema-inferred re-read → aggregate against the
+  * parquet-direct oracle (the q57 losslessness contract).
+  */
+class GenSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftsink"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // write-only source: schema comes from the frame
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftsink requires option(\"path\")"))
+    new GenSinkTable(schema, path)
+  }
+}
+
+private[io] class GenSinkTable(writeSchema: StructType, path: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graftsink($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GenSinkWriteBuilder(info.schema(), path)
+}
+
+private[io] class GenSinkWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GenSinkBatchWrite(schema, path, doTruncate)
+  }
+}
+
+/** Commit message: the finished file this task produced. */
+private[io] case class GenSinkFile(path: String) extends WriterCommitMessage
+
+private[io] class GenSinkBatchWrite(schema: StructType, path: String,
+                                    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    if (truncate && dir.exists())
+      dir.listFiles().filter(_.getName.endsWith(".jsonl")).foreach(_.delete())
+    dir.mkdirs()
+    new GenSinkWriterFactory(schema, path)
+  }
+
+  // the driver-side commit point: all task files are already in
+  // place (each task's commit() sealed its own file); a production
+  // sink would atomically publish the manifest here
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GenSinkFile(f) => new File(f).delete(); ()
+      case _ => ()
+    }
+}
+
+private[io] class GenSinkWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GenSinkWriter(schema, s"$path/part-$partitionId-$taskId.jsonl")
+}
+
+private[io] class GenSinkWriter(schema: StructType, file: String)
+    extends DataWriter[InternalRow] {
+  // explicit UTF-8: FileWriter's platform-default charset silently
+  // mangles non-ASCII text on ASCII-locale hosts
+  private val out = Files.newBufferedWriter(Paths.get(file), StandardCharsets.UTF_8)
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
+          case dt => throw new IllegalArgumentException(
+            s"graftsink supports long/int/double/string/boolean, got $dt for ${f.name}")
+        }
+      "\"" + jsonEscape(f.name) + "\":" + v
+    }
+    out.write(fields.mkString("{", ",", "}"))
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); GenSinkFile(file) }
+  override def abort(): Unit = { out.close(); new File(file).delete(); () }
+  override def close(): Unit = ()
+}

@@ -129,8 +129,22 @@ object IoQueries {
       tmp
     }
 
+  /** V2-sink fixture for qD5: orders written through the engine's own
+    * DataSource V2 write connector (graft.io.GenSink). */
+  private def stageV2Sink(s: SparkSession, dir: String): String =
+    Staging.once(s"qD5_v2sink:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qD5_sink").toString
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .write.format("graftsink").option("path", s"$tmp/orders")
+        .mode("overwrite").save()
+      tmp
+    }
+
   /** Staging hooks Bench runs ahead of the per-query timer. */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
+    "qD5_dsv2_sink" -> ((s, dir) => { stageV2Sink(s, dir); () }),
     "q57_csv_roundtrip" -> ((s, dir) => { stageCsv(s, dir); () }),
     "qB9_xml_roundtrip" -> ((s, dir) => { stageXml(s, dir); () }),
     "qC3_schema_evolution" -> ((s, dir) => { stageEvolved(s, dir); () }),
@@ -456,6 +470,23 @@ object IoQueries {
           countDistinct(col("channel")).as("n_channels"))
     }),
 
+    // DataSource V2 WRITE connector (graft.io.GenSink): parquet →
+    // the engine's own V2 sink (per-partition DataWriters, driver
+    // commit, JSONL bytes; staged) → schema-inferred re-read →
+    // aggregate. The oracle reads parquet directly, so any loss in
+    // the sink's serialization, escaping, or commit protocol breaks
+    // the hash — the q57 losslessness contract applied to the
+    // connector write path.
+    "qD5_dsv2_sink" -> ((s, dir) => {
+      val tmp = stageV2Sink(s, dir)
+      s.read.json(s"$tmp/orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_custkey").as("sum_cust"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          countDistinct("o_orderpriority").as("n_prio"))
+    }),
+
     // DataSource V2 custom connector (graft.io.GenSource): the
     // engine's own TableProvider with column pruning, id-range filter
     // pushdown, AND partition-range pruning (the id bound skips whole
@@ -692,6 +723,15 @@ object IoQueries {
            CAST(count(channel) AS BIGINT) AS n_channel,
            count(DISTINCT channel) AS n_channels
          FROM u GROUP BY gen""",
+
+    // parquet-direct: the V2 sink's JSONL layer must round-trip every
+    // value losslessly for the hash to match
+    "qD5_dsv2_sink" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           count(DISTINCT o_orderpriority) AS n_prio
+         FROM orders GROUP BY o_orderstatus""",
 
     // the source's deterministic generator reproduced row-for-row:
     // same Lehmer step, same mod fields, same id bound
