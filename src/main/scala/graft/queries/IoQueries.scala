@@ -129,6 +129,23 @@ object IoQueries {
       tmp
     }
 
+  /** qD6's ring: 8 virtual nodes per shard at 60-bit md5 positions
+    * (the same 15-hex-char construction as Dedup.md5Long, computed
+    * here in Scala for the engine's broadcast vnode table AND
+    * embedded as literals in the oracle — one derivation, two
+    * consumers). Position collisions (≈0 at 60 bits) dedupe to the
+    * lowest shard deterministically. */
+  private[queries] def ringVnodes(nShards: Int): Seq[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = for (sh <- 0 until nShards; j <- 0 until 8) yield {
+      val hex = md.digest(s"ring:$sh:$j".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      (sh, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+    }
+    raw.groupBy(_._2).map { case (pos, xs) => (xs.map(_._1).min, pos) }
+      .toSeq.sortBy(_._2)
+  }
+
   /** V2-sink fixture for qD5: orders written through the engine's own
     * DataSource V2 write connector (graft.io.GenSink). */
   private def stageV2Sink(s: SparkSession, dir: String): String =
@@ -199,6 +216,43 @@ object IoQueries {
         .withColumn("abs_err_ppm",
           expr("abs(est_n - exact_n) * 1000000 div exact_n"))
         .select("event_type", "exact_n", "est_n", "abs_err_ppm")
+    }),
+
+    // Consistent-hash ring assignment (Karger et al. '97) — the
+    // shard-placement op behind every distributed KV/cache tier: keys
+    // hash onto a ring, each key lands on its successor virtual node,
+    // and ADDING a shard moves only ~1/(n+1) of the keys — every one
+    // of them TO the new shard (mod-N placement would reshuffle
+    // nearly everything). Both ring walks are broadcast-vnode narrow
+    // maps + one aggregate; the 52-bit md5 ring positions, successor
+    // choice, and movement audit are exact integers the oracle
+    // re-derives (vnode positions embedded as literals from the same
+    // Scala MD5 the engine uses).
+    "qD6_consistent_hash" -> ((s, dir) => {
+      def assign(keys: DataFrame, nShards: Int, outCol: String): DataFrame = {
+        val vn = IoQueries.ringVnodes(nShards)
+        val vdf = broadcast(s.createDataFrame(vn).toDF("shard", "vpos"))
+        keys.crossJoin(vdf)
+          .groupBy("key", "kpos")
+          .agg(min(when(col("vpos") >= col("kpos"), col("vpos"))).as("succ"),
+            min(col("vpos")).as("wrap"))
+          .withColumn("chosen", coalesce(col("succ"), col("wrap")))
+          .join(vdf, col("chosen") === col("vpos"))
+          .select(col("key"), col("kpos"), col("shard").as(outCol))
+      }
+      val keys = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          Dedup.md5Long(col("c_custkey").cast("string")).as("kpos"))
+      val a16 = assign(keys, 16, "shard16")
+      val a17 = assign(keys, 17, "shard17")
+      a16.join(a17, Seq("key", "kpos"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("shard16") =!= col("shard17"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("shard16") =!= col("shard17")
+            && col("shard17") =!= 16, 1L).otherwise(0L)).as("n_moved_elsewhere"))
+        .withColumn("moved_ppm", expr("n_moved * 1000000 div n_keys"))
+        .withColumn("moves_to_new_only", col("n_moved_elsewhere") === 0L)
     }),
 
     // Z-order (Morton) clustering key: bit-interleave two join/filter
@@ -539,6 +593,48 @@ object IoQueries {
          SELECT bucket, n_a, n_b
          FROM a FULL OUTER JOIN b USING (bucket)
          WHERE dig_a IS DISTINCT FROM dig_b OR n_a IS DISTINCT FROM n_b""",
+
+    // same ring positions (vnode literals from the same Scala MD5),
+    // same successor/wraparound choice, same movement audit
+    "qD6_consistent_hash" -> {
+      def vnSql(n: Int) = IoQueries.ringVnodes(n)
+        .map { case (sh, p) => s"($sh, $p)" }.mkString(", ")
+      s"""WITH vn16(shard, vpos) AS (VALUES ${vnSql(16)}),
+         vn17(shard, vpos) AS (VALUES ${vnSql(17)}),
+         k AS (
+           SELECT c_custkey AS key,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+               AS UBIGINT) AS BIGINT) AS kpos
+           FROM customer),
+         c16 AS (
+           SELECT key, kpos,
+             coalesce(min(CASE WHEN vpos >= kpos THEN vpos END), min(vpos))
+               AS chosen
+           FROM k, vn16 GROUP BY key, kpos),
+         a16 AS (
+           SELECT key, kpos, shard AS shard16
+           FROM c16 JOIN vn16 ON vn16.vpos = c16.chosen),
+         c17 AS (
+           SELECT key, kpos,
+             coalesce(min(CASE WHEN vpos >= kpos THEN vpos END), min(vpos))
+               AS chosen
+           FROM k, vn17 GROUP BY key, kpos),
+         a17 AS (
+           SELECT key, kpos, shard AS shard17
+           FROM c17 JOIN vn17 ON vn17.vpos = c17.chosen),
+         j AS (SELECT shard16, shard17 FROM a16 JOIN a17 USING (key, kpos)),
+         agg AS (
+           SELECT count(*) AS n_keys,
+             CAST(sum(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved,
+             CAST(sum(CASE WHEN shard16 <> shard17 AND shard17 <> 16
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+           FROM j)
+         SELECT n_keys, n_moved, n_moved_elsewhere,
+           (n_moved * 1000000) // n_keys AS moved_ppm,
+           n_moved_elsewhere = 0 AS moves_to_new_only
+         FROM agg"""
+    },
 
     // same sampler, same scale-up, same nonnegative integer ppm
     "qD3_aqp_estimate" ->
