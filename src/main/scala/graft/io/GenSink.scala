@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +60,8 @@ private[io] class GenSinkTable(writeSchema: StructType, path: String)
   override def name(): String = s"graftsink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GenSinkWriteBuilder(info.schema(), path)
@@ -72,7 +74,36 @@ private[io] class GenSinkWriteBuilder(schema: StructType, path: String)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GenSinkBatchWrite(schema, path, doTruncate)
+    override def toStreaming: StreamingWrite = new GenSinkStreamingWrite(schema, path)
   }
+}
+
+/** Streaming half of the sink: one file per (epoch, partition) under
+  * a DETERMINISTIC name, so a replayed epoch (failure recovery,
+  * micro-batch retry) overwrites its own previous attempt instead of
+  * duplicating rows — idempotent re-execution, which for a file sink
+  * IS the exactly-once contract. Epoch commit/abort arrive on the
+  * driver per micro-batch, same protocol shape as the batch path. */
+private[io] class GenSinkStreamingWrite(schema: StructType, path: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    new GenSinkStreamingWriterFactory(schema, path)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GenSinkFile(f) => new File(f).delete(); ()
+      case _ => ()
+    }
+}
+
+private[io] class GenSinkStreamingWriterFactory(schema: StructType, path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GenSinkWriter(schema, s"$path/part-e$epochId-p$partitionId.jsonl")
 }
 
 /** Commit message: the finished file this task produced. */

@@ -53,6 +53,27 @@ object EventQueries {
 
   import org.apache.spark.sql.streaming.OutputMode
 
+  /** qD7: the stream drains into the engine's OWN DataSource V2 sink
+    * (graft.io.GenSink, streaming write path) instead of a memory
+    * sink — file source → narrow transform → V2 StreamingWrite with
+    * per-epoch deterministic files + checkpoint. Returns the sink
+    * directory the timed query re-reads. */
+  private def stageQD7(s: SparkSession, dir: String): String =
+    Staging.once(s"qD7_v2streamsink:$dir") {
+      val out = java.nio.file.Files.createTempDirectory("graft_qD7_sink").toString
+      val q = graft.streaming.EventStreams.readEventsStream(
+          s, stageSource(s, dir, "qD7"))
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("us"))
+        .writeStream.format("graftsink")
+        .option("path", s"$out/events")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s"$out/events"
+    }
+
   private def stageQ56(s: SparkSession, dir: String): String =
     drained(s, dir, "q56", OutputMode.Complete()) {
       graft.streaming.EventStreams.tumblingCounts(
@@ -142,12 +163,30 @@ object EventQueries {
     "q5A_stream_stateful" -> ((s, dir) => { stageQ5A(s, dir); () }),
     "q5D_stream_dedup" -> ((s, dir) => { stageQ5D(s, dir); () }),
     "q82_stream_dedup_watermark" -> ((s, dir) => { stageQ82(s, dir); () }),
-    "qBE_stream_session" -> ((s, dir) => { stageQBE(s, dir); () })
+    "qBE_stream_session" -> ((s, dir) => { stageQBE(s, dir); () }),
+    "qD7_stream_v2_sink" -> ((s, dir) => { stageQD7(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_window_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(table(s, dir, "events"), "1 hour")),
+
+    // Structured Streaming INTO the engine's own DSv2 sink: stream →
+    // narrow transform → GenSink's StreamingWrite (per-epoch
+    // deterministic files = idempotent replay, checkpointed; staged)
+    // → schema-inferred re-read → aggregate. The oracle is the batch
+    // twin over the source table, so a lost epoch, duplicated
+    // micro-batch, or serialization drift in the custom sink breaks
+    // the hash — stream/batch equivalence THROUGH the connector
+    // write path.
+    "qD7_stream_v2_sink" -> ((s, dir) => {
+      val p = stageQD7(s, dir)
+      s.read.json(p)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          countDistinct("user_id").as("n_users"),
+          min("us").as("min_us"), max("us").as("max_us"))
+    }),
 
     // Time-aligned linear interpolation: estimate a reference signal
     // ('click' values) AT the timestamps of a sparse other series
@@ -438,6 +477,15 @@ object EventQueries {
            count(*) AS n,
            round(sum(value) * 100) / 100 AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // batch twin over the source table — the streamed V2-sink bytes
+    // must reproduce it exactly
+    "qD7_stream_v2_sink" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           count(DISTINCT user_id) AS n_users,
+           min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+         FROM events GROUP BY event_type""",
 
     // same IGNORE NULLS fills over the same (ts, event_id) ordering,
     // same fixed-order lerp
