@@ -218,6 +218,32 @@ object IoQueries {
         .select("event_type", "exact_n", "est_n", "abs_err_ppm")
     }),
 
+    // Delta-encoding advisor — the storage-codec analysis behind
+    // parquet/ORC encoding choices: within each natural 1024-key
+    // block of the (near-dense, sorted-within-block) order keys,
+    // measure the max gap between consecutive keys and derive the
+    // delta bit-width; delta_bits vs 64·n per block quantifies the
+    // win of DELTA_BINARY_PACKED over plain encoding. Blocks come
+    // from the key value itself (no global sort — the lag window is
+    // per-block parallel), and every figure is exact integer
+    // arithmetic (bit width via length(bin(gap)), minimal on both
+    // engines).
+    "qD9_delta_advisor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("blk").orderBy(col("k").asc)
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("o_orderkey div 1024").as("blk"))
+        .withColumn("gap", col("k") - lag(col("k"), 1).over(w))
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n_keys"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          max("gap").as("max_gap"))
+        .withColumn("delta_bits", length(bin(col("max_gap"))).cast("long"))
+        .withColumn("packed_bits", col("delta_bits") * (col("n_keys") - 1))
+        .withColumn("plain_bits", lit(64L) * col("n_keys"))
+    }),
+
     // Consistent-hash ring assignment (Karger et al. '97) — the
     // shard-placement op behind every distributed KV/cache tier: keys
     // hash onto a ring, each key lands on its successor virtual node,
@@ -593,6 +619,24 @@ object IoQueries {
          SELECT bucket, n_a, n_b
          FROM a FULL OUTER JOIN b USING (bucket)
          WHERE dig_a IS DISTINCT FROM dig_b OR n_a IS DISTINCT FROM n_b""",
+
+    // same natural blocks, same lag gaps, same minimal bit widths
+    "qD9_delta_advisor" ->
+      """WITH b AS (
+           SELECT o_orderkey AS k, o_orderkey // 1024 AS blk FROM orders),
+         g AS (
+           SELECT blk, k,
+             k - lag(k) OVER (PARTITION BY blk ORDER BY k) AS gap
+           FROM b),
+         a AS (
+           SELECT blk, count(*) AS n_keys, min(k) AS min_k, max(k) AS max_k,
+             max(gap) AS max_gap
+           FROM g GROUP BY blk)
+         SELECT blk, n_keys, min_k, max_k, max_gap,
+           CAST(length(bin(max_gap)) AS BIGINT) AS delta_bits,
+           CAST(length(bin(max_gap)) AS BIGINT) * (n_keys - 1) AS packed_bits,
+           CAST(64 * n_keys AS BIGINT) AS plain_bits
+         FROM a""",
 
     // same ring positions (vnode literals from the same Scala MD5),
     // same successor/wraparound choice, same movement audit

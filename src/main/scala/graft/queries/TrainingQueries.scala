@@ -164,6 +164,27 @@ object TrainingQueries {
         .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
     }),
 
+    // Frequency-ranked dictionary (label) encoding — the categorical
+    // feature-engineering step every ML pipeline runs before
+    // training: each column's values get dense integer codes by
+    // (count DESC, value) rank, so code 0 is always the mode and
+    // code cardinality equals the dictionary size. Two columns ride
+    // ONE pass (array-of-structs explode → narrow), the rank window
+    // runs per column over the |domain|-row collapsed frame (the
+    // collapse-then-window discipline), and the emitted artifact IS
+    // the dictionary — at 100 TB it broadcasts back to encode the
+    // corpus without a second shuffle.
+    "qD8_label_encode" -> ((s, dir) => {
+      val long = table(s, dir, "orders")
+        .select(explode(array(
+          struct(lit("priority").as("c"), col("o_orderpriority").as("v")),
+          struct(lit("status").as("c"), col("o_orderstatus").as("v")))).as("e"))
+        .select(col("e.c").as("c"), col("e.v").as("v"))
+      val w = Window.partitionBy("c").orderBy(col("n").desc, col("v").asc)
+      long.groupBy("c", "v").agg(count(lit(1)).as("n"))
+        .withColumn("code", row_number().over(w) - 1)
+    }),
+
     // CMS join-size estimation (Cormode–Muthukrishnan §4.2: the
     // inner product of two Count-Min sketches over-estimates
     // Σ_k cntA(k)·cntB(k), the equi-join cardinality) — the
@@ -557,6 +578,18 @@ object TrainingQueries {
     // the exact counts of every term colliding there; the estimate is
     // the min over the term's 4 row counters — the CMS definition,
     // reconstructed from the same md5 hex slices the aggregate uses
+    // same unpivot, same (count DESC, value) rank per column
+    "qD8_label_encode" ->
+      """WITH long AS (
+           SELECT 'priority' AS c, o_orderpriority AS v FROM orders
+           UNION ALL
+           SELECT 'status', o_orderstatus FROM orders),
+         f AS (SELECT c, v, count(*) AS n FROM long GROUP BY c, v)
+         SELECT c, v, n,
+           CAST(row_number() OVER (PARTITION BY c
+             ORDER BY n DESC, v ASC) - 1 AS INTEGER) AS code
+         FROM f""",
+
     // both sketches re-derived with the md5-word hash, same min of
     // per-row inner products, same exact spine
     "qCF_cms_join_size" ->
