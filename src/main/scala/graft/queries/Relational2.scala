@@ -196,6 +196,51 @@ object Relational2 {
             <= lit(0.03) * col("p99")).as("ok99"))
     }),
 
+    // KMV bottom-k distinct sketch (graft.functions.KmvSketch) doing
+    // the thing HLL cannot: SET ALGEBRA between groups. Per-flag
+    // sketches of the partkey domain are combined pairwise — union,
+    // Jaccard, intersection estimates in pure Column code over the
+    // minima arrays — and gated against the exact spine (per-flag
+    // distinct + pairwise intersection via a distinct-pair self-join,
+    // both engines exact). Bound = 10% of the union: k=1024 gives
+    // rsd ≈ 1/√(k−2) ≈ 3.1% on the union and the Jaccard here is
+    // near 1 with ~σ√(J(1−J)/k) noise, so 10% is a ≥3σ envelope;
+    // deterministic (minima are data), so the booleans hash stably.
+    // At 100 TB this is the corpus-shard-overlap audit: sketches
+    // shuffle ≤ k longs per shard; exact pairwise count(DISTINCT)
+    // would re-shuffle every shard pair.
+    "qDA_kmv_overlap" -> ((s, dir) => {
+      val K = 1024
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      val sk = pairs.groupBy("flag")
+        .agg(graft.functions.KmvSketch(xxhash64(col("pk")), K).as("sk"),
+          countDistinct(col("pk")).as("d"))
+      val d = pairs.distinct()
+      val inter = d.as("a").join(d.as("b"),
+          col("a.pk") === col("b.pk") && col("a.flag") < col("b.flag"))
+        .groupBy(col("a.flag").as("f1"), col("b.flag").as("f2"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val K1 = col("sk1"); val K2 = col("sk2")
+      inter
+        .join(broadcast(sk.select(col("flag").as("f1"),
+          col("sk").as("sk1"), col("d").as("d1"))), Seq("f1"))
+        .join(broadcast(sk.select(col("flag").as("f2"),
+          col("sk").as("sk2"), col("d").as("d2"))), Seq("f2"))
+        .withColumn("exact_union", col("d1") + col("d2") - col("exact_inter"))
+        .withColumn("est_union",
+          graft.functions.KmvSketch.estimate(
+            graft.functions.KmvSketch.unionK(K1, K2, K), K))
+        .withColumn("est_inter",
+          graft.functions.KmvSketch.jaccard(K1, K2, K) * col("est_union"))
+        .select(col("f1"), col("f2"), col("d1"), col("d2"),
+          col("exact_inter"), col("exact_union"),
+          (abs(col("est_union") - col("exact_union"))
+            <= lit(0.10) * col("exact_union")).as("ok_union"),
+          (abs(col("est_inter") - col("exact_inter"))
+            <= lit(0.10) * col("exact_union")).as("ok_inter"))
+    }),
+
     // Winsorized (clamped-tail) robust mean — the outlier-resistant
     // aggregate data-quality pipelines use where mean() is skewed by
     // a fat tail and trimming would change N. Two-phase: exact
@@ -790,6 +835,23 @@ object Relational2 {
            FROM pq)
          SELECT qty, best_cents, n_lines
          FROM f WHERE min_above IS NULL OR best_cents < min_above""",
+
+    // exact spine only (per-flag distinct + pairwise intersection
+    // over distinct pairs); the KMV verdicts hash as constant true
+    "qDA_kmv_overlap" ->
+      """WITH d AS (
+           SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem),
+         card AS (SELECT flag, count(*) AS cd FROM d GROUP BY flag),
+         inter AS (
+           SELECT a.flag AS f1, b.flag AS f2, count(*) AS exact_inter
+           FROM d a JOIN d b ON a.pk = b.pk AND a.flag < b.flag
+           GROUP BY 1, 2)
+         SELECT f1, f2, c1.cd AS d1, c2.cd AS d2, exact_inter,
+           c1.cd + c2.cd - exact_inter AS exact_union,
+           true AS ok_union, true AS ok_inter
+         FROM inter
+         JOIN card c1 ON c1.flag = f1
+         JOIN card c2 ON c2.flag = f2""",
 
     // exact spine only; the sketch verdicts hash as constant true
     // (see the Spark-side comment for the bound construction)
