@@ -360,6 +360,30 @@ object EventQueries {
       s.table(stageQ82(s, dir)).groupBy("event_type")
         .agg(count(lit(1)).as("n"))),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: lag(event_type) within each user's timeline gives
+    // (prev → cur) edges; counts roll up to exact longs and the
+    // transition probability is ONE float division of those longs —
+    // the bit-safe ratio pattern. Scale shape: a single shuffle on
+    // user_id for the ordered window (the same key sessionization
+    // uses), then the matrix itself is |types|² rows — tiny however
+    // large the log. event_id breaks timestamp ties so the lag is
+    // deterministic on both engines.
+    "qDC_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val tr = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy("prev")
+      tr.withColumn("n_prev", sum(col("n")).over(wp))
+        .select(col("prev"), col("cur"), col("n"), col("n_prev"),
+          (col("n").cast("double") / col("n_prev")).as("p"))
+    }),
+
     // Ordered conversion funnel (view → click → purchase): first
     // view, first click strictly after it, first purchase strictly
     // after that — the product-analytics staple that sessionization
@@ -654,6 +678,24 @@ object EventQueries {
            count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
            count(*) AS n
          FROM events GROUP BY event_type""",
+
+    // same lag construction; the window sum is HUGEINT in DuckDB —
+    // cast before the ratio so n_prev types BIGINT
+    "qDC_markov_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         tr AS (
+           SELECT prev, event_type AS cur, count(*) AS n
+           FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         tot AS (
+           SELECT prev, cur, n,
+             CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS n_prev
+           FROM tr)
+         SELECT prev, cur, n, n_prev,
+           CAST(n AS DOUBLE) / n_prev AS p
+         FROM tot""",
 
     "q9E_event_funnel" ->
       """WITH v AS (

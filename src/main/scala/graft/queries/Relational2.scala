@@ -241,6 +241,37 @@ object Relational2 {
             <= lit(0.10) * col("exact_union")).as("ok_inter"))
     }),
 
+    // Market-basket frequent pairs (Apriori level 2) with lift: parts
+    // co-occurring in ≥2 orders, restricted to parts appearing in ≥5
+    // orders. The ANTI-MONOTONE prune is the scale story: a frequent
+    // pair requires both items frequent, so the (small) frequent-item
+    // set broadcast-filters baskets BEFORE the per-order pair
+    // expansion — the self-join is on l_orderkey, quadratic only in
+    // basket size (≤7 here), never in the item domain. Counts exact;
+    // lift assembled in one fixed-order float expression from exact
+    // longs on both engines.
+    "qDB_frequent_pairs" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val items = b.groupBy("pk").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+      val pruned = b.join(broadcast(items.select("pk")), Seq("pk"), "left_semi")
+      val pairs = pruned.as("a").join(pruned.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pk1"), col("b.pk").as("pk2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(items.select(col("pk").as("pk1"), col("n").as("n1"))), Seq("pk1"))
+        .join(broadcast(items.select(col("pk").as("pk2"), col("n").as("n2"))), Seq("pk2"))
+        .crossJoin(broadcast(tot))
+        .select(col("pk1"), col("pk2"), col("n_pair"), col("n1"), col("n2"),
+          (col("n_pair").cast("double") * col("n_orders")
+            / (col("n1").cast("double") * col("n2"))).as("lift"))
+    }),
+
     // Winsorized (clamped-tail) robust mean — the outlier-resistant
     // aggregate data-quality pipelines use where mean() is skewed by
     // a fat tail and trimming would change N. Two-phase: exact
@@ -835,6 +866,25 @@ object Relational2 {
            FROM pq)
          SELECT qty, best_cents, n_lines
          FROM f WHERE min_above IS NULL OR best_cents < min_above""",
+
+    // same prune thresholds, same fixed-order lift assembly
+    "qDB_frequent_pairs" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         item AS (
+           SELECT pk, count(*) AS n FROM b GROUP BY pk HAVING count(*) >= 5),
+         pruned AS (SELECT ok, pk FROM b WHERE pk IN (SELECT pk FROM item)),
+         pr AS (
+           SELECT a.pk AS pk1, c.pk AS pk2, count(*) AS n_pair
+           FROM pruned a JOIN pruned c ON a.ok = c.ok AND a.pk < c.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         tot AS (SELECT count(DISTINCT ok) AS n_orders FROM b)
+         SELECT pk1, pk2, n_pair, i1.n AS n1, i2.n AS n2,
+           CAST(n_pair AS DOUBLE) * n_orders
+             / (CAST(i1.n AS DOUBLE) * i2.n) AS lift
+         FROM pr
+         JOIN item i1 ON i1.pk = pk1
+         JOIN item i2 ON i2.pk = pk2, tot""",
 
     // exact spine only (per-flag distinct + pairwise intersection
     // over distinct pairs); the KMV verdicts hash as constant true
