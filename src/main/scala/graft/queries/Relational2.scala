@@ -241,6 +241,34 @@ object Relational2 {
             <= lit(0.10) * col("exact_union")).as("ok_inter"))
     }),
 
+    // Bitmap-index distinct intersection — qDA's question answered
+    // EXACTLY for bounded integer domains: each group's key set
+    // becomes a word-sliced bitmap (word = key/64, bit_or of 1<<key%64
+    // — idempotent, so raw rows feed it with NO distinct pass and the
+    // partial agg absorbs duplicates map-side), and pairwise overlap
+    // is sum(bit_count(a & b)) over an equi-join on word index. Per
+    // group the shuffle is |domain|/64 longs regardless of row count
+    // — the roaring-bitmap shape OLAP engines use for COUNT DISTINCT
+    // semi-join pushdown. KMV (qDA) covers unbounded domains; this is
+    // the exact fast path when keys are dense integers.
+    "qDE_bitmap_intersect" -> ((s, dir) => {
+      val bm = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+        .groupBy(col("flag"), floor(col("pk") / 64).cast("long").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pk % 64 AS INT)))")
+          .as("bits"))
+      val card = bm.groupBy("flag")
+        .agg(sum(bit_count(col("bits")).cast("long")).as("cd"))
+      bm.as("a").join(bm.as("b"),
+          col("a.word") === col("b.word") && col("a.flag") < col("b.flag"))
+        .groupBy(col("a.flag").as("f1"), col("b.flag").as("f2"))
+        .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits"))).cast("long"))
+          .as("n_inter"))
+        .join(broadcast(card.select(col("flag").as("f1"), col("cd").as("d1"))), Seq("f1"))
+        .join(broadcast(card.select(col("flag").as("f2"), col("cd").as("d2"))), Seq("f2"))
+        .select(col("f1"), col("f2"), col("d1"), col("d2"), col("n_inter"))
+    }),
+
     // Market-basket frequent pairs (Apriori level 2) with lift: parts
     // co-occurring in ≥2 orders, restricted to parts appearing in ≥5
     // orders. The ANTI-MONOTONE prune is the scale story: a frequent
@@ -866,6 +894,21 @@ object Relational2 {
            FROM pq)
          SELECT qty, best_cents, n_lines
          FROM f WHERE min_above IS NULL OR best_cents < min_above""",
+
+    // the oracle proves the bitmap path against plain distinct set
+    // algebra — same answer, different plan
+    "qDE_bitmap_intersect" ->
+      """WITH d AS (
+           SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem),
+         card AS (SELECT flag, count(*) AS cd FROM d GROUP BY flag),
+         inter AS (
+           SELECT a.flag AS f1, b.flag AS f2, count(*) AS n_inter
+           FROM d a JOIN d b ON a.pk = b.pk AND a.flag < b.flag
+           GROUP BY 1, 2)
+         SELECT f1, f2, c1.cd AS d1, c2.cd AS d2, n_inter
+         FROM inter
+         JOIN card c1 ON c1.flag = f1
+         JOIN card c2 ON c2.flag = f2""",
 
     // same prune thresholds, same fixed-order lift assembly
     "qDB_frequent_pairs" ->

@@ -29,6 +29,35 @@ object TrainingQueries {
   private val Shards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact AUC (Mann–Whitney rank-sum) per group — the classifier /
+    // quality-score evaluation data pipelines run over billions of
+    // scored rows. Tie-safe and INTEGER-exact end-to-end: rank() is
+    // the tie group's min rank, so twice-the-average-rank is the
+    // integer 2·rank + cnt − 1; summing it over positives gives
+    // u2 = 2·U, and AUC is ONE float division of exact longs (the
+    // bit-safe ratio pattern). One shuffle: the per-group rank sort;
+    // everything after is a per-group agg — no pairwise positive ×
+    // negative comparison, which is the naive O(n²) AUC shape.
+    "qDD_auc_ranksum" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("pos"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("status").orderBy(col("cents").asc)
+      val wt = Window.partitionBy("status", "cents")
+      o.withColumn("r2",
+          lit(2L) * rank().over(w).cast("long")
+            + count(lit(1)).over(wt) - lit(1L))
+        .groupBy("status")
+        .agg(sum(col("pos")).as("n_pos"),
+          (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+          (sum(when(col("pos") === 1L, col("r2")).otherwise(0L))
+            - sum(col("pos")) * (sum(col("pos")) + 1L)).as("u2"))
+        .select(col("status"), col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+    }),
+
     // Overlapping token-window chunking: one output row per training
     // chunk, pure generate (posexplode of the start sequence + slice)
     // — no shuffle at all.
@@ -472,6 +501,30 @@ object TrainingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same integer rank algebra; rank()/count() windows and the CASE
+    // sums are HUGEINT-prone in DuckDB — cast every aggregate
+    "qDD_auc_ranksum" ->
+      """WITH o AS (
+           SELECT o_orderstatus AS status,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT status, pos,
+             2 * rank() OVER (PARTITION BY status ORDER BY cents)
+               + count(*) OVER (PARTITION BY status, cents) - 1 AS r2
+           FROM o),
+         a AS (
+           SELECT status,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END)
+               - sum(pos) * (sum(pos) + 1) AS BIGINT) AS u2
+           FROM r GROUP BY status)
+         SELECT status, n_pos, n_neg, u2,
+           CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+         FROM a""",
+
     // constant series + bound filter (DuckDB 1.0 cannot correlate
     // generate_series in a lateral position)
     "q75_doc_chunks" ->
