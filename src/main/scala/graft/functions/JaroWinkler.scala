@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity (Winkler '90 variant of Jaro '89)
+  * as a native codegen'd expression — Spark ships levenshtein but no
+  * Jaro family, and fuzzy entity matching (q93's sorted-neighborhood
+  * blocking, record linkage generally) wants the JW prefix-boosted
+  * form. Textbook semantics, pinned bit-for-bit against DuckDB's
+  * `jaro_winkler_similarity` (1,770 real part-name pairs probed
+  * during development plus the qE0 oracle over every blocked pair at
+  * both certified scale factors):
+  *
+  *  - match window = max(|s1|,|s2|)/2 − 1, greedy left-to-right
+  *    matching, transpositions = half the out-of-order matches;
+  *  - jaro = (m/l1 + m/l2 + (m−t)/m) / 3 evaluated in EXACTLY that
+  *    left-associated double order (the cross-engine hash depends on
+  *    the op sequence, not just the math);
+  *  - Winkler boost only above jaro 0.7: j + l·0.1·(1−j) with l the
+  *    common prefix capped at 4.
+  *
+  * The interpreted path delegates to [[JaroWinkler.sim]]; codegen
+  * emits the same algorithm as a generated-class method (one branch-
+  * free call site inside whole-stage codegen, no virtual dispatch).
+  * JaroWinklerSpec locks eval == codegen on random inputs so the two
+  * bodies cannot drift.
+  */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.sim(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val func = ctx.addNewFunction("graftJaroWinkler",
+      s"""
+         |private double graftJaroWinkler(UTF8String au, UTF8String bu) {
+         |  String s1 = au.toString();
+         |  String s2 = bu.toString();
+         |  int l1 = s1.length(); int l2 = s2.length();
+         |  if (l1 == 0 || l2 == 0) return 0.0;
+         |  if (s1.equals(s2)) return 1.0;
+         |  int window = java.lang.Math.max(l1, l2) / 2 - 1;
+         |  if (window < 0) window = 0;
+         |  boolean[] m1 = new boolean[l1];
+         |  boolean[] m2 = new boolean[l2];
+         |  int m = 0;
+         |  for (int i = 0; i < l1; i++) {
+         |    int lo = java.lang.Math.max(0, i - window);
+         |    int hi = java.lang.Math.min(l2, i + window + 1);
+         |    for (int jj = lo; jj < hi; jj++) {
+         |      if (!m2[jj] && s1.charAt(i) == s2.charAt(jj)) {
+         |        m1[i] = true; m2[jj] = true; m++; break;
+         |      }
+         |    }
+         |  }
+         |  if (m == 0) return 0.0;
+         |  int t = 0; int k = 0;
+         |  for (int i = 0; i < l1; i++) {
+         |    if (m1[i]) {
+         |      while (!m2[k]) k++;
+         |      if (s1.charAt(i) != s2.charAt(k)) t++;
+         |      k++;
+         |    }
+         |  }
+         |  t /= 2;
+         |  double j = ((double) m / l1 + (double) m / l2
+         |    + (double) (m - t) / m) / 3.0;
+         |  if (j > 0.7) {
+         |    int max = java.lang.Math.min(4, java.lang.Math.min(l1, l2));
+         |    int l = 0;
+         |    for (int i = 0; i < max; i++) {
+         |      if (s1.charAt(i) == s2.charAt(i)) l++; else break;
+         |    }
+         |    j = j + l * 0.1 * (1.0 - j);
+         |  }
+         |  return j;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $func($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Reference implementation (interpreted path + tests). Must stay
+    * in lockstep with the codegen body above — JaroWinklerSpec
+    * asserts equality on random inputs. */
+  def sim(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    var j = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (j > 0.7) {
+      val max = math.min(4, math.min(l1, l2))
+      var l = 0
+      i = 0
+      var stop = false
+      while (i < max && !stop) {
+        if (s1.charAt(i) == s2.charAt(i)) l += 1 else stop = true
+        i += 1
+      }
+      j = j + l * 0.1 * (1.0 - j)
+    }
+    j
+  }
+
+  /** Column form; inputs cast to string. */
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(new JaroWinklerSim(
+      GraftShims.expression(a.cast("string")),
+      GraftShims.expression(b.cast("string"))))
+}

@@ -22,6 +22,32 @@ object DedupSim {
   private val P = Dedup.P
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blocked fuzzy matching with the native Jaro–Winkler expression
+    // (graft.functions.JaroWinklerSim): part names compared within
+    // p_brand blocks — the record-linkage shape where a cheap equality
+    // key bounds the quadratic and the string metric only runs inside
+    // blocks. Every pair's similarity is checked against DuckDB's
+    // jaro_winkler_similarity EXACTLY: identical double op order on
+    // both engines, so sums of round(sim·1e6) micro-units are exact
+    // longs and the per-brand rollup (pair counts, exact-match count,
+    // similarity mass ≥0.95 threshold) hashes bit-for-bit over ~8M
+    // comparisons at sf0.1. The expression runs inside whole-stage
+    // codegen — no UDF, no dispatch per row.
+    "qE0_jw_fuzzy_block" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand"),
+          col("p_name").as("name"))
+      p.as("a").join(p.as("b"),
+          col("a.brand") === col("b.brand") && col("a.pk") < col("b.pk"))
+        .select(col("a.brand").as("brand"),
+          graft.functions.JaroWinkler(col("a.name"), col("b.name")).as("sim"))
+        .filter(col("sim") >= 0.95)
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sim") === 1.0, 1L).otherwise(0L)).as("n_exact"),
+          sum(round(col("sim") * 1e6).cast("long")).as("sim_micro"))
+    }),
+
     // Exact dedup via hash-groupBy on a canonical key (lineitem has
     // real duplicate (partkey, suppkey, quantity) triples).
     "q40_dedup_exact" -> ((s, dir) => {
@@ -598,6 +624,21 @@ object DedupSim {
             GROUP BY a)"""
 
   def oracles: Map[String, String] = Map(
+    // DuckDB's builtin jaro_winkler_similarity IS the reference for
+    // the native expression — same blocked pairs, same micro-unit
+    // rollup; any drift in the string metric breaks the hash
+    "qE0_jw_fuzzy_block" ->
+      """WITH p AS (
+           SELECT p_partkey AS pk, p_brand AS brand, p_name AS name FROM part),
+         pairs AS (
+           SELECT a.brand, jaro_winkler_similarity(a.name, b.name) AS sim
+           FROM p a JOIN p b ON a.brand = b.brand AND a.pk < b.pk),
+         hits AS (SELECT brand, sim FROM pairs WHERE sim >= 0.95)
+         SELECT brand, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN sim = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CAST(round(sim * 1e6) AS BIGINT)) AS BIGINT) AS sim_micro
+         FROM hits GROUP BY brand""",
+
     "q40_dedup_exact" ->
       """SELECT md5(l_partkey || '|' || l_suppkey || '|' || l_quantity) AS dup_key,
            min(l_orderkey * 8 + l_linenumber) AS keep_id,

@@ -29,6 +29,32 @@ object TrainingQueries {
   private val Shards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-p (nucleus) selection per language: keep the smallest
+    // prefix of docs — largest first — whose cumulative character
+    // mass reaches 90% of the group total. The data-mixing primitive
+    // for "keep the bulk, drop the long tail of tiny docs". INTEGER-
+    // exact thresholding: a row is selected iff
+    // 10·(cum − own) < 9·total, so no float ratio ever exists to
+    // round; doc_id breaks size ties deterministically. One shuffle
+    // (the per-group ordered window); the rollup after is per-group.
+    "qDF_nucleus_select" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy("lang")
+      d.withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("total", sum(col("n_chars")).over(wp))
+        .withColumn("sel",
+          lit(10L) * (col("cum") - col("n_chars")) < lit(9L) * col("total"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("sel"), col("n_chars")).otherwise(0L)).as("sel_chars"),
+          max(col("total")).as("total_chars"))
+    }),
+
     // Exact AUC (Mann–Whitney rank-sum) per group — the classifier /
     // quality-score evaluation data pipelines run over billions of
     // scored rows. Tie-safe and INTEGER-exact end-to-end: rank() is
@@ -501,6 +527,26 @@ object TrainingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same integer threshold algebra; window sums are HUGEINT in
+    // DuckDB — cast inside the CTE before the comparison
+    "qDF_nucleus_select" ->
+      """WITH d AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total
+           FROM documents),
+         s AS (
+           SELECT lang, n_chars, total,
+             (10 * (cum - n_chars) < 9 * total) AS sel
+           FROM d)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+           CAST(sum(CASE WHEN sel THEN n_chars ELSE 0 END) AS BIGINT) AS sel_chars,
+           max(total) AS total_chars
+         FROM s GROUP BY lang""",
+
     // same integer rank algebra; rank()/count() windows and the CASE
     // sums are HUGEINT-prone in DuckDB — cast every aggregate
     "qDD_auc_ranksum" ->
