@@ -492,7 +492,39 @@ object EventQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"),
-          count(when(col("k").isNull, 1)).as("n_null")))
+          count(when(col("k").isNull, 1)).as("n_null"))),
+
+    // Sweep-line interval union (coverage): each event opens a 120 s
+    // activity interval; per-user coverage must not double-count
+    // overlaps. The sweep is ONE sort within a user partition (a
+    // single shuffle on user_id): a running max of PRIOR interval
+    // ends marks merged-segment starts, a running sum of those marks
+    // numbers the segments, and per-segment min/max close them out —
+    // O(n log n) per user with no self-join, vs the naive
+    // interval-overlap self-join that is quadratic in events-per-user
+    // (the billing/uptime/session-coverage shape at 100 TB). All
+    // arithmetic in exact µs longs; duplicate-ts rows carry identical
+    // (st,en) so tie order cannot change segment counts.
+    "qE1_interval_union" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("st").asc, col("en").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + lit(120000000L)).as("en"))
+        .withColumn("prev_max",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_seg",
+          when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum(col("new_seg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "seg")
+        .agg(min(col("st")).as("seg_start"), max(col("en")).as("seg_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("seg_end") - col("seg_start")).as("covered_us"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -788,6 +820,34 @@ object EventQueries {
            CAST(sum(k) AS BIGINT) AS sum_k,
            min(k) AS min_k, max(k) AS max_k,
            CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_null
-         FROM e GROUP BY event_type"""
+         FROM e GROUP BY event_type""",
+
+    // identical sweep: prior-end running max marks segment starts
+    "qE1_interval_union" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS st,
+             epoch_us(ts) + 120000000 AS en
+           FROM events),
+         m AS (
+           SELECT user_id, st, en,
+             max(en) OVER (PARTITION BY user_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, st, en,
+             CASE WHEN prev_max IS NULL OR st > prev_max
+                  THEN 1 ELSE 0 END AS new_seg
+           FROM m),
+         g AS (
+           SELECT user_id, st, en,
+             sum(new_seg) OVER (PARTITION BY user_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM f),
+         sg AS (
+           SELECT user_id, seg, min(st) AS seg_start, max(en) AS seg_end
+           FROM g GROUP BY user_id, seg)
+         SELECT user_id, count(*) AS n_segments,
+           CAST(sum(seg_end - seg_start) AS BIGINT) AS covered_us
+         FROM sg GROUP BY user_id"""
   )
 }

@@ -809,6 +809,84 @@ object Relational2 {
              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
            GROUP BY l_returnflag, l_linestatus
         |> WHERE n > 50""")
+    }),
+
+    // Equi-depth histogram (8 equal-count buckets over the price
+    // distribution — the shape optimizers and drift monitors want;
+    // equi-WIDTH collapses under fat tails). The textbook spelling is
+    // ntile(8) over a GLOBAL order, but an unpartitioned window moves
+    // ALL rows into ONE task — the classic 100 TB killer. This plans
+    // the scalable twin: a range-repartitioned sort (Spark's global
+    // sort, parallel across tasks), per-partition row_number, and a
+    // 32-row partition-count ledger whose running sum turns local
+    // ranks into exact global ranks via a broadcast join — no
+    // single-task window ever sees the data. Bucket boundaries follow
+    // ntile's exact remainder rule (first n%8 buckets get one extra
+    // row), ties broken by the (orderkey, linenumber) PK so
+    // assignment is bit-deterministic. The oracle IS the naive global
+    // ntile — proving the distributed rank construction exact.
+    "qE2_equidepth_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keys = Seq(col("cents").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      // localCheckpoint pins the SAMPLED range boundaries: the ledger
+      // and the ranked frame must agree on pid, and exchange reuse is
+      // an optimizer courtesy, not a guarantee (column pruning can
+      // diverge the two subtrees). On a cluster this is persist() or
+      // a reliable checkpoint; the cost is one materialization of the
+      // 3-column frame.
+      val li = table(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(32, keys: _*)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val wp = Window.partitionBy("pid").orderBy(keys: _*)
+      val ranked = li.withColumn("rn", row_number().over(wp).cast("long"))
+      // 32-row ledger: per-range-partition counts -> exclusive prefix
+      // offsets + grand total (tiny frame; its window is 32 rows, not
+      // the data)
+      val wled = Window.orderBy(col("pid").asc)
+      val ledger = li.groupBy("pid").agg(count(lit(1)).as("pn"))
+        .withColumn("off", coalesce(sum(col("pn"))
+          .over(wled.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_total", sum(col("pn")).over(
+          wled.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("pid", "off", "n_total")
+      ranked.join(broadcast(ledger), Seq("pid"))
+        .withColumn("r", col("off") + col("rn"))
+        .withColumn("q", expr("n_total div 8"))
+        .withColumn("rem", expr("n_total % 8"))
+        .withColumn("bucket",
+          when(col("r") <= col("rem") * (col("q") + 1),
+            expr("(r - 1) div (q + 1)") + 1)
+            .otherwise(col("rem") + expr("(r - rem * (q + 1) - 1) div q") + 1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+          max("cents").as("hi"))
+    }),
+
+    // Benford first-digit audit over order totals — the fraud/data-
+    // quality screen for "does this money column look organic". One
+    // narrow digit extraction + a 9-group aggregate (map-side combine
+    // does nearly all the work; the exchange carries ≤9 rows/task at
+    // any scale). Expected Benford masses are fixed round(log10(1 +
+    // 1/d)·1e6) ppm literals — identical constants on both engines —
+    // and the observed shares use exact integer division, so the
+    // whole audit is bit-exact with zero float aggregation.
+    "qE3_benford" -> ((s, dir) => {
+      val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val obs = table(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = obs.agg(sum(col("obs")).as("n"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("exp_ppm", element_at(
+          array(expPpm.map(lit): _*), col("digit")))
+        .withColumn("obs_ppm", expr("(obs * 1000000) div n"))
+        .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
     })
   )
 
@@ -1289,6 +1367,38 @@ object Relational2 {
            FROM lineitem
            WHERE l_quantity >= 10
            GROUP BY l_returnflag, l_linestatus) t
-         WHERE n > 50"""
+         WHERE n > 50""",
+
+    // the naive global ntile the engine's distributed-rank form must
+    // reproduce exactly (ntile is BIGINT in DuckDB; Spark's is cast)
+    "qE2_equidepth_hist" ->
+      """WITH li AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+           FROM lineitem),
+         t AS (
+           SELECT cents,
+             ntile(8) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+               AS bucket
+           FROM li)
+         SELECT bucket, count(*) AS n, min(cents) AS lo, max(cents) AS hi
+         FROM t GROUP BY bucket""",
+
+    // same ppm literals, same integer division
+    "qE3_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         o AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+         e(digit, exp_ppm) AS (VALUES
+           (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939),
+           (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+           (9, 45757))
+         SELECT o.digit, obs, n, e.exp_ppm,
+           (obs * 1000000) // n AS obs_ppm,
+           (obs * 1000000) // n - e.exp_ppm AS delta_ppm
+         FROM o JOIN e ON e.digit = o.digit, t"""
   )
 }
