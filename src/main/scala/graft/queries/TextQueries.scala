@@ -347,7 +347,57 @@ object TextQueries {
           exists(col("w"), t => t.rlike("[0-9]")).as("has_digit"),
           forall(col("w"), t => length(t) <= 12).as("all_short"),
           aggregate(col("w"), lit(0L), (a, t) => a + length(t))
-            .as("total_chars")))
+            .as("total_chars"))),
+
+    // Hashing-trick featurization: tokens land in a FIXED 64-bucket
+    // space via an md5-derived hash — no vocabulary is ever built,
+    // broadcast, or joined, which is the whole point at 100 TB (a
+    // dictionary-based featurizer needs a corpus-wide distinct +
+    // broadcast that grows with the data; the hashed space is O(1)
+    // and collision-tolerant by design, Weinberger '09). One narrow
+    // map + one combine-heavy agg; the md5 bucket is deterministic on
+    // both engines, unlike engine-native hash().
+    "qE4_feature_hash" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          explode(TextStats.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("term")), 1, 15), 16, 10)
+            .cast("long"), lit(64L)))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Multinomial Naive Bayes training (add-one smoothing) — the
+    // classic scalable text classifier: parameters are PURE counts,
+    // so training is two map-side-combine aggregations and never
+    // iterates. Zero-count (class, term) cells get the 1/(tot+V)
+    // smoothed mass via a classes×terms cross (classes are tiny —
+    // broadcast), and the smoothed probability is exact integer ppm:
+    // (cnt+1)·1e6 div (class_tot+V) — bit-identical on both engines,
+    // no float aggregation anywhere.
+    "qE5_naive_bayes" -> ((s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextStats.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = tok.agg(countDistinct(col("term")).as("vocab"))
+      val classTot = tok.groupBy("lang")
+        .agg(count(lit(1)).as("class_tot"))
+      val freq = tok.groupBy("term").agg(count(lit(1)).as("n_term"))
+        .filter(col("n_term") >= 40)
+      val counts = tok
+        .join(broadcast(freq.select("term")), Seq("term"), "left_semi")
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      freq.select("term").crossJoin(broadcast(classTot))
+        .join(counts, Seq("lang", "term"), "left_outer")
+        .na.fill(0L, Seq("cnt"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("p_ppm",
+          expr("((cnt + 1) * 1000000) div (class_tot + vocab)"))
+        .select("lang", "term", "cnt", "class_tot", "vocab", "p_ppm")
+    })
   )
 
   /** qA4's probe suffix, shared verbatim with the oracle SQL: one
@@ -852,6 +902,42 @@ object TextQueries {
            len(list_filter(w, x -> strlen(x) > 12)) = 0 AS all_short,
            CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT)
              AS total_chars
-         FROM t"""
+         FROM t""",
+
+    // same md5-derived bucket (60-bit positive, so % == pmod)
+    "qE4_feature_hash" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents WHERE doc_id % 25 = 0),
+         b AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64
+               AS bucket
+           FROM t WHERE term <> '')
+         SELECT doc_id, bucket, count(*) AS cnt
+         FROM b GROUP BY doc_id, bucket""",
+
+    // same counts, same add-one integer-ppm smoothing
+    "qE5_naive_bayes" ->
+      """WITH tk AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         f AS (SELECT lang, term FROM tk WHERE term <> ''),
+         v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM f),
+         ct AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS class_tot
+           FROM f GROUP BY lang),
+         fr AS (SELECT term FROM f GROUP BY term HAVING count(*) >= 40),
+         c AS (
+           SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM f WHERE term IN (SELECT term FROM fr)
+           GROUP BY lang, term)
+         SELECT ct.lang, fr.term,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, ct.class_tot,
+           v.vocab,
+           ((coalesce(c.cnt, 0) + 1) * 1000000) // (ct.class_tot + v.vocab)
+             AS p_ppm
+         FROM fr CROSS JOIN ct CROSS JOIN v
+         LEFT JOIN c ON c.lang = ct.lang AND c.term = fr.term"""
   )
 }
