@@ -568,7 +568,48 @@ object DedupSim {
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"), sum("v").as("sv"))
         .select(col("label"), col("dim"), col("n"), col("sv"),
-          (col("sv").cast("double") / col("n") / 65536.0).as("centroid")))
+          (col("sv").cast("double") / col("n") / 65536.0).as("centroid"))),
+
+    // Product quantization (Jégou '11): 64-dim vectors split into 4
+    // disjoint 16-dim subspaces, each encoded as the nearest of 16
+    // codewords — 64 floats compress to 4 bytes (64:1), and ANN
+    // distance becomes 4 table lookups. Codebooks here are the
+    // deterministic first-16-vectors-per-subspace (the house IVF
+    // seed pattern; trained k-means drops in without changing the
+    // plan). Shape is the 100 TB one: the codebook (64 rows) is
+    // BROADCAST, the corpus streams through one narrow
+    // explode-subspace map + a 16-way broadcast join, and the argmin
+    // is a row_number over (vec, subspace) — nothing quadratic in
+    // the corpus, no shuffle except the tiny final window. Distances
+    // fold in double in list order (q45 precedent ⇒ bit-identical),
+    // ties break to the lowest codeword id.
+    "qE7_pq_codes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val subspaces = array((0 until 4).map(lit): _*)
+      def sub(v: Column, m: Column): Column =
+        Similarity.asDouble(slice(v, m * 16 + 1, lit(16)))
+      val cb = table(s, dir, "embeddings")
+        .orderBy("vec_id").limit(16)
+        .withColumn("j", row_number().over(
+          Window.orderBy(col("vec_id").asc)))
+        .select(explode(subspaces).as("m"), col("j"),
+          col("embedding").as("cemb"))
+        .select(col("m"), col("j"), sub(col("cemb"), col("m")).as("cvec"))
+      val probes = table(s, dir, "embeddings")
+        .select(col("vec_id"), explode(subspaces).as("m"),
+          col("embedding"))
+        .select(col("vec_id"), col("m"),
+          sub(col("embedding"), col("m")).as("xs"))
+      val diff2 = probes.join(broadcast(cb), Seq("m"))
+        .withColumn("dvec", zip_with(col("xs"), col("cvec"),
+          (a, b) => a - b))
+        .withColumn("dist", Similarity.dot(col("dvec"), col("dvec")))
+      val wmin = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist").asc, col("j").asc)
+      diff2.withColumn("rn", row_number().over(wmin))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("j").as("code"))
+    })
   )
 
   /** Shared SQL fragments (kept in lockstep with the Scala ops). */
@@ -1270,6 +1311,36 @@ object DedupSim {
           SELECT 1 AS round, center_id, radius2 FROM p1
           UNION ALL SELECT 2, center_id, radius2 FROM p2
           UNION ALL SELECT 3, center_id, radius2 FROM p3"""
-    }
+    },
+
+    // same first-16 codebook, same in-order double diff² fold
+    // (q45's list_zip precedent), same (dist, j) tie-break
+    "qE7_pq_codes" ->
+      """WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         cb0 AS (
+           SELECT embedding,
+             row_number() OVER (ORDER BY vec_id) AS j
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         cb AS (
+           SELECT m, j,
+             list_transform(embedding[m * 16 + 1 : m * 16 + 16],
+               x -> CAST(x AS DOUBLE)) AS cvec
+           FROM cb0, ms),
+         px AS (
+           SELECT vec_id, m,
+             list_transform(embedding[m * 16 + 1 : m * 16 + 16],
+               x -> CAST(x AS DOUBLE)) AS xs
+           FROM embeddings, ms),
+         d AS (
+           SELECT vec_id, px.m, j,
+             list_sum(list_transform(list_zip(xs, cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           FROM px JOIN cb ON cb.m = px.m),
+         r AS (
+           SELECT vec_id, m, j, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+           FROM d)
+         SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(j AS INTEGER) AS code
+         FROM r WHERE rn = 1"""
   )
 }

@@ -523,6 +523,38 @@ object TrainingQueries {
       GroupedTopK.topK(pr, Seq(col("source")),
           Seq(col("priority").asc, col("doc_id").asc), 5)
         .select("source", "doc_id", "priority")
+    }),
+
+    // Quantile normalization across event-type groups — the batch
+    // feature-prep transform that forces every group onto a common
+    // distribution (the rank-r normalized value is the cross-group
+    // mean of each group's r-th order statistic; Bolstad '03). Shape:
+    // one window rank per group (single shuffle on event_type), an
+    // early rank cap so the rank-grain aggregate carries O(cap·
+    // groups) rows — not the corpus — and exact-integer µ-unit
+    // arithmetic end to end: sums of longs, one integer division,
+    // zero float aggregation. Ranks missing from any group (past its
+    // size) are dropped via the n_at_rank == n_types gate, the
+    // standard truncate-to-shortest-group rule.
+    "qE6_quantile_norm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("micro").asc, col("event_id").asc)
+      val ranked = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1000000).cast("long").as("micro"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .filter(col("r") <= 2000)
+      val nTypes = ranked.agg(
+        countDistinct(col("event_type")).as("n_types"))
+      ranked.groupBy("r")
+        .agg(count(lit(1)).as("n_at_rank"),
+          sum(col("micro")).as("sum_micro"))
+        .crossJoin(broadcast(nTypes))
+        .filter(col("n_at_rank") === col("n_types"))
+        .select(col("r"), col("n_types"),
+          expr("sum_micro div n_types").as("norm_micro"))
     })
   )
 
@@ -954,6 +986,29 @@ object TrainingQueries {
            SELECT *, row_number() OVER (PARTITION BY source
              ORDER BY priority ASC, doc_id ASC) AS rn
            FROM pr) t
-         WHERE rn <= 5"""
+         WHERE rn <= 5""",
+
+    // same rank, cap, completeness gate, and integer division
+    "qE6_quantile_norm" ->
+      """WITH e AS (
+           SELECT event_type, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS micro
+           FROM events WHERE value IS NOT NULL),
+         r AS (
+           SELECT event_type, micro,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY micro, event_id) AS r
+           FROM e),
+         f AS (SELECT * FROM r WHERE r <= 2000),
+         t AS (
+           SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+           FROM f),
+         g AS (
+           SELECT r, count(*) AS n_at_rank,
+             CAST(sum(micro) AS BIGINT) AS sum_micro
+           FROM f GROUP BY r)
+         SELECT CAST(r AS BIGINT) AS r, t.n_types,
+           sum_micro // t.n_types AS norm_micro
+         FROM g, t WHERE n_at_rank = t.n_types"""
   )
 }
