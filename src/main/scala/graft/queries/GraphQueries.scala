@@ -108,8 +108,45 @@ object GraphQueries {
         .select(col("a.p").as("p1"), col("b.p").as("p2"))
         .distinct()
       triangleCount(e)
+    }),
+
+    // k-core decomposition (6-round peel toward the 6-core) over the
+    // same part co-order graph as qB2 — the dense-subgraph extractor
+    // community detection and spam/fraud pipelines run first
+    // (Seidman '83; Batagelj–Zaveršnik peeling). Like qA3's PageRank,
+    // the round budget is FIXED, not detected: 6 rounds is fixpoint
+    // +2 margin on this graph at both test SFs (a deeper graph would
+    // peel further; the bounded result is well-defined either way and
+    // the oracle unrolls the identical rounds). Each round is one
+    // degree aggregate + two semi-joins on the SHRINKING edge list,
+    // localCheckpoint'd so round r+1 reads materialized edges, not r
+    // rounds of lineage — the Components.scala discipline. Nothing is
+    // ever quadratic; the peel touches O(m) per round.
+    "qE8_kcore" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      var e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint()
+      for (_ <- 1 to KcoreRounds) {
+        val keep = e.select(col("p1").as("u")).union(
+            e.select(col("p2").as("u")))
+          .groupBy("u").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= KcoreK).select("u")
+        e = e.join(keep.select(col("u").as("p1")), Seq("p1"), "left_semi")
+          .join(keep.select(col("u").as("p2")), Seq("p2"), "left_semi")
+          .localCheckpoint()
+      }
+      e.select(col("p1").as("u")).union(e.select(col("p2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("core_deg"))
     })
   )
+
+  private val KcoreK = 6
+  private val KcoreRounds = 6
 
   /** Triangle count + wedge count + global clustering over a distinct
     * undirected edge list (p1 < p2, both < 2^32). Degree-ordered
@@ -199,6 +236,35 @@ object GraphQueries {
            CAST(n_triangles * 3 AS DOUBLE)
              / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
              AS clustering
-         FROM tri"""
+         FROM tri""",
+
+    // the same 6 peel rounds unrolled as chained CTEs
+    "qE8_kcore" -> {
+      // MATERIALIZED is load-bearing: each round reads its
+      // predecessor 3× — inlined CTEs would re-run the whole prefix
+      // exponentially (and exhaust file handles re-opening the scan)
+      def peel(prev: String, out: String) =
+        s"""k_$out AS MATERIALIZED (
+             SELECT u FROM (
+               SELECT u, count(*) AS d FROM (
+                 SELECT p1 AS u FROM $prev
+                 UNION ALL SELECT p2 FROM $prev) GROUP BY u)
+             WHERE d >= $KcoreK),
+           $out AS MATERIALIZED (
+             SELECT p1, p2 FROM $prev
+             WHERE p1 IN (SELECT u FROM k_$out)
+               AND p2 IN (SELECT u FROM k_$out))"""
+      val rounds = (1 to KcoreRounds)
+        .map(i => peel(s"e${i - 1}", s"e$i")).mkString(",\n         ")
+      s"""WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_orderkey % 8 = 0),
+         $rounds
+         SELECT u, CAST(count(*) AS BIGINT) AS core_deg FROM (
+           SELECT p1 AS u FROM e$KcoreRounds
+           UNION ALL SELECT p2 FROM e$KcoreRounds) GROUP BY u"""
+    }
   )
 }
