@@ -159,8 +159,33 @@ object IoQueries {
       tmp
     }
 
+  /** Distributed binary export for qE9: one opaque .bin file per
+    * sampled document, written EXECUTOR-SIDE via foreachPartition —
+    * the multimodal export-sink shape (shard workers write payload
+    * files in parallel; nothing funnels through the driver). On a
+    * cluster the target is a shared FS / object store; here the
+    * local tmp dir plays that role. */
+  private def stageBinary(s: SparkSession, dir: String): String =
+    Staging.once(s"qE9_bin:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qE9_bin").toString
+      table(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(8)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val bytes = Option(r.getString(1)).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"), bytes)
+          }
+        }
+      tmp
+    }
+
   /** Staging hooks Bench runs ahead of the per-query timer. */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
+    "qE9_binary_files" -> ((s, dir) => { stageBinary(s, dir); () }),
     "qD5_dsv2_sink" -> ((s, dir) => { stageV2Sink(s, dir); () }),
     "q57_csv_roundtrip" -> ((s, dir) => { stageCsv(s, dir); () }),
     "qB9_xml_roundtrip" -> ((s, dir) => { stageXml(s, dir); () }),
@@ -184,6 +209,28 @@ object IoQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum("o_custkey").as("sum_cust"),
           countDistinct("o_orderpriority").as("n_prio"))
+    }),
+
+    // binaryFile source — Spark's native opaque-payload reader and
+    // the front door for multimodal ingestion (images/audio/video as
+    // raw bytes + typed metadata, the Multimodal.scala data model).
+    // Round-trip: distributed executor-side binary export (staged) →
+    // binaryFile glob scan → identity extraction (id from the path,
+    // size, content digest). The oracle digests the SOURCE rows, so a
+    // truncated, duplicated, or re-encoded file breaks the hash —
+    // this is the payload-integrity audit a 100 TB media crawl runs
+    // after every bulk copy. Scale shape: one file per task slot
+    // streamed, no shuffle at all.
+    "qE9_binary_files" -> ((s, dir) => {
+      val tmp = stageBinary(s, dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(tmp)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
     }),
 
     // Deterministic 1/16 content-hash sample: first hex nibble of
@@ -587,6 +634,15 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // digests the SOURCE rows — any corruption in the exported files
+    // (truncation, duplication, re-encoding) breaks the hash
+    "qE9_binary_files" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+             AS n_bytes,
+           md5(coalesce(text, '')) AS content_md5
+         FROM documents WHERE doc_id % 10 = 0""",
+
     // the oracle reads parquet DIRECTLY — the CSV round-trip must be
     // lossless for the hash to match
     "q57_csv_roundtrip" ->
