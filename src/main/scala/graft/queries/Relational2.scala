@@ -887,6 +887,61 @@ object Relational2 {
           array(expPpm.map(lit): _*), col("digit")))
         .withColumn("obs_ppm", expr("(obs * 1000000) div n"))
         .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
+    }),
+
+    // Bloom-filtered join reduction (the runtime-filter / sideways-
+    // information-passing pattern): a selective dimension's keys are
+    // sketched into a 32 KiB Bloom filter, and the FACT side is
+    // probed through the literal bits BEFORE its shuffle — ~3/4 of
+    // lineitem never enters the exchange, which at 100 TB is the
+    // difference between shuffling the table and shuffling the
+    // match. False positives are harmless: the exact join behind the
+    // probe removes them, so the result is bit-identical to the
+    // plain join the oracle runs — the probe is pure plan surgery.
+    // (Build-once/probe-as-literal is the q84 discipline: a joined
+    // bits column would memcpy 32 KiB per probe row.)
+    "qEA_bloom_join" -> ((s, dir) => {
+      val m = 1 << 18
+      val sel = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bits = sel.agg(graft.functions.BloomFilter.build(
+          col("o_orderkey").cast("string"), m).as("bits"))
+        .collect()(0).getAs[Array[Byte]]("bits")
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .filter(graft.functions.BloomFilter.mightContain(
+          lit(bits), col("l_orderkey").cast("string"), m))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+    }),
+
+    // Manually salted SKEW JOIN: when the join key is hot (here the
+    // 3-value returnflag — at 100 TB a sort-merge join on it funnels
+    // a third of the table through ONE reducer), replicate the small
+    // side across 8 salt shards and join on (key, salt) — every hot
+    // key spreads over 8 reducers, deterministically (salt = orderkey
+    // % 8, not rand()). This is the join-side twin of Skew.saltedSum,
+    // and the manual form of what AQE's skew-join split does at
+    // runtime; the shuffle_hash hint pins the shuffled-join scenario
+    // the salt exists for (a broadcast dim would dodge the skew —
+    // and also the demonstration). Oracle = the unsalted join.
+    "qEB_salted_join" -> ((s, dir) => {
+      val salts = 8
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          pmod(col("l_orderkey"), lit(salts.toLong)).as("salt"))
+      val dim = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag")).distinct()
+        .withColumn("flag_label", concat(lit("F_"), col("flag")))
+        .withColumn("salt",
+          explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      li.join(dim.hint("shuffle_hash"), Seq("flag", "salt"))
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     })
   )
 
@@ -1399,6 +1454,24 @@ object Relational2 {
          SELECT o.digit, obs, n, e.exp_ppm,
            (obs * 1000000) // n AS obs_ppm,
            (obs * 1000000) // n - e.exp_ppm AS delta_ppm
-         FROM o JOIN e ON e.digit = o.digit, t"""
+         FROM o JOIN e ON e.digit = o.digit, t""",
+
+    // the PLAIN join — the bloom probe must be invisible in the result
+    "qEA_bloom_join" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1""",
+
+    // the UNsalted join: dim is the distinct flags of the same table,
+    // so the join is an identity — the salt must collapse exactly
+    "qEB_salted_join" ->
+      """SELECT 'F_' || l_returnflag AS flag_label, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM lineitem GROUP BY 1"""
   )
 }
