@@ -54,7 +54,8 @@ object OpBench {
       bloomProbePair(spark, sfDir),
       compactionPair(spark, sfDir),
       profileDistinctPair(spark, sfDir),
-      ddsketchPair(spark, sfDir))
+      ddsketchPair(spark, sfDir),
+      md5LongPair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -113,6 +114,22 @@ object OpBench {
         count(cents), countDistinct(cents),
         min(cents).cast("string"), max(cents).cast("string")).collect(),
       () => SparkEntry.queries("qA2_column_profile")(s, dir).collect())
+  }
+
+  /** Base hash H(s) on the minhash path (every dedup query's hottest
+    * expression, evaluated once per SHINGLE): the composed
+    * conv(substring(md5(x),1,15),16,10) chain — hex string alloc +
+    * substring + base-16 re-parse per row — vs the native Md5Long
+    * digest→60-bit load. Same sum collect()ed on both arms so the
+    * hash can't be pruned. */
+  private def md5LongPair(s: SparkSession, dir: String) = {
+    val sh = table(s, dir, "documents")
+      .select(explode(TextStats.shingles(
+        TextStats.tokens(col("text")), 3)).as("t"))
+    ("md5long_native_vs_conv_chain",
+      () => sh.agg(sum(conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast("long"))).collect(),
+      () => sh.agg(sum(graft.functions.Md5Long(col("t")))).collect())
   }
 
   /** Per-supplier top-2 lineitems: window row_number idiom vs

@@ -35,9 +35,11 @@ object Dedup {
   val HashB: Seq[Long] = Seq(1L, 101L, 1009L, 10007L, 100003L, 12345L, 54321L, 999983L)
 
   /** md5-derived 60-bit integer of a string column (first 15 hex
-    * chars), the base hash H(s) shared by minhash/simhash. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * chars), the base hash H(s) shared by minhash/simhash. Evaluated
+    * by the native [[graft.functions.Md5Long]] expression — digest →
+    * 60 bits directly, no hex-string round-trip; bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)` (DedupSpec pins it). */
+  def md5Long(c: Column): Column = graft.functions.Md5Long(c)
 
   /** h_k(s) = (a_k·(H(s) mod P) + b_k) mod P. */
   def hashK(c: Column, k: Int): Column =
@@ -280,8 +282,7 @@ object Dedup {
     // the cheaper join/intersect representation (no string compares)
     val base = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
       size(col(tokenSetCol)).as("sz"),
-      array_sort(transform(col(tokenSetCol),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("hs"))
+      array_sort(transform(col(tokenSetCol), t => md5Long(t))).as("hs"))
     val plen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
     val pref = base.select(col("bkt"), col("id"), col("sz"),
       posexplode(slice(col("hs"), lit(1), greatest(plen, lit(0)))).as(Seq("p", "t")))
