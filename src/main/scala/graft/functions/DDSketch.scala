@@ -109,12 +109,19 @@ case class DDSketch(
         val target = math.max(1L, math.ceil(q * n).toLong)
         if (target <= buf.low) 0.0
         else {
+          // explicit found flag: the estimate itself can legitimately
+          // underflow to 0.0 for subnormal-range inputs (gamma^k → 0
+          // for k ≪ 0), so 0.0 is not usable as a not-found sentinel
           var cum = buf.low
           var i = 0
           var est = 0.0
-          while (i < keys.length && est == 0.0) {
+          var found = false
+          while (i < keys.length && !found) {
             cum += buf.buckets(keys(i))
-            if (cum >= target) est = 2.0 * math.pow(gamma, keys(i)) / (gamma + 1)
+            if (cum >= target) {
+              est = 2.0 * math.pow(gamma, keys(i)) / (gamma + 1)
+              found = true
+            }
             i += 1
           }
           est

@@ -78,12 +78,17 @@ private[io] class GenSinkWriteBuilder(schema: StructType, path: String)
   }
 }
 
-/** Streaming half of the sink: one file per (epoch, partition) under
-  * a DETERMINISTIC name, so a replayed epoch (failure recovery,
-  * micro-batch retry) overwrites its own previous attempt instead of
-  * duplicating rows — idempotent re-execution, which for a file sink
-  * IS the exactly-once contract. Epoch commit/abort arrive on the
-  * driver per micro-batch, same protocol shape as the batch path. */
+/** Streaming half of the sink. Each task attempt writes to a UNIQUE
+  * temp name (taskId in the name — speculation or a retry racing a
+  * zombie attempt can never open the same file) and atomically
+  * renames on task commit; epoch commit then RECONCILES the epoch's
+  * directory against the committed message set, deleting any file of
+  * this epoch not in it (a losing attempt's rename, or a previous
+  * replay of the same epoch that planned more partitions). Replayed
+  * epochs therefore converge to exactly the committed attempt's rows
+  * — idempotent re-execution, which for a file sink IS the
+  * exactly-once contract. Epoch commit/abort arrive on the driver
+  * per micro-batch, same protocol shape as the batch path. */
 private[io] class GenSinkStreamingWrite(schema: StructType, path: String)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
@@ -91,19 +96,33 @@ private[io] class GenSinkStreamingWrite(schema: StructType, path: String)
     new File(path).mkdirs()
     new GenSinkStreamingWriterFactory(schema, path)
   }
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GenSinkFile(f) => new File(f).delete(); ()
-      case _ => ()
+
+  private def epochFiles(epochId: Long): Array[File] = {
+    val fin = s"part-e$epochId-"
+    val tmp = s".part-e$epochId-"
+    Option(new File(path).listFiles()).getOrElse(Array.empty).filter { f =>
+      val n = f.getName
+      (n.startsWith(fin) && n.endsWith(".jsonl")) ||
+        (n.startsWith(tmp) && n.endsWith(".tmp"))
     }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val keep = messages.collect { case GenSinkFile(f) => new File(f).getName }.toSet
+    epochFiles(epochId).filterNot(f => keep(f.getName)).foreach(_.delete())
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    epochFiles(epochId).foreach(_.delete())
 }
 
 private[io] class GenSinkStreamingWriterFactory(schema: StructType, path: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new GenSinkWriter(schema, s"$path/part-e$epochId-p$partitionId.jsonl")
+    new GenSinkWriter(schema,
+      s"$path/.part-e$epochId-p$partitionId-t$taskId.jsonl.tmp",
+      s"$path/part-e$epochId-p$partitionId-t$taskId.jsonl")
 }
 
 /** Commit message: the finished file this task produced. */
@@ -134,14 +153,18 @@ private[io] class GenSinkBatchWrite(schema: StructType, path: String,
 private[io] class GenSinkWriterFactory(schema: StructType, path: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GenSinkWriter(schema, s"$path/part-$partitionId-$taskId.jsonl")
+    new GenSinkWriter(schema, s"$path/.part-$partitionId-$taskId.jsonl.tmp",
+      s"$path/part-$partitionId-$taskId.jsonl")
 }
 
-private[io] class GenSinkWriter(schema: StructType, file: String)
+/** Writes to `tmpFile`, atomically renamed to `file` on task commit —
+  * a crashed or aborted attempt leaves only a dot-temp no reader
+  * globs, never a half-written visible file. */
+private[io] class GenSinkWriter(schema: StructType, tmpFile: String, file: String)
     extends DataWriter[InternalRow] {
   // explicit UTF-8: FileWriter's platform-default charset silently
   // mangles non-ASCII text on ASCII-locale hosts
-  private val out = Files.newBufferedWriter(Paths.get(file), StandardCharsets.UTF_8)
+  private val out = Files.newBufferedWriter(Paths.get(tmpFile), StandardCharsets.UTF_8)
 
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder
@@ -164,7 +187,11 @@ private[io] class GenSinkWriter(schema: StructType, file: String)
         else f.dataType match {
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
-          case DoubleType => row.getDouble(i).toString
+          case DoubleType =>
+            // JSON has no NaN/Infinity literal — emit null rather
+            // than a token that corrupts the whole record on re-read
+            val d = row.getDouble(i)
+            if (java.lang.Double.isFinite(d)) d.toString else "null"
           case BooleanType => row.getBoolean(i).toString
           case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
           case dt => throw new IllegalArgumentException(
@@ -176,7 +203,13 @@ private[io] class GenSinkWriter(schema: StructType, file: String)
     out.newLine()
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); GenSinkFile(file) }
-  override def abort(): Unit = { out.close(); new File(file).delete(); () }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    // POSIX rename: atomic, replaces any same-name leftover
+    Files.move(Paths.get(tmpFile), Paths.get(file),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    GenSinkFile(file)
+  }
+  override def abort(): Unit = { out.close(); new File(tmpFile).delete(); () }
   override def close(): Unit = ()
 }

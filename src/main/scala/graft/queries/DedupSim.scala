@@ -23,25 +23,36 @@ object DedupSim {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Blocked fuzzy matching with the native Jaro–Winkler expression
-    // (graft.functions.JaroWinklerSim): part names compared within
-    // p_brand blocks — the record-linkage shape where a cheap equality
-    // key bounds the quadratic and the string metric only runs inside
-    // blocks. Every pair's similarity is checked against DuckDB's
-    // jaro_winkler_similarity EXACTLY: identical double op order on
-    // both engines, so sums of round(sim·1e6) micro-units are exact
-    // longs and the per-brand rollup (pair counts, exact-match count,
-    // similarity mass ≥0.95 threshold) hashes bit-for-bit over ~8M
-    // comparisons at sf0.1. The expression runs inside whole-stage
-    // codegen — no UDF, no dispatch per row.
+    // (graft.functions.JaroWinkler) via sorted-neighborhood within
+    // p_brand blocks: sort each brand by (name, pk), compare every
+    // row to its 4 predecessors (lag 1..4) — the standard ER answer
+    // to blocks whose count does NOT grow with n (TPC-H has a
+    // constant 25 brands, so within-block all-pairs is quadratic in
+    // the table; see q93 for the same shape on a prefix key). Pair
+    // count is exactly ≤ 4n — LINEAR in table size at any scale —
+    // and the sort is Spark's ordinary range-partitioned window, so
+    // no single task ever holds a brand's full block. DuckDB's
+    // jaro_winkler_similarity is the exact reference: identical
+    // double op order on both engines, so sums of round(sim·1e6)
+    // micro-units are exact longs and the per-brand rollup hashes
+    // bit-for-bit. The expression runs inside whole-stage codegen —
+    // no UDF, no dispatch per row.
     "qE0_jw_fuzzy_block" -> ((s, dir) => {
-      val p = table(s, dir, "part")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("brand"))
+        .orderBy(col("name").asc, col("pk").asc)
+      val o = table(s, dir, "part")
         .select(col("p_partkey").as("pk"), col("p_brand").as("brand"),
           col("p_name").as("name"))
-      p.as("a").join(p.as("b"),
-          col("a.brand") === col("b.brand") && col("a.pk") < col("b.pk"))
-        .select(col("a.brand").as("brand"),
-          graft.functions.JaroWinkler(col("a.name"), col("b.name")).as("sim"))
-        .filter(col("sim") >= 0.95)
+        .select(col("brand") +: col("name") +:
+          (1 to 4).map(k => lag(col("name"), k).over(w).as(s"prev$k")): _*)
+      val hits = (1 to 4).map { k =>
+        o.filter(col(s"prev$k").isNotNull)
+          .select(col("brand"),
+            graft.functions.JaroWinkler(col("name"), col(s"prev$k")).as("sim"))
+          .filter(col("sim") >= 0.95)
+      }.reduce(_ unionAll _)
+      hits
         .groupBy("brand")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("sim") === 1.0, 1L).otherwise(0L)).as("n_exact"),
@@ -329,9 +340,12 @@ object DedupSim {
     // bit-mirrorable). The 100 TB role: shrink embeddings 4× BEFORE
     // the ANN index so every downstream distance costs a quarter;
     // pure narrow map (16 codegen'd ArrayDot folds per row), no
-    // shuffle at all. Outputs the projected vectors themselves —
-    // q47's sign-bit buckets are the 1-bit extreme of the same
-    // family; this keeps the magnitudes.
+    // shuffle at all. Outputs the projected coordinates as scalar
+    // (vec_id, dim, r) rows — q47's sign-bit buckets are the 1-bit
+    // extreme of the same family; this keeps the magnitudes. The long
+    // form costs a 16× posexplode (still narrow, still no shuffle)
+    // and keys every value on scalars, so any downstream comparator
+    // or sink sees flat columns rather than a nested array.
     "q87_jl_project" -> ((s, dir) => {
       val dims = 64
       val kOut = 16
@@ -340,7 +354,9 @@ object DedupSim {
         graft.functions.ArrayDot(col("embedding"), lit(w.toArray))
       }
       table(s, dir, "embeddings")
-        .select(col("vec_id"), array(proj: _*).as("r"))
+        .select(col("vec_id"), posexplode(array(proj: _*)))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          col("col").as("r"))
     }),
 
     // MinHash accuracy audit: for every LSH candidate pair, the
@@ -671,9 +687,23 @@ object DedupSim {
     "qE0_jw_fuzzy_block" ->
       """WITH p AS (
            SELECT p_partkey AS pk, p_brand AS brand, p_name AS name FROM part),
+         o AS (
+           SELECT brand, name,
+             lag(name, 1) OVER w AS prev1, lag(name, 2) OVER w AS prev2,
+             lag(name, 3) OVER w AS prev3, lag(name, 4) OVER w AS prev4
+           FROM p WINDOW w AS (PARTITION BY brand ORDER BY name, pk)),
          pairs AS (
-           SELECT a.brand, jaro_winkler_similarity(a.name, b.name) AS sim
-           FROM p a JOIN p b ON a.brand = b.brand AND a.pk < b.pk),
+           SELECT brand, jaro_winkler_similarity(name, prev1) AS sim
+           FROM o WHERE prev1 IS NOT NULL
+           UNION ALL
+           SELECT brand, jaro_winkler_similarity(name, prev2)
+           FROM o WHERE prev2 IS NOT NULL
+           UNION ALL
+           SELECT brand, jaro_winkler_similarity(name, prev3)
+           FROM o WHERE prev3 IS NOT NULL
+           UNION ALL
+           SELECT brand, jaro_winkler_similarity(name, prev4)
+           FROM o WHERE prev4 IS NOT NULL),
          hits AS (SELECT brand, sim FROM pairs WHERE sim >= 0.95)
          SELECT brand, count(*) AS n_pairs,
            CAST(sum(CASE WHEN sim = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
@@ -1075,7 +1105,9 @@ object DedupSim {
          FROM o WHERE prev2 IS NOT NULL AND levenshtein(p_name, prev2) <= 2""",
 
     // same weight family as q47, same left-to-right list_sum fold as
-    // the ArrayDot oracle precedent (q45/q46) — bit-exact doubles
+    // the ArrayDot oracle precedent (q45/q46) — bit-exact doubles;
+    // unnested to scalar (vec_id, dim, r) rows mirroring the engine's
+    // posexplode (1-based list index → 0-based dim)
     "q87_jl_project" -> {
       val cells = (0 until 16).map { j =>
         val w = (0 until 64).map(d => Similarity.planeWeight(j, d).toDouble)
@@ -1084,8 +1116,10 @@ object DedupSim {
       }.mkString("[", ",\n            ", "]")
       s"""WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings)
-          SELECT vec_id, $cells AS r FROM e"""
+            FROM embeddings),
+          p AS (SELECT vec_id, $cells AS r FROM e)
+          SELECT vec_id, CAST(d.i - 1 AS INTEGER) AS dim, r[d.i] AS r
+          FROM p CROSS JOIN (SELECT unnest(range(1, 17)) AS i) d"""
     },
 
     // candidate pairs exactly as q42, then signature agreement + an

@@ -264,6 +264,10 @@ object Relational2 {
         .groupBy(col("a.flag").as("f1"), col("b.flag").as("f2"))
         .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits"))).cast("long"))
           .as("n_inter"))
+        // drop word-collision-only pairs (shared word, zero shared
+        // keys): the oracle's key-level join never emits them, and an
+        // empty intersection should read as "no row", not n_inter=0
+        .filter(col("n_inter") > 0)
         .join(broadcast(card.select(col("flag").as("f1"), col("cd").as("d1"))), Seq("f1"))
         .join(broadcast(card.select(col("flag").as("f2"), col("cd").as("d2"))), Seq("f2"))
         .select(col("f1"), col("f2"), col("d1"), col("d2"), col("n_inter"))

@@ -48,4 +48,38 @@ class GenSinkSpec extends SparkSpec {
       .format("graftsink").option("path", dir).mode("overwrite").save()
     assert(spark.read.json(dir).count() === 3)
   }
+
+  test("non-finite doubles serialize as JSON null, record stays readable") {
+    val dir = tmpDir()
+    Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity))
+      .toDF("id", "x")
+      .write.format("graftsink").option("path", dir).mode("append").save()
+    val back = spark.read.json(dir).select(col("id"), col("x"))
+    // all four records survive (no corrupt-record nulling), with the
+    // non-finite values mapped to null and the finite one intact
+    assert(back.count() === 4)
+    assert(back.filter(col("id") === 1L).select("x").as[Double].head() === 1.5)
+    assert(back.filter(col("x").isNull).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("streaming epoch commit reconciles against the committed set") {
+    val dir = tmpDir()
+    val d = new java.io.File(dir); d.mkdirs()
+    def touch(name: String): java.io.File = {
+      val f = new java.io.File(d, name)
+      Files.write(f.toPath, "{}\n".getBytes("UTF-8")); f
+    }
+    val committed = touch("part-e7-p0-t100.jsonl")
+    val loser = touch("part-e7-p0-t101.jsonl")   // zombie attempt's rename
+    val stale = touch("part-e7-p3-t55.jsonl")    // prior replay, more partitions
+    val tmp = touch(".part-e7-p1-t102.jsonl.tmp") // crashed attempt's temp
+    val otherEpoch = touch("part-e6-p0-t9.jsonl") // untouched: different epoch
+    val w = new GenSinkStreamingWrite(new org.apache.spark.sql.types.StructType(), dir)
+    w.commit(7L, Array(GenSinkFile(committed.getPath)))
+    assert(committed.exists())
+    assert(!loser.exists() && !stale.exists() && !tmp.exists())
+    assert(otherEpoch.exists())
+  }
 }
