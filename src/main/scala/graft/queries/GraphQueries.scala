@@ -110,15 +110,16 @@ object GraphQueries {
       triangleCount(e)
     }),
 
-    // k-core decomposition (6-round peel toward the 6-core) over the
-    // same part co-order graph as qB2 — the dense-subgraph extractor
-    // community detection and spam/fraud pipelines run first
-    // (Seidman '83; Batagelj–Zaveršnik peeling). Like qA3's PageRank,
-    // the round budget is FIXED, not detected: 6 rounds is fixpoint
-    // +2 margin on this graph at both test SFs (a deeper graph would
-    // peel further; the bounded result is well-defined either way and
-    // the oracle unrolls the identical rounds). Each round is one
-    // degree aggregate + two semi-joins on the SHRINKING edge list,
+    // k-core decomposition (peel to fixpoint, k=6) over the same part
+    // co-order graph as qB2 — the dense-subgraph extractor community
+    // detection and spam/fraud pipelines run first (Seidman '83;
+    // Batagelj–Zaveršnik peeling). The peel runs until a round
+    // removes ZERO edges (one cheap count on the already-materialized
+    // checkpoint per round — the exact fixpoint, so the result is the
+    // true k-core on any graph depth), with a 64-round safety cap a
+    // real graph never reaches (each productive round removes ≥1
+    // vertex of a finite peel sequence). Each round is one degree
+    // aggregate + two semi-joins on the SHRINKING edge list,
     // localCheckpoint'd so round r+1 reads materialized edges, not r
     // rounds of lineage — the Components.scala discipline. Nothing is
     // ever quadratic; the peel touches O(m) per round.
@@ -126,27 +127,48 @@ object GraphQueries {
       val li = table(s, dir, "lineitem")
         .where(col("l_orderkey") % 8 === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      var e = li.as("a").join(li.as("b"),
+      val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("p1"), col("b.p").as("p2"))
         .distinct()
-        .localCheckpoint()
-      for (_ <- 1 to KcoreRounds) {
-        val keep = e.select(col("p1").as("u")).union(
-            e.select(col("p2").as("u")))
-          .groupBy("u").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= KcoreK).select("u")
-        e = e.join(keep.select(col("u").as("p1")), Seq("p1"), "left_semi")
-          .join(keep.select(col("u").as("p2")), Seq("p2"), "left_semi")
-          .localCheckpoint()
-      }
-      e.select(col("p1").as("u")).union(e.select(col("p2").as("u")))
+      val core = kcore(e, KcoreK)
+      core.select(col("p1").as("u")).union(core.select(col("p2").as("u")))
         .groupBy("u").agg(count(lit(1)).as("core_deg"))
     })
   )
 
   private val KcoreK = 6
-  private val KcoreRounds = 6
+  // oracle unroll budget: rounds past the fixpoint are idempotent, so
+  // any count ≥ rounds-to-fixpoint at the certified SFs (≈4) matches
+  // the engine's exact fixpoint; a future SF needing >8 would surface
+  // as an oracle mismatch, not a silent divergence
+  private val KcoreOracleRounds = 8
+
+  /** Peel `edges` (distinct undirected pairs p1 < p2) to the exact
+    * k-core fixpoint: drop vertices with degree < k, shrink the edge
+    * list, repeat until a round removes no edge (degree set stable ⇒
+    * fixpoint reached). The per-round count is free in practice — the
+    * localCheckpoint already materialized the round's edge list. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    var e = edges.localCheckpoint()
+    var m = e.count()
+    var rounds = 0
+    var done = m == 0L
+    while (!done && rounds < maxRounds) {
+      val keep = e.select(col("p1").as("u")).union(
+          e.select(col("p2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      val next = e
+        .join(keep.select(col("u").as("p1")), Seq("p1"), "left_semi")
+        .join(keep.select(col("u").as("p2")), Seq("p2"), "left_semi")
+        .localCheckpoint()
+      val m2 = next.count()
+      done = m2 == m || m2 == 0L
+      e = next; m = m2; rounds += 1
+    }
+    e
+  }
 
   /** Triangle count + wedge count + global clustering over a distinct
     * undirected edge list (p1 < p2, both < 2^32). Degree-ordered
@@ -238,7 +260,9 @@ object GraphQueries {
              AS clustering
          FROM tri""",
 
-    // the same 6 peel rounds unrolled as chained CTEs
+    // the peel unrolled as chained CTEs — 8 rounds, ≥ the certified
+    // SFs' rounds-to-fixpoint, and idempotent beyond it (see
+    // KcoreOracleRounds): matches the engine's exact-fixpoint peel
     "qE8_kcore" -> {
       // MATERIALIZED is load-bearing: each round reads its
       // predecessor 3× — inlined CTEs would re-run the whole prefix
@@ -254,7 +278,7 @@ object GraphQueries {
              SELECT p1, p2 FROM $prev
              WHERE p1 IN (SELECT u FROM k_$out)
                AND p2 IN (SELECT u FROM k_$out))"""
-      val rounds = (1 to KcoreRounds)
+      val rounds = (1 to KcoreOracleRounds)
         .map(i => peel(s"e${i - 1}", s"e$i")).mkString(",\n         ")
       s"""WITH e0 AS MATERIALIZED (
            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
@@ -263,8 +287,8 @@ object GraphQueries {
            WHERE a.l_orderkey % 8 = 0),
          $rounds
          SELECT u, CAST(count(*) AS BIGINT) AS core_deg FROM (
-           SELECT p1 AS u FROM e$KcoreRounds
-           UNION ALL SELECT p2 FROM e$KcoreRounds) GROUP BY u"""
+           SELECT p1 AS u FROM e$KcoreOracleRounds
+           UNION ALL SELECT p2 FROM e$KcoreOracleRounds) GROUP BY u"""
     }
   )
 }

@@ -7,9 +7,14 @@ import graft.io.Sources.table
 import graft.multimodal.Multimodal
 
 /** Multimodal plumbing exercised end-to-end: binary column → batched
-  * stub decode → typed metadata → aggregation. Oracle-checked because
-  * the stub's metadata is pure arithmetic over the payload length
-  * (== len(text): the corpus is ASCII). */
+  * decode → typed metadata → aggregation. q60/q62/q63 run the REAL
+  * pure-JVM netpbm codec (Multimodal.decodeNetpbm) over genuinely
+  * encoded P6/P5 payloads staged by Multimodal.withNetpbmColumn;
+  * oracle-checked because the fixture's raster is the document text's
+  * bytes cycled, so every decoded statistic is independently
+  * derivable from the text in SQL (the corpus is ASCII: ord == byte).
+  * q61 keeps the documented frame-count stub (still images have no
+  * frames) for the video fan-out shape. */
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -25,31 +30,45 @@ object MultimodalQueries {
           (col("width") * col("height")).as("pixels"))
     }),
 
-    // Resize planning over decoded metadata (aspect-preserving fit
-    // into 256px, integer per-mille arithmetic — never upscales).
+    // Resize planning over REAL decoded netpbm dimensions (aspect-
+    // preserving fit into an 8px bounding box — small because the
+    // synthetic rasters are ≤16×12; integer per-mille arithmetic,
+    // never upscales).
     "q62_media_resize" -> ((s, dir) => {
-      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
-      val meta = Multimodal.decodeMeta(docs).toDF()
-      val (rw, rh) = Multimodal.resizeDims(col("width"), col("height"), 256)
+      val docs = Multimodal.withNetpbmColumn(table(s, dir, "documents"))
+      val meta = Multimodal.decodeNetpbmMeta(docs).toDF()
+      val (rw, rh) = Multimodal.resizeDims(col("width"), col("height"), 8)
       meta.select(col("doc_id"), col("width"), col("height"),
         rw.as("rw"), rh.as("rh"))
     }),
 
-    // Feature-extraction stub: 8-dim pseudo-embedding per payload,
-    // flattened to (doc_id, dim, value) rows for the oracle compare.
+    // Feature extraction from the REAL pixel walk: an 8-dim vector of
+    // decoded image statistics per payload (dims/channels/byte count
+    // + sum/min/first/last pixel), flattened to (doc_id, dim, feat)
+    // scalar rows — all exact integers cast to double, so the oracle
+    // hash-checks bit-for-bit.
     "q63_media_features" -> ((s, dir) => {
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(Multimodal.featureStub(col("text"), 8)).as(Seq("dim", "feat")))
+      val docs = Multimodal.withNetpbmColumn(table(s, dir, "documents"))
+      Multimodal.decodeNetpbmMeta(docs).toDF()
+        .select(col("doc_id"), posexplode(array(
+          col("width").cast("double"), col("height").cast("double"),
+          col("channels").cast("double"), col("n_bytes").cast("double"),
+          col("sum_px").cast("double"), col("min_px").cast("double"),
+          col("first_px").cast("double"), col("last_px").cast("double")
+        )).as(Seq("dim", "feat")))
     }),
 
+    // Per-format rollup of REAL decoded metadata + raster statistics:
+    // the "what's in this media corpus" audit. sum_px/max_px come
+    // from the decoder's full pixel walk — a header-only fake cannot
+    // produce them.
     "q60_media_meta" -> ((s, dir) => {
-      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
-      Multimodal.decodeMeta(docs).toDF()
+      val docs = Multimodal.withNetpbmColumn(table(s, dir, "documents"))
+      Multimodal.decodeNetpbmMeta(docs).toDF()
         .groupBy("format")
         .agg(count(lit(1)).as("n"),
           sum("width").as("sum_w"), sum("height").as("sum_h"),
-          max("n_frames").cast("long").as("max_frames"))
+          sum("sum_px").as("sum_px"), max("max_px").as("max_px"))
     }),
 
     // Perceptual-hash near-duplicate detection over the media column
@@ -84,16 +103,37 @@ object MultimodalQueries {
     })
   )
 
+  // the netpbm fixture mirrored analytically: w = len%16+1,
+  // h = len%12+1, channels = 3 (even len, P6) | 1 (odd, P5), raster
+  // byte j = text byte (j % len) — so pixel stats are series sums
+  // over ord(substr(text, …)). Constant series bound 576 =
+  // max w (16) · max h (12) · 3 channels; the j < n_bytes filter
+  // trims per doc (the DuckDB constant-bounds generate_series rule).
+  private val netpbmMetaSql =
+    """m AS (
+         SELECT doc_id, text, strlen(text) AS len,
+           CASE WHEN strlen(text) % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+           CAST(strlen(text) % 16 + 1 AS INTEGER) AS width,
+           CAST(strlen(text) % 12 + 1 AS INTEGER) AS height,
+           CAST(CASE WHEN strlen(text) % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+           CAST((strlen(text) % 16 + 1) * (strlen(text) % 12 + 1)
+             * (CASE WHEN strlen(text) % 2 = 0 THEN 3 ELSE 1 END) AS INTEGER) AS n_bytes
+         FROM documents),
+       px AS (
+         SELECT doc_id,
+           CAST(sum(ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1))) AS BIGINT) AS sum_px,
+           CAST(min(ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1))) AS INTEGER) AS min_px,
+           CAST(max(ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1))) AS INTEGER) AS max_px
+         FROM m, generate_series(0, 575) g(j)
+         WHERE g.j < n_bytes
+         GROUP BY doc_id)"""
+
   def oracles: Map[String, String] = Map(
     "q62_media_resize" ->
-      """WITH m AS (
-           SELECT doc_id,
-             CAST((strlen(text) % 64 + 1) * 8 AS INTEGER) AS width,
-             CAST((strlen(text) % 48 + 1) * 8 AS INTEGER) AS height
-           FROM documents),
+      s"""WITH $netpbmMetaSql,
          s AS (
            SELECT doc_id, width, height,
-             least(floor(256000 / greatest(width, height)), 1000.0) AS scale
+             least(floor(8000 / greatest(width, height)), 1000.0) AS scale
            FROM m)
          SELECT doc_id, width, height,
            CAST(floor(width * scale / 1000.0) AS INT) AS rw,
@@ -101,9 +141,16 @@ object MultimodalQueries {
          FROM s""",
 
     "q63_media_features" ->
-      """SELECT doc_id, CAST(g.j AS INTEGER) AS dim,
-           (CAST(('0x' || substr(md5(text || '_' || g.j), 1, 15)) AS BIGINT) % 1000) / 1000.0 AS feat
-         FROM documents, generate_series(0, 7) g(j)""",
+      s"""WITH $netpbmMetaSql
+         SELECT m.doc_id, CAST(g.d AS INTEGER) AS dim,
+           CAST(CASE g.d
+             WHEN 0 THEN width WHEN 1 THEN height
+             WHEN 2 THEN channels WHEN 3 THEN n_bytes
+             WHEN 4 THEN sum_px WHEN 5 THEN min_px
+             WHEN 6 THEN ord(substr(text, 1, 1))
+             ELSE ord(substr(text, CAST((n_bytes - 1) % len AS INTEGER) + 1, 1))
+           END AS DOUBLE) AS feat
+         FROM m JOIN px USING (doc_id), generate_series(0, 7) g(d)""",
 
     "q61_frame_sample" ->
       """WITH m AS (
@@ -117,17 +164,11 @@ object MultimodalQueries {
          WHERE g.f <= n_frames - 1""",
 
     "q60_media_meta" ->
-      """WITH m AS (
-           SELECT doc_id,
-             (strlen(text) % 64 + 1) * 8 AS width,
-             (strlen(text) % 48 + 1) * 8 AS height,
-             strlen(text) % 30 + 1 AS n_frames,
-             CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-           FROM documents)
+      s"""WITH $netpbmMetaSql
          SELECT format, count(*) AS n,
            CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
-           CAST(max(n_frames) AS BIGINT) AS max_frames
-         FROM m GROUP BY format""",
+           CAST(sum(sum_px) AS BIGINT) AS sum_px, max(max_px) AS max_px
+         FROM m JOIN px USING (doc_id) GROUP BY format""",
 
     // same 60-bit md5 prefix, same 4x15-bit bands; xor + bit_count
     // verify per candidate

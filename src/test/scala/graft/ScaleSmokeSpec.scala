@@ -196,6 +196,26 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ranks.count() === n)
   }
 
+  test("kcore peels a deep cascade past any fixed round budget") {
+    import graft.queries.GraphQueries
+    import spark.implicits._
+    // 40-vertex path (ids 0..39) + disjoint triangle (100,101,102).
+    // The 2-core peel unravels the path one vertex per round from
+    // each END — ~20 rounds to dissolve it fully, far beyond the old
+    // 6-round budget — while the triangle is degree-2 everywhere and
+    // survives. Fixpoint detection must return EXACTLY the triangle.
+    val path = spark.range(39)
+      .select(col("id").as("p1"), (col("id") + 1).as("p2"))
+    val tri = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+      .toDF("p1", "p2")
+    val core = GraphQueries.kcore(path.union(tri), 2)
+    assert(core.select("p1", "p2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    // an empty-core graph (pure path, no cycle) peels to zero edges
+    assert(GraphQueries.kcore(path, 2).count() === 0L)
+  }
+
   test("native sentiment over 200k docs stays distributed") {
     val out = Sentiment.scoreNative(
       corpus.withColumn("text", concat(col("text"), lit(" good not bad"))),
