@@ -49,5 +49,5 @@ object SparkEntry {
     * queries remain self-contained for every other caller (first call
     * stages inline). */
   def staging: Map[String, (SparkSession, String) => Unit] =
-    IoQueries.staging ++ EventQueries.staging
+    IoQueries.staging ++ EventQueries.staging ++ DedupSim.staging
 }
