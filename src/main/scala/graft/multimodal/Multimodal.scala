@@ -182,6 +182,140 @@ object Multimodal {
       }
   }
 
+  /** Decoded WAV metadata + sample statistics — what a real audio
+    * ingest keeps per payload. All-integer (PCM16 samples), so the
+    * oracle mirrors every field exactly. */
+  case class WavMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                     n_samples: Int, sum_s: Long, min_s: Int,
+                     max_s: Int, first_s: Int, last_s: Int,
+                     energy: Long)
+
+  /** Encode a REAL RIFF/WAVE PCM16 payload from a document's text:
+    * channels (mono/stereo), sample rate, and frame count derive from
+    * the text length, and each little-endian int16 sample is
+    * `(byte − 128) · 256` over the text's bytes cycled — genuine
+    * content, every statistic independently derivable from the text
+    * (how the DuckDB oracle mirrors it). A junk `LIST` chunk sits
+    * between `fmt ` and `data` so the decoder's unknown-chunk
+    * skipping is exercised on every payload. */
+  def encodeWav(text: String): Array[Byte] = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val len = tb.length
+    require(len > 0, "encodeWav: empty text")
+    val channels = if (len % 2 == 0) 2 else 1
+    val sampleRate = 8000 * (len % 3 + 1)
+    val nFrames = len % 32 + 4
+    val nSamples = nFrames * channels
+    val dataSize = nSamples * 2
+    val listBody = "INFOgrft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)         // byte rate
+      .putShort((channels * 2).toShort)          // block align
+      .putShort(16.toShort)                      // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < nSamples) {
+      buf.putShort((((tb(k % len) & 0xff) - 128) * 256).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** REAL pure-JVM WAV decoder: validates the RIFF/WAVE container,
+    * walks the chunk list (skipping unknown chunks, honoring the
+    * odd-size pad byte), parses `fmt ` (PCM, 16-bit only, block-align
+    * consistency), then walks every little-endian int16 sample in
+    * `data` for sum/min/max/first/last and an exact integer energy
+    * (Σ s²). Malformed payloads fail loudly. */
+  def decodeWav(payload: Array[Byte]): (Int, Int, Int, Long, Int, Int, Int, Int, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(payload.length >= 12 && fourCC() == "RIFF", "wav: bad RIFF magic")
+    val riffSize = buf.getInt
+    require(riffSize == payload.length - 8, "wav: RIFF size mismatch")
+    require(fourCC() == "WAVE", "wav: not a WAVE container")
+    var channels = -1; var sampleRate = -1
+    var nSamples = -1
+    var sum = 0L; var energy = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var first = 0; var last = 0
+    while (buf.remaining() >= 8) {
+      val id = fourCC(); val size = buf.getInt
+      require(size >= 0 && buf.remaining() >= size, s"wav: truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(size == 16, "wav: non-PCM fmt chunk size")
+          require(buf.getShort == 1, "wav: not PCM")
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate (derived)
+          val blockAlign = buf.getShort
+          require(buf.getShort == 16, "wav: not 16-bit")
+          require(blockAlign == channels * 2, "wav: block-align mismatch")
+        case "data" =>
+          require(channels > 0, "wav: data chunk before fmt")
+          require(size % 2 == 0, "wav: odd PCM16 data size")
+          nSamples = size / 2
+          require(nSamples > 0, "wav: empty data chunk")
+          var k = 0
+          while (k < nSamples) {
+            val s: Int = buf.getShort
+            if (k == 0) first = s
+            last = s
+            sum += s
+            energy += s.toLong * s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            k += 1
+          }
+        case _ =>
+          buf.position(buf.position() + size + (size & 1)) // skip + pad
+      }
+    }
+    require(nSamples > 0, "wav: missing data chunk")
+    (channels, sampleRate, nSamples, sum, mn, mx, first, last, energy)
+  }
+
+  /** Fixture: stage really-encoded WAV bytes per document (the binary
+    * column an audio ingest lands). */
+  def withWavColumn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, encodeWav(t)) }
+      .toDF("doc_id", "media")
+  }
+
+  /** Batched REAL audio decode: mapPartitions through [[decodeWav]] —
+    * the same narrow constant-memory iterator shape as
+    * [[decodeNetpbmMeta]]. */
+  def decodeWavMeta(docsWithMedia: DataFrame): Dataset[WavMeta] = {
+    val spark = docsWithMedia.sparkSession
+    import spark.implicits._
+    docsWithMedia.select(col("doc_id"), col("media"))
+      .filter(col("doc_id").isNotNull && col("media").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val (c, sr, n, sum, mn, mx, first, last, energy) = decodeWav(payload)
+          WavMeta(id, c, sr, n, sum, mn, mx, first, last, energy)
+        }
+      }
+  }
+
   /** Batched decode: mapPartitions over (id, payload) rows emitting
     * typed metadata. Narrow (partition-preserving), constant-memory
     * iterator — no collect, no shuffle. */

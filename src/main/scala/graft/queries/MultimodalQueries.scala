@@ -82,6 +82,22 @@ object MultimodalQueries {
     // bit_count per CANDIDATE. Emits every candidate with its
     // distance + the radius verdict, so the verify logic itself is
     // hash-checked.
+    // REAL audio decode end-to-end: RIFF/WAVE PCM16 payloads staged
+    // from document text (genuinely encoded: container + fmt chunk +
+    // junk LIST chunk + little-endian samples), decoded by the
+    // pure-JVM chunk-walking parser (Multimodal.decodeWav), per-doc
+    // sample statistics emitted exactly (all integers — PCM has no
+    // float ambiguity). The decode is a narrow batched mapPartitions:
+    // no shuffle, constant memory, the same 100 TB shape as the image
+    // path. Every stat (incl. Σs² energy) requires the full sample
+    // walk — a header-only fake cannot produce them.
+    "qEC_wav_stats" -> ((s, dir) => {
+      val docs = Multimodal.withWavColumn(table(s, dir, "documents"))
+      Multimodal.decodeWavMeta(docs).toDF()
+        .select("doc_id", "channels", "sample_rate", "n_samples",
+          "sum_s", "min_s", "max_s", "first_s", "last_s", "energy")
+    }),
+
     "qC2_phash_media_dedup" -> ((s, dir) => {
       val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
       val h = docs.select(col("doc_id"),
@@ -169,6 +185,35 @@ object MultimodalQueries {
            CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
            CAST(sum(sum_px) AS BIGINT) AS sum_px, max(max_px) AS max_px
          FROM m JOIN px USING (doc_id) GROUP BY format""",
+
+    // the WAV fixture mirrored analytically: channels = 2 (even len)
+    // | 1 (odd), rate = 8000·(len%3+1), frames = len%32+4, sample j =
+    // (ord(text byte j%len) − 128)·256. Constant series bound 70 =
+    // max frames (35) · 2 channels; j < n_samples trims per doc.
+    "qEC_wav_stats" ->
+      """WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             CAST(CASE WHEN strlen(text) % 2 = 0 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+             CAST(8000 * (strlen(text) % 3 + 1) AS INTEGER) AS sample_rate,
+             CAST((strlen(text) % 32 + 4)
+               * (CASE WHEN strlen(text) % 2 = 0 THEN 2 ELSE 1 END) AS INTEGER) AS n_samples
+           FROM documents),
+         sm AS (
+           SELECT doc_id,
+             CAST(sum((ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1)) - 128) * 256) AS BIGINT) AS sum_s,
+             CAST(min((ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1)) - 128) * 256) AS INTEGER) AS min_s,
+             CAST(max((ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1)) - 128) * 256) AS INTEGER) AS max_s,
+             CAST(sum(CAST((ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1)) - 128) * 256 AS BIGINT)
+               * ((ord(substr(text, CAST(g.j % len AS INTEGER) + 1, 1)) - 128) * 256)) AS BIGINT) AS energy
+           FROM m, generate_series(0, 69) g(j)
+           WHERE g.j < n_samples
+           GROUP BY doc_id)
+         SELECT m.doc_id, channels, sample_rate, n_samples,
+           sum_s, min_s, max_s,
+           CAST((ord(substr(text, 1, 1)) - 128) * 256 AS INTEGER) AS first_s,
+           CAST((ord(substr(text, CAST((n_samples - 1) % len AS INTEGER) + 1, 1)) - 128) * 256 AS INTEGER) AS last_s,
+           energy
+         FROM m JOIN sm USING (doc_id)""",
 
     // same 60-bit md5 prefix, same 4x15-bit bands; xor + bit_count
     // verify per candidate

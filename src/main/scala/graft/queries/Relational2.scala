@@ -16,6 +16,26 @@ import graft.io.Sources.table
 object Relational2 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic string aggregation (LISTAGG / string_agg — the
+    // one SQL reshaping surface not yet covered): per (returnflag,
+    // linestatus), the comma-joined SORTED distinct ship modes.
+    // collect_set's arrival order is partition-dependent, so the
+    // array is array_sort'ed before joining — the ONLY way a
+    // string-aggregate can hash-check across engines (and across
+    // cluster layouts: an unordered listagg is nondeterministic at
+    // ANY scale). Safe here because the aggregated domain is bounded
+    // (5 order priorities); an unbounded listagg at 100 TB is an
+    // anti-pattern regardless of ordering — the row would grow with
+    // the corpus.
+    "qEF_string_rollup" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("prios"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Window family beyond row_number: rank/dense_rank/lag + running
     // sum over an ordered partition.
     "q16_window_running" -> ((s, dir) => {
@@ -950,6 +970,23 @@ object Relational2 {
   )
 
   def oracles: Map[String, String] = Map(
+    // distinct-first then ordered string_agg mirrors the sorted
+    // collect_set join
+    "qEF_string_rollup" ->
+      """WITH d AS (
+           SELECT DISTINCT o_orderstatus, o_orderpriority
+           FROM orders),
+         m AS (
+           SELECT o_orderstatus,
+             string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+             CAST(count(*) AS BIGINT) AS n_prios
+           FROM d GROUP BY o_orderstatus),
+         c AS (
+           SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderstatus, prios, n_prios, n_rows
+         FROM m JOIN c USING (o_orderstatus)""",
+
     "q16_window_running" ->
       """SELECT o_custkey, o_orderkey,
            CAST(rank() OVER w AS INTEGER) AS rnk,

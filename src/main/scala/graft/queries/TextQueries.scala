@@ -45,6 +45,42 @@ object TextQueries {
     "bigdata" -> Seq("spark", "stream", "batch"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Within-document repetition gates (the Gopher/MassiveText
+    // quality rules): per doc, the fraction of bigram positions taken
+    // by the single most frequent bigram, and the fraction of 5-gram
+    // positions whose 5-gram repeats within the doc — the two signals
+    // that catch boilerplate and degenerate loops that length/stopword
+    // heuristics (q33/q34) miss. The PASS verdict compares exact
+    // integers (·100 vs threshold·denominator — no float gate); the
+    // reported fractions are one IEEE division over those integers,
+    // so they hash bit-for-bit. Scale shape: two explode +
+    // groupBy(doc, gram) aggregations — vocab-bounded, map-side
+    // combinable, no joins beyond the final per-doc merge.
+    "qEE_doc_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("toks", TextStats.tokens(col("text")))
+        .where(size(col("toks")) >= 6)
+        .select("doc_id", "toks")
+      val big = d
+        .select(col("doc_id"), explode(TextStats.shingles(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_big"), max("c").as("top_big"))
+      val span = d
+        .select(col("doc_id"), explode(TextStats.shingles(col("toks"), 5)).as("sp"))
+        .groupBy("doc_id", "sp").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_span"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_pos"))
+      big.join(span, "doc_id")
+        .select(col("doc_id"), col("n_big"), col("top_big"),
+          col("n_span"), col("n_dup_pos"),
+          (col("top_big").cast("double") / col("n_big")).as("top2g_frac"),
+          (col("n_dup_pos").cast("double") / col("n_span")).as("dup5_frac"),
+          (col("top_big") * 100 <= col("n_big") * 18
+            && col("n_dup_pos") * 100 <= col("n_span") * 30).as("pass_gate"))
+    }),
+
     // Exact-phrase search via POSITIONAL postings — the inverted-index
     // query class qB4 (bag-of-words cosine) and q85 (BM25) cannot
     // answer: "hash join" must be adjacent in order. Postings =
@@ -631,6 +667,47 @@ object TextQueries {
          FROM m)"""
 
   def oracles: Map[String, String] = Map(
+    // same space-split tokens; n-gram lists via the inclusive-slice
+    // comprehension (shinglesSql's shape at n=2 and n=5); identical
+    // integer gates and one-division fractions
+    "qEE_doc_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 6),
+         bg AS (
+           SELECT doc_id, u.g
+           FROM (SELECT doc_id,
+                   [array_to_string(w[i:i+1], ' ')
+                    for i in generate_series(1, len(w) - 1)] AS gs
+                 FROM t),
+                unnest(gs) AS u(g)),
+         bgc AS (
+           SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         big AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
+             CAST(max(c) AS BIGINT) AS top_big
+           FROM bgc GROUP BY doc_id),
+         sp AS (
+           SELECT doc_id, u.s
+           FROM (SELECT doc_id,
+                   [array_to_string(w[i:i+4], ' ')
+                    for i in generate_series(1, len(w) - 4)] AS ss
+                 FROM t),
+                unnest(ss) AS u(s)),
+         spc AS (
+           SELECT doc_id, s, count(*) AS c FROM sp GROUP BY doc_id, s),
+         span AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_span,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_pos
+           FROM spc GROUP BY doc_id)
+         SELECT doc_id, n_big, top_big, n_span, n_dup_pos,
+           CAST(top_big AS DOUBLE) / n_big AS top2g_frac,
+           CAST(n_dup_pos AS DOUBLE) / n_span AS dup5_frac,
+           (top_big * 100 <= n_big * 18
+             AND n_dup_pos * 100 <= n_span * 30) AS pass_gate
+         FROM big JOIN span USING (doc_id)""",
+
     // same postings (0-based positions via the constant-series +
     // len-filter pattern, loud overflow guard), same adjacency join
     "qD2_phrase_search" ->

@@ -29,6 +29,33 @@ object TrainingQueries {
   private val Shards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): each doc draws key = ln(u)/w (u a deterministic
+    // md5-derived uniform in (0,1], w = n_chars), and the k largest
+    // keys per source are EXACTLY a w-weighted sample without
+    // replacement — the importance-sampling primitive for corpus
+    // mixing. Scale shape: a narrow map to compute keys, then the
+    // GroupedTopK operator's partial per-key heaps (≤k rows per
+    // source per task reach the exchange — never a full sort of the
+    // corpus). Bit-exact across engines: u is an integer over 2^53
+    // (exact double), LnExact is correctly-rounded Math.log matching
+    // DuckDB's glibc ln, and the final division is one IEEE op; the
+    // key itself is emitted and hash-checked.
+    "qED_weighted_reservoir" -> ((s, dir) => {
+      val two53 = 9007199254740992L
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("u",
+          ((graft.dedup.Dedup.md5Long(col("doc_id").cast("string")) % two53)
+            + lit(1L)).cast("double") / lit(two53.toDouble))
+        .withColumn("skey",
+          graft.functions.LnExact(col("u")) / col("n_chars"))
+        .select("source", "doc_id", "n_chars", "skey")
+      GroupedTopK.topK(d, Seq(col("source")),
+          Seq(col("skey").desc, col("doc_id").asc), 5)
+        .select("source", "doc_id", "n_chars", "skey")
+    }),
+
     // Top-p (nucleus) selection per language: keep the smallest
     // prefix of docs — largest first — whose cumulative character
     // mass reaches 90% of the group total. The data-mixing primitive
@@ -559,6 +586,23 @@ object TrainingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same md5-derived uniform over 2^53, same ln, same one-division
+    // key; the window top-5 mirrors GroupedTopK's (desc key, asc id)
+    // total order
+    "qED_weighted_reservoir" ->
+      """WITH k AS (
+           SELECT source, doc_id, n_chars,
+             ln(((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 9007199254740992) + 1) / 9007199254740992.0) / n_chars AS skey
+           FROM documents),
+         r AS (
+           SELECT source, doc_id, n_chars, skey,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey DESC, doc_id ASC) AS rn
+           FROM k)
+         SELECT source, doc_id, n_chars, skey
+         FROM r WHERE rn <= 5""",
+
     // same integer threshold algebra; window sums are HUGEINT in
     // DuckDB — cast inside the CTE before the comparison
     "qDF_nucleus_select" ->

@@ -59,4 +59,36 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeNetpbm("P5\nx 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1))
     }
   }
+
+  test("wav encode/decode round-trip: stereo from even-length text") {
+    val t = "abcdefghij" // len 10, even → 2 ch, rate 8000·(10%3+1)=16000,
+                         // frames 10%32+4=14, samples 28
+    val (c, sr, n, sum, mn, mx, first, last, energy) =
+      Multimodal.decodeWav(Multimodal.encodeWav(t))
+    assert(c === 2 && sr === 16000 && n === 28)
+    val tb = t.getBytes("US-ASCII")
+    val expect = (0 until 28).map(k => ((tb(k % 10) & 0xff) - 128) * 256)
+    assert(sum === expect.map(_.toLong).sum)
+    assert(mn === expect.min && mx === expect.max)
+    assert(first === expect.head && last === expect.last)
+    assert(energy === expect.map(s => s.toLong * s).sum)
+  }
+
+  test("wav decode: mono, skips unknown chunks, validates container") {
+    val t = "xyz" // len 3, odd → 1 ch, rate 8000, frames 7, samples 7
+    val payload = Multimodal.encodeWav(t)
+    val (c, sr, n, _, _, _, _, _, _) = Multimodal.decodeWav(payload)
+    assert(c === 1 && sr === 8000 && n === 7)
+    intercept[IllegalArgumentException] { // truncated
+      Multimodal.decodeWav(payload.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // bad magic
+      Multimodal.decodeWav("RIFX".getBytes("US-ASCII") ++ payload.drop(4))
+    }
+    // corrupt the fmt tag so no fmt chunk precedes data → loud reject
+    val noFmt = payload.clone()
+    val fmtAt = payload.indexOfSlice("fmt ".getBytes("US-ASCII"))
+    noFmt(fmtAt) = 'z'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(noFmt) }
+  }
 }

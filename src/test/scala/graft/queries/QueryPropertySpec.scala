@@ -106,4 +106,44 @@ class QueryPropertySpec extends SparkSpec {
       && col("hamming") === 0)
     assert(exact.count() === 1L, "planted duplicate not found by banding")
   }
+
+  test("qED: GroupedTopK selection equals the window idiom; keys are ≤ 0") {
+    import org.apache.spark.sql.expressions.Window
+    val two53 = 9007199254740992L
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("u",
+        ((graft.dedup.Dedup.md5Long(col("doc_id").cast("string")) % two53)
+          + lit(1L)).cast("double") / lit(two53.toDouble))
+      .withColumn("skey", graft.functions.LnExact(col("u")) / col("n_chars"))
+    val win = d.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("skey").desc, col("doc_id").asc)))
+      .where(col("rn") <= 5).select("source", "doc_id")
+    val op = SparkEntry.queries("qED_weighted_reservoir")(spark, dir)
+      .select("source", "doc_id")
+    assert(op.exceptAll(win).isEmpty && win.exceptAll(op).isEmpty,
+      "operator top-5 diverges from the window idiom")
+    // ln(u ≤ 1) ≤ 0 and w > 0, so every key is non-positive — a
+    // positive key means the uniform construction broke
+    assert(d.filter(col("skey") > 0.0).isEmpty)
+  }
+
+  test("qEE: repetition signals are consistent per-doc invariants") {
+    val rows = SparkEntry.queries("qEE_doc_repetition")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nBig = r.getAs[Long]("n_big"); val topBig = r.getAs[Long]("top_big")
+      val nSpan = r.getAs[Long]("n_span"); val nDup = r.getAs[Long]("n_dup_pos")
+      assert(topBig >= 1 && topBig <= nBig)
+      assert(nDup >= 0 && nDup <= nSpan)
+      // a duplicated 5-gram contributes its whole count (≥ 2):
+      // n_dup_pos can never be exactly 1
+      assert(nDup != 1, s"doc ${r.getAs[Long]("doc_id")}: impossible dup count 1")
+      // a doc with ≥6 tokens has one more bigram position than
+      // 5-gram positions deficit of exactly 3
+      assert(nBig === nSpan + 3,
+        "bigram/5-gram position counts inconsistent for the same token stream")
+    }
+  }
 }
