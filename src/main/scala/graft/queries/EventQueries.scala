@@ -272,6 +272,27 @@ object EventQueries {
           col("wsum").cast("double") / col("span_us").cast("double"))
     }),
 
+    // OHLC candles (open/high/low/close + volume per hour per event
+    // type) — the time-series compaction every market/metric store
+    // runs. Open/close are min_by/max_by over a (ts, event_id)
+    // struct — q99's compaction shape: a map-side-partial agg sending
+    // ONE row per (type, hour) per task, where the window-idiom
+    // equivalent shuffles and sorts every event. Volume sums
+    // floor-fixed-point values (floor, not round: identical semantics
+    // in both engines at any boundary); open/close/high/low are raw
+    // stored doubles — picked, never computed — so they hash exactly.
+    "qF1_ohlc_candles" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("ts"), col("event_id"), col("value"))
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          min("value").as("low"), max("value").as("high"),
+          sum(floor(col("value") * 10000).cast("long")).as("vol_fp"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -528,6 +549,25 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // window-idiom mirror of the min_by/max_by picks ((ts, event_id)
+    // total order); same floor fixed-point volume
+    "qF1_ohlc_candles" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM e)
+         SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           min(value) AS low, max(value) AS high,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS vol_fp
+         FROM r GROUP BY event_type, h""",
     "q50_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n,

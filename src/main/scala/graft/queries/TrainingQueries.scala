@@ -29,6 +29,33 @@ object TrainingQueries {
   private val Shards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gram matrix (Xᵀ X) over the first 16 embedding dims — the
+    // normal-equations / PCA primitive: every linear model, ridge
+    // fit, and covariance estimate at 100 TB reduces to this one
+    // aggregate. Scale shape: each row expands to its d(d+1)/2 = 136
+    // upper-triangle products via ONE narrow nested-transform
+    // expression (no self-join, no per-row Cartesian), then a single
+    // map-side-combinable groupBy(i, j) — the shuffle carries at
+    // most 136 rows per task regardless of corpus size. Exactness:
+    // components quantize to 1/65536 fixed-point (qC4's discipline),
+    // so sums are associative integers — bit-identical on 1 executor
+    // or 1000 — and |q| ≤ 2¹⁶ bounds each product at 2³², 10⁹ rows
+    // at 2⁶² — no overflow at any plausible scale.
+    "qF0_gram_matrix" -> ((s, dir) => {
+      table(s, dir, "embeddings")
+        .select(expr(
+          "transform(slice(embedding, 1, 16), x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))")
+          .as("v"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 15), i ->
+               transform(sequence(i, 15), j ->
+                 named_struct('i', i, 'j', j, 'p', v[i] * v[j]))))"""))
+          .as("pr"))
+        .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("p").as("s_xy"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES): each doc draws key = ln(u)/w (u a deterministic
     // md5-derived uniform in (0,1], w = n_chars), and the k largest
@@ -586,6 +613,22 @@ object TrainingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same 1-based slice, same fixed-point floor, same upper-triangle
+    // index pairs
+    "qF0_gram_matrix" ->
+      """WITH q AS (
+           SELECT [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)
+                   for x in embedding[1:16]] AS v
+           FROM embeddings),
+         p AS (
+           SELECT CAST(g1.i AS INTEGER) AS i, CAST(g2.j AS INTEGER) AS j,
+             v[CAST(g1.i AS INTEGER) + 1] * v[CAST(g2.j AS INTEGER) + 1] AS p
+           FROM q, generate_series(0, 15) g1(i), generate_series(0, 15) g2(j)
+           WHERE g2.j >= g1.i)
+         SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p) AS BIGINT) AS s_xy
+         FROM p GROUP BY i, j""",
+
     // same md5-derived uniform over 2^53, same ln, same one-division
     // key; the window top-5 mirrors GroupedTopK's (desc key, asc id)
     // total order

@@ -129,6 +129,29 @@ class QueryPropertySpec extends SparkSpec {
     assert(d.filter(col("skey") > 0.0).isEmpty)
   }
 
+  test("qF0: Gram matrix is Cauchy–Schwarz-consistent with PSD diagonal") {
+    val g = SparkEntry.queries("qF0_gram_matrix")(spark, dir).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")), r.getAs[Long]("s_xy"))).toMap
+    assert(g.size === 136)
+    for (i <- 0 until 16) assert(g((i, i)) >= 0L, s"negative diagonal at $i")
+    for (i <- 0 until 16; j <- i + 1 until 16) {
+      val xy = BigInt(g((i, j))); val xx = BigInt(g((i, i))); val yy = BigInt(g((j, j)))
+      assert(xy * xy <= xx * yy, s"Cauchy–Schwarz violated at ($i,$j)")
+    }
+  }
+
+  test("qF1: candles bracket open/close inside [low, high]") {
+    val rows = SparkEntry.queries("qF1_ohlc_candles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("low"); val hi = r.getAs[Double]("high")
+      assert(lo <= hi)
+      assert(r.getAs[Double]("open") >= lo && r.getAs[Double]("open") <= hi)
+      assert(r.getAs[Double]("close") >= lo && r.getAs[Double]("close") <= hi)
+      assert(r.getAs[Long]("n") >= 1L)
+    }
+  }
+
   test("qEE: repetition signals are consistent per-doc invariants") {
     val rows = SparkEntry.queries("qEE_doc_repetition")(spark, dir).collect()
     assert(rows.nonEmpty)
