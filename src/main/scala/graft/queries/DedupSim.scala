@@ -189,6 +189,41 @@ object DedupSim {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Group-aware train/val/test split integrity — the leakage audit
+    // behind "split by CLUSTER, never by document": near-duplicate
+    // docs landing on opposite sides of a split leak training data
+    // into eval. Splits assign by md5 hash (deterministic, no
+    // shuffle): doc-level on doc_id, group-level on the q74 cluster
+    // label. The audit counts multi-doc clusters whose members
+    // straddle doc-split buckets (the leak the naive split causes)
+    // and proves the group split has ZERO straddlers — plus the
+    // 80/10/10 doc counts the group split actually lands. Composes
+    // the staged candidate-edge build (one scan of the shared pairs)
+    // with two bounded aggs; nothing beyond q74's own shapes.
+    "qF3_split_leakage" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lab = Components.connectedComponents(
+          stagedLshPairs(s, dir), docs.select("doc_id"), "doc_id")
+        .withColumn("doc_split",
+          Dedup.md5Long(col("doc_id").cast("string")) % 10)
+        .withColumn("grp_split",
+          Dedup.md5Long(col("cluster_id").cast("string")) % 10)
+      val perCluster = lab.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("doc_split")).as("nd"),
+          countDistinct(col("grp_split")).as("ng"))
+      val clusterStats = perCluster.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_multi"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_leaky_doc_split"),
+        sum(when(col("ng") >= 2, 1L).otherwise(0L)).as("n_leaky_group_split"))
+      val splitCounts = lab.agg(
+        sum(when(col("grp_split") <= 7, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("grp_split") === 8, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("grp_split") === 9, 1L).otherwise(0L)).as("n_test"))
+      clusterStats.crossJoin(broadcast(splitCounts))
+    }),
+
     // Mergeable-sketch algebra for MinHash (the q95-HLL-rollup story
     // for similarity): a grouping's signature is the elementwise min
     // of its shingle hashes, so coarse signatures ROLL UP from fine
@@ -795,6 +830,34 @@ object DedupSim {
       s"""$clustersCte
           SELECT d.doc_id, coalesce(comp.mn, d.doc_id) AS cluster_id
           FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id""",
+
+    // same cluster labels, same md5 split hashing; the two audit aggs
+    // mirror the Spark sides exactly
+    "qF3_split_leakage" ->
+      s"""$clustersCte,
+          lab AS (
+            SELECT d.doc_id, coalesce(comp.mn, d.doc_id) AS cluster_id,
+              ${md5LongSql("CAST(d.doc_id AS VARCHAR)")} % 10 AS doc_split,
+              ${md5LongSql("CAST(coalesce(comp.mn, d.doc_id) AS VARCHAR)")} % 10 AS grp_split
+            FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+          pc AS (
+            SELECT cluster_id, count(*) AS sz,
+              count(DISTINCT doc_split) AS nd,
+              count(DISTINCT grp_split) AS ng
+            FROM lab GROUP BY cluster_id),
+          cs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+              CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_doc_split,
+              CAST(sum(CASE WHEN ng >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_group_split
+            FROM pc),
+          sc AS (
+            SELECT
+              CAST(sum(CASE WHEN grp_split <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              CAST(sum(CASE WHEN grp_split = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+              CAST(sum(CASE WHEN grp_split = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            FROM lab)
+          SELECT * FROM cs CROSS JOIN sc""",
 
     // q74's clusters reduced to the keep/drop DECISION: arg-max by the
     // same integer tie-broken score as the Spark side (longest doc

@@ -29,6 +29,32 @@ object TrainingQueries {
   private val Shards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gini concentration of document mass per source — the corpus-
+    // balance audit a mixing pipeline runs before weighting (a source
+    // whose char mass sits in a few giant docs behaves differently
+    // from one with the same total spread evenly). Exact rank formula
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted sizes:
+    // every term is an exact integer (row_number · BIGINT chars), the
+    // fraction is ONE final IEEE division — hash-stable. The ordered
+    // window and the groupBy share the same source partitioning, so
+    // it is one shuffle; ties order by doc_id but any permutation of
+    // equal sizes leaves Σ i·xᵢ unchanged.
+    "qF2_gini_concentration" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("total_chars"),
+          sum(col("i") * col("n_chars")).as("rank_mass"))
+        .select(col("source"), col("n"), col("total_chars"),
+          ((lit(2L) * col("rank_mass") - (col("n") + 1) * col("total_chars"))
+            .cast("double")
+            / (col("n") * col("total_chars")).cast("double")).as("gini"))
+    }),
+
     // Gram matrix (Xᵀ X) over the first 16 embedding dims — the
     // normal-equations / PCA primitive: every linear model, ridge
     // fit, and covariance estimate at 100 TB reduces to this one
@@ -613,6 +639,24 @@ object TrainingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same ascending rank (ties by doc_id are mass-invariant), same
+    // exact integer terms, same one final division
+    "qF2_gini_concentration" ->
+      """WITH r AS (
+           SELECT source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS i
+           FROM documents),
+         a AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(i * n_chars) AS BIGINT) AS rank_mass
+           FROM r GROUP BY source)
+         SELECT source, n, total_chars,
+           CAST(2 * rank_mass - (n + 1) * total_chars AS DOUBLE)
+             / CAST(n * total_chars AS DOUBLE) AS gini
+         FROM a""",
+
     // same 1-based slice, same fixed-point floor, same upper-triangle
     // index pairs
     "qF0_gram_matrix" ->

@@ -152,6 +152,38 @@ class QueryPropertySpec extends SparkSpec {
     }
   }
 
+  test("qF2: Gini is in [0, 1) and zero for a uniform group") {
+    val rows = SparkEntry.queries("qF2_gini_concentration")(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"${r.getAs[String]("source")}: gini $g")
+    }
+    // uniform sizes → rank_mass = x·n(n+1)/2 → numerator is exactly 0
+    import spark.implicits._
+    val uni = Seq.tabulate(50)(i => ("s", i.toLong, 100L))
+      .toDF("source", "doc_id", "n_chars")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val gU = uni.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("t"),
+        sum(col("i") * col("n_chars")).as("rm"))
+      .select(((lit(2L) * col("rm") - (col("n") + 1) * col("t")).cast("double")
+        / (col("n") * col("t")).cast("double")).as("gini"))
+      .collect()(0).getAs[Double]("gini")
+    assert(gU === 0.0)
+  }
+
+  test("qF3: group split never leaks; audit counts are consistent") {
+    val r = SparkEntry.queries("qF3_split_leakage")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_leaky_group_split") === 0L)
+    assert(r.getAs[Long]("n_leaky_doc_split") <= r.getAs[Long]("n_multi"))
+    assert(r.getAs[Long]("n_multi") < r.getAs[Long]("n_clusters"))
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val")
+      + r.getAs[Long]("n_test") >= r.getAs[Long]("n_clusters"))
+  }
+
   test("qEE: repetition signals are consistent per-doc invariants") {
     val rows = SparkEntry.queries("qEE_doc_repetition")(spark, dir).collect()
     assert(rows.nonEmpty)
