@@ -272,6 +272,33 @@ object EventQueries {
           col("wsum").cast("double") / col("span_us").cast("double"))
     }),
 
+    // Time-decayed engagement score per user (the feature-store
+    // staple: recent activity counts more) made EXACT at any
+    // partitioning: the decay base is 2, so the weight for a row k
+    // days old is the integer 2^(12−k) (zero past the 12-day
+    // horizon, where the weight falls below the 2^-12 scale — the
+    // documented truncation), values quantize to 1/10⁴ fixed-point,
+    // and the sum is associative integer arithmetic; ONE final
+    // division by 10⁴·2¹² yields the float score. Shape: the global
+    // anchor (max ts) is a broadcast 1-row aggregate; everything
+    // else is a narrow map + one map-side-combinable groupBy(user).
+    // An exp(−λ·age) double sum would be partition-order-dependent
+    // and could never hash-check — THIS is how decay ships at scale.
+    "qF4_time_decay" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      val mx = ev.agg(max("us").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("k", expr("(mx - us) div 86400000000"))
+        .withColumn("w", expr(
+          "CASE WHEN k <= 12 THEN shiftleft(CAST(1 AS BIGINT), CAST(12 - k AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("vfp", floor(col("value") * 10000).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("vfp") * col("w")).as("s_fp"))
+        .select(col("user_id"), col("n"), col("s_fp"),
+          (col("s_fp").cast("double") / lit(4.096e7)).as("decayed_score"))
+    }),
+
     // OHLC candles (open/high/low/close + volume per hour per event
     // type) — the time-series compaction every market/metric store
     // runs. Open/close are min_by/max_by over a (ts, event_id)
@@ -549,6 +576,28 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same µs epoch anchor, same integer day floor-div, same
+    // power-of-two weights and fixed-point sum, same one division
+    "qF4_time_decay" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         m AS (SELECT max(us) AS mx FROM e),
+         d AS (
+           SELECT user_id,
+             CAST(floor(value * 10000) AS BIGINT) AS vfp,
+             (mx - us) // 86400000000 AS k
+           FROM e, m),
+         w AS (
+           SELECT user_id, vfp,
+             CASE WHEN k <= 12
+                  THEN (CAST(1 AS BIGINT) << CAST(12 - k AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END AS w
+           FROM d)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vfp * w) AS BIGINT) AS s_fp,
+           CAST(sum(vfp * w) AS DOUBLE) / 40960000.0 AS decayed_score
+         FROM w GROUP BY user_id""",
+
     // window-idiom mirror of the min_by/max_by picks ((ts, event_id)
     // total order); same floor fixed-point volume
     "qF1_ohlc_candles" ->

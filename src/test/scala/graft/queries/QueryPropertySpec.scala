@@ -184,6 +184,18 @@ class QueryPropertySpec extends SparkSpec {
       + r.getAs[Long]("n_test") >= r.getAs[Long]("n_clusters"))
   }
 
+  test("qF4: decayed score is bounded by the undecayed fixed-point sum") {
+    val rows = SparkEntry.queries("qF4_time_decay")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("s_fp")
+      assert(s >= 0L, "negative decayed mass from positive values")
+      // the float score is EXACTLY the advertised single division of
+      // the integer sum — no hidden float accumulation
+      assert(r.getAs[Double]("decayed_score") === s.toDouble / 4.096e7)
+    }
+  }
+
   test("qEE: repetition signals are consistent per-doc invariants") {
     val rows = SparkEntry.queries("qEE_doc_repetition")(spark, dir).collect()
     assert(rows.nonEmpty)
