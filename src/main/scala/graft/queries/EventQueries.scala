@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources.table
@@ -320,6 +321,66 @@ object EventQueries {
           sum(floor(col("value") * 10000).cast("long")).as("vol_fp"))
     }),
 
+    // Welch two-sample t statistic per event type — the A/B-test
+    // readout an experimentation pipeline computes over billions of
+    // exposure rows. Arms are a deterministic user_id parity split.
+    // Exactness discipline: values are cents-exact doubles, so each
+    // arm's n / Σv / Σv² accumulate as associative BIGINTs (cents²
+    // ≤ 2.4e9 per row bounds Σv² under 2⁶³ up to ~10⁹ rows per
+    // type); the t statistic is then a PINNED sequence of IEEE ops
+    // on those exact integers — identical on any engine, any
+    // partitioning. One map-side-combinable groupBy; the two arms
+    // ride in one pass as conditional aggregates (no self-join, no
+    // second scan).
+    "qF6_welch_ttest" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("arm"),
+          round(col("value") * 100).cast("long").as("c"))
+      val a0 = col("arm") === 0
+      e.groupBy("event_type")
+        .agg(sum(when(a0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!a0, 1L).otherwise(0L)).as("n_b"),
+          sum(when(a0, col("c")).otherwise(0L)).as("s_a"),
+          sum(when(!a0, col("c")).otherwise(0L)).as("s_b"),
+          sum(when(a0, col("c") * col("c")).otherwise(0L)).as("q_a"),
+          sum(when(!a0, col("c") * col("c")).otherwise(0L)).as("q_b"))
+        .withColumn("t_stat", expr(
+          """(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt((CAST(q_a AS DOUBLE) / n_a
+                     - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
+                      / (n_a - 1)
+                  + (CAST(q_b AS DOUBLE) / n_b
+                     - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
+                      / (n_b - 1))"""))
+    }),
+
+    // Inter-arrival burst audit — the bot / ingestion-anomaly gate:
+    // per user, consecutive event gaps (total order (ts, event_id)),
+    // attributed to the later event's type. Sub-60 s gaps count as
+    // bursts; min/sum of gaps stay exact µs BIGINTs and the burst
+    // rate is one final division. Shape: ONE per-user window (a
+    // single shuffle on user_id — the natural key the log is already
+    // bucketed by in production) then a map-side-combinable agg; no
+    // self-join, nothing quadratic.
+    "qF7_interarrival_bursts" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("gap") < 60000000L, 1L).otherwise(0L)).as("n_bursts"),
+          min("gap").as("min_gap_us"),
+          sum("gap").as("sum_gap_us"))
+        .select(col("event_type"), col("n_pairs"), col("n_bursts"),
+          col("min_gap_us"), col("sum_gap_us"),
+          (col("n_bursts").cast("double") / col("n_pairs").cast("double"))
+            .as("burst_rate"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -597,6 +658,51 @@ object EventQueries {
            CAST(sum(vfp * w) AS BIGINT) AS s_fp,
            CAST(sum(vfp * w) AS DOUBLE) / 40960000.0 AS decayed_score
          FROM w GROUP BY user_id""",
+
+    // same parity arms, same exact cents sums, same pinned IEEE
+    // sequence for the statistic
+    "qF6_welch_ttest" ->
+      """WITH e AS (
+           SELECT event_type, user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         a AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN arm <> 0 THEN c ELSE 0 END) AS BIGINT) AS s_b,
+             CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
+             CAST(sum(CASE WHEN arm <> 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+           FROM e GROUP BY event_type)
+         SELECT event_type, n_a, n_b, s_a, s_b, q_a, q_b,
+           (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt((CAST(q_a AS DOUBLE) / n_a
+                     - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
+                      / (n_a - 1)
+                  + (CAST(q_b AS DOUBLE) / n_b
+                     - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
+                      / (n_b - 1)) AS t_stat
+         FROM a""",
+
+    // same (ts, event_id) per-user ordering, same µs gaps and 60 s
+    // burst threshold, same one final division
+    "qF7_interarrival_bursts" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         g AS (
+           SELECT event_type,
+             us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us ASC, event_id ASC) AS gap
+           FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+           CAST(sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS burst_rate
+         FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
 
     // window-idiom mirror of the min_by/max_by picks ((ts, event_id)
     // total order); same floor fixed-point volume

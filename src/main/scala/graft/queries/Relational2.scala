@@ -27,6 +27,42 @@ object Relational2 {
     // (5 order priorities); an unbounded listagg at 100 TB is an
     // anti-pattern regardless of ordering — the row would grow with
     // the corpus.
+    // Referential-integrity audit over every FK edge of the schema —
+    // the constraint-validation pass a warehouse runs after each
+    // load (parquet lakes enforce nothing; orphan detection IS the
+    // foreign key). Each edge is child ⟕̸ parent (left anti on the
+    // key) collapsed to a count, plus the child row count — seven
+    // 1-row aggregates unioned. Scale shape: every anti join is an
+    // equi-join Catalyst plans as broadcast (dims) or shuffle-hash
+    // (fact-to-fact) under AQE; counts are map-side partial; nothing
+    // ever leaves the cluster but 7 rows. Clean data yields zero
+    // orphans — the audit's cost, not its output, is the point.
+    "qF8_ri_audit" -> ((s, dir) => {
+      def edge(nm: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        val rows = child.agg(count(lit(1)).as("child_rows"))
+        orphans.crossJoin(rows)
+          .select(lit(nm).as("edge"), col("child_rows"), col("orphans"))
+      }
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val su = table(s, dir, "supplier")
+      val p = table(s, dir, "part")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+        .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+        .unionAll(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+        .unionAll(edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+    }),
+
     "qEF_string_rollup" -> ((s, dir) => {
       table(s, dir, "orders")
         .groupBy("o_orderstatus")
@@ -970,6 +1006,50 @@ object Relational2 {
   )
 
   def oracles: Map[String, String] = Map(
+    // same seven edges, NOT EXISTS mirrors the left anti
+    "qF8_ri_audit" ->
+      """SELECT 'lineitem->orders' AS edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS child_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+         UNION ALL
+         SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+         UNION ALL
+         SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+         UNION ALL
+         SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+         UNION ALL
+         SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+         UNION ALL
+         SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+         UNION ALL
+         SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))""",
+
     // distinct-first then ordered string_agg mirrors the sorted
     // collect_set join
     "qEF_string_rollup" ->

@@ -55,6 +55,41 @@ object TrainingQueries {
             / (col("n") * col("total_chars")).cast("double")).as("gini"))
     }),
 
+    // k-anonymity / l-diversity audit — the privacy gate a training-
+    // data release runs before shipping: for each re-identification
+    // threshold k, how many rows sit in a quasi-identifier class
+    // smaller than k, and what is the worst-case diversity of the
+    // sensitive column? QI = (nation, acctbal floored to $1000);
+    // sensitive = mktsegment. Scale shape: ONE map-side-combinable
+    // groupBy builds the class table (bounded: |nations|·|buckets| ≈
+    // 275 classes regardless of row count), then a tiny explode of
+    // the 4 literal thresholds cross-joins against it — the audit
+    // never touches raw rows twice and never shuffles them at all
+    // beyond the one class agg. All counts are exact integers; the
+    // suppression rate is one final IEEE division.
+    "qF5_k_anonymity" -> ((s, dir) => {
+      val classes = table(s, dir, "customer")
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+          col("c_mktsegment"))
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(count(lit(1)).as("cn"),
+          countDistinct(col("c_mktsegment")).as("cl"))
+      val ks = s.range(1).select(explode(
+        array(lit(2L), lit(5L), lit(10L), lit(25L))).as("k"))
+      ks.crossJoin(classes)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("cn") < col("k"), 1L).otherwise(0L)).as("classes_at_risk"),
+          sum(when(col("cn") < col("k"), col("cn")).otherwise(0L)).as("rows_at_risk"),
+          sum(col("cn")).as("n_rows"),
+          min(col("cl")).as("min_l_diversity"))
+        .select(col("k"), col("n_classes"), col("classes_at_risk"),
+          col("rows_at_risk"), col("min_l_diversity"),
+          (col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+            .as("suppression_rate"))
+    }),
+
     // Gram matrix (Xᵀ X) over the first 16 embedding dims — the
     // normal-equations / PCA primitive: every linear model, ridge
     // fit, and covariance estimate at 100 TB reduces to this one
@@ -656,6 +691,24 @@ object TrainingQueries {
            CAST(2 * rank_mass - (n + 1) * total_chars AS DOUBLE)
              / CAST(n * total_chars AS DOUBLE) AS gini
          FROM a""",
+
+    // same class table (floored $1000 buckets), same literal
+    // thresholds, same one final division
+    "qF5_k_anonymity" ->
+      """WITH classes AS (
+           SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS cl
+           FROM customer GROUP BY 1, 2),
+         ks AS (SELECT CAST(unnest([2, 5, 10, 25]) AS BIGINT) AS k)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN cn < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_at_risk,
+           CAST(sum(CASE WHEN cn < k THEN cn ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(min(cl) AS BIGINT) AS min_l_diversity,
+           CAST(sum(CASE WHEN cn < k THEN cn ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cn) AS DOUBLE) AS suppression_rate
+         FROM ks, classes GROUP BY k""",
 
     // same 1-based slice, same fixed-point floor, same upper-triangle
     // index pairs
