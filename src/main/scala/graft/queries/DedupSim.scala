@@ -75,6 +75,49 @@ object DedupSim {
     // micro-units are exact longs and the per-brand rollup hashes
     // bit-for-bit. The expression runs inside whole-stage codegen —
     // no UDF, no dispatch per row.
+    // Fellegi–Sunter record-linkage scoring — probabilistic entity
+    // resolution's canonical decision model: per candidate pair, sum
+    // per-field agreement/disagreement log-odds weights and threshold
+    // into match/non-match. Candidates come from qE0's scale-safe
+    // sorted-neighborhood pass (lag 1–2 within brand ordered by name
+    // — comparisons LINEAR in table size, never within-block
+    // quadratic). Weights are integer milli-units, so a pair's score
+    // and every aggregate of scores is an exact BIGINT; the match
+    // rate is one final division.
+    "qFB_fs_linkage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("brand")
+        .orderBy(col("name").asc, col("pk").asc)
+      val p = table(s, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand"),
+          col("p_name").as("name"), col("p_type").as("typ"),
+          col("p_size").cast("long").as("size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .withColumn("tok", split(col("name"), " ").getItem(0))
+      val lagged = (1 to 2).map { k =>
+        p.select(col("brand"),
+            col("typ"), lag("typ", k).over(w).as("ptyp"),
+            col("size"), lag("size", k).over(w).as("psize"),
+            col("cents"), lag("cents", k).over(w).as("pcents"),
+            col("tok"), lag("tok", k).over(w).as("ptok"))
+          .filter(col("ptyp").isNotNull)
+      }.reduce(_ unionAll _)
+      lagged
+        .withColumn("score",
+          when(col("typ") === col("ptyp"), 1800L).otherwise(-600L)
+            + when(abs(col("size") - col("psize")) <= 2, 900L).otherwise(-700L)
+            + when(abs(col("cents") - col("pcents")) <= 100, 1500L).otherwise(-200L)
+            + when(col("tok") === col("ptok"), 1200L).otherwise(-400L))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("score") >= 2000L, 1L).otherwise(0L)).as("n_match"),
+          sum("score").as("sum_score"), max("score").as("max_score"))
+        .select(col("brand"), col("n_pairs"), col("n_match"),
+          col("sum_score"), col("max_score"),
+          (col("n_match").cast("double") / col("n_pairs").cast("double"))
+            .as("match_rate"))
+    }),
+
     "qE0_jw_fuzzy_block" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("brand"))
@@ -749,6 +792,44 @@ object DedupSim {
     // DuckDB's builtin jaro_winkler_similarity IS the reference for
     // the native expression — same blocked pairs, same micro-unit
     // rollup; any drift in the string metric breaks the hash
+    // same neighborhood pairs, same milli-unit weights and 2000
+    // threshold, same one final division
+    "qFB_fs_linkage" ->
+      """WITH p AS (
+           SELECT p_partkey AS pk, p_brand AS brand, p_name AS name,
+             p_type AS typ, CAST(p_size AS BIGINT) AS size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             split_part(p_name, ' ', 1) AS tok
+           FROM part),
+         o AS (
+           SELECT brand, typ, size, cents, tok,
+             lag(typ, 1) OVER w AS ptyp1, lag(typ, 2) OVER w AS ptyp2,
+             lag(size, 1) OVER w AS psize1, lag(size, 2) OVER w AS psize2,
+             lag(cents, 1) OVER w AS pcents1, lag(cents, 2) OVER w AS pcents2,
+             lag(tok, 1) OVER w AS ptok1, lag(tok, 2) OVER w AS ptok2
+           FROM p WINDOW w AS (PARTITION BY brand ORDER BY name, pk)),
+         pairs AS (
+           SELECT brand, typ, ptyp1 AS ptyp, size, psize1 AS psize,
+             cents, pcents1 AS pcents, tok, ptok1 AS ptok
+           FROM o WHERE ptyp1 IS NOT NULL
+           UNION ALL
+           SELECT brand, typ, ptyp2, size, psize2, cents, pcents2, tok, ptok2
+           FROM o WHERE ptyp2 IS NOT NULL),
+         scored AS (
+           SELECT brand,
+             (CASE WHEN typ = ptyp THEN 1800 ELSE -600 END)
+             + (CASE WHEN abs(size - psize) <= 2 THEN 900 ELSE -700 END)
+             + (CASE WHEN abs(cents - pcents) <= 100 THEN 1500 ELSE -200 END)
+             + (CASE WHEN tok = ptok THEN 1200 ELSE -400 END) AS score
+           FROM pairs)
+         SELECT brand, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN score >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(max(score) AS BIGINT) AS max_score,
+           CAST(sum(CASE WHEN score >= 2000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS match_rate
+         FROM scored GROUP BY brand""",
+
     "qE0_jw_fuzzy_block" ->
       """WITH p AS (
            SELECT p_partkey AS pk, p_brand AS brand, p_name AS name FROM part),

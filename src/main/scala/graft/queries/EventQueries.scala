@@ -381,6 +381,36 @@ object EventQueries {
             .as("burst_rate"))
     }),
 
+    // Top session path trigrams — the clickstream-mining staple: the
+    // most frequent 3-step event sequences, where steps more than 30
+    // minutes apart break the path (inline sessionization via lead
+    // gaps, no separate session table). Shape: ONE per-user window
+    // (same single user_id shuffle as qF7) emits each trigram where
+    // it starts, then a map-side-combinable count over a vocabulary-
+    // bounded domain (|types|³ ≤ 125 rows); the global top-20 rank
+    // orders that collapsed frame, never the data. Counts are exact;
+    // ties break lexicographically so the cut is total-ordered.
+    "qFC_path_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val tri = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .withColumn("us2", lead("us", 1).over(w))
+        .withColumn("us3", lead("us", 2).over(w))
+        .filter(col("t3").isNotNull
+          && col("us2") - col("us") <= 1800000000L
+          && col("us3") - col("us2") <= 1800000000L)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+      val wr = Window.orderBy(col("n").desc,
+        col("t1").asc, col("t2").asc, col("t3").asc)
+      tri.withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 20)
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -703,6 +733,31 @@ object EventQueries {
            CAST(sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS burst_rate
          FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+
+    // same (ts, event_id) ordering and 30 min gap cut, same
+    // lexicographic tie-break on the top-20 rank
+    "qFC_path_trigrams" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         l AS (
+           SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3,
+             us, lead(us, 1) OVER w AS us2, lead(us, 2) OVER w AS us3
+           FROM e WINDOW w AS (PARTITION BY user_id
+                               ORDER BY us ASC, event_id ASC)),
+         tri AS (
+           SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+           FROM l
+           WHERE t3 IS NOT NULL
+             AND us2 - us <= 1800000000 AND us3 - us2 <= 1800000000
+           GROUP BY t1, t2, t3),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS BIGINT) AS rnk
+           FROM tri)
+         SELECT t1, t2, t3, n, rnk FROM r WHERE rnk <= 20""",
 
     // window-idiom mirror of the min_by/max_by picks ((ts, event_id)
     // total order); same floor fixed-point volume

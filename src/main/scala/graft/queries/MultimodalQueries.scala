@@ -18,6 +18,30 @@ import graft.multimodal.Multimodal
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Magic-byte format sniffing — the FIRST pass any multimodal
+    // ingest runs over an opaque binary column: read the leading
+    // bytes, classify the container, route downstream decode. Runs
+    // against the REAL encoded netpbm payloads and reads the actual
+    // bytes (substring of binary → ASCII magic), never metadata.
+    // Narrow map + vocabulary-bounded agg (≤3 format rows); the
+    // oracle re-derives each payload's format AND exact byte length
+    // analytically from the encoder contract — so the sniffer, the
+    // encoder, and the header arithmetic must all agree to hash.
+    "qFF_format_sniff" -> ((s, dir) => {
+      Multimodal.withNetpbmColumn(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          substring(col("media"), 1, 2).cast("string").as("magic"),
+          length(col("media")).cast("long").as("n_bytes"))
+        .withColumn("format",
+          when(col("magic") === "P6", "ppm")
+            .when(col("magic") === "P5", "pgm").otherwise("unknown"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum("n_bytes").as("total_bytes"),
+          min("n_bytes").as("min_bytes"),
+          max("n_bytes").as("max_bytes"))
+    }),
+
     // Frame sampling: every 5th frame of each decoded media payload
     // (the video→frames fan-out shape: a narrow generate, one row per
     // sampled frame, bounded per input row).
@@ -145,6 +169,29 @@ object MultimodalQueries {
          GROUP BY doc_id)"""
 
   def oracles: Map[String, String] = Map(
+    // the encoder contract mirrored analytically: header is
+    // "P6\n# graft synthetic raster\n<w> <h>\n255\n" = 34 + digits
+    // of w and h; raster is w·h·channels bytes
+    "qFF_format_sniff" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN strlen(text) % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+             strlen(text) % 16 + 1 AS width,
+             strlen(text) % 12 + 1 AS height,
+             CASE WHEN strlen(text) % 2 = 0 THEN 3 ELSE 1 END AS channels
+           FROM documents),
+         b AS (
+           SELECT format,
+             CAST(34 + strlen(CAST(width AS VARCHAR))
+               + strlen(CAST(height AS VARCHAR))
+               + width * height * channels AS BIGINT) AS n_bytes
+           FROM m)
+         SELECT format, CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+         FROM b GROUP BY format""",
+
     "q62_media_resize" ->
       s"""WITH $netpbmMetaSql,
          s AS (

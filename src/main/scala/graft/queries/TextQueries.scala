@@ -45,6 +45,33 @@ object TextQueries {
     "bigdata" -> Seq("spark", "stream", "batch"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Type-token corpus-health audit (Heaps-law snapshot): per
+    // source, total token mass, vocabulary size, hapax legomena, and
+    // the type-token / hapax ratios — the lexical-diversity gates
+    // that catch template-generated or looped corpora before
+    // training. Shape: tokens explode into a (source, term) count —
+    // map-side combinable, vocabulary-bounded — then ONE rollup per
+    // source; the doc counts join is an agg-to-agg broadcast. All
+    // counts exact BIGINTs; the two ratios are final divisions.
+    "qFD_type_token" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val stats = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("distinct_terms"),
+          sum("cnt").as("total_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      stats.join(nd, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("distinct_terms"), col("hapax"),
+          (col("distinct_terms").cast("double")
+            / col("total_tokens").cast("double")).as("ttr"),
+          (col("hapax").cast("double")
+            / col("distinct_terms").cast("double")).as("hapax_rate"))
+    }),
+
     // Within-document repetition gates (the Gopher/MassiveText
     // quality rules): per doc, the fraction of bigram positions taken
     // by the single most frequent bigram, and the fraction of 5-gram
@@ -667,6 +694,28 @@ object TextQueries {
          FROM m)"""
 
   def oracles: Map[String, String] = Map(
+    // same space-split tokens, same two-level count rollup, same
+    // final divisions
+    "qFD_type_token" ->
+      """WITH t AS (
+           SELECT source, u.term AS term
+           FROM documents, unnest(string_split(text, ' ')) AS u(term)),
+         c AS (
+           SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM t GROUP BY source, term),
+         st AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS distinct_terms,
+             CAST(sum(cnt) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+           FROM c GROUP BY source),
+         nd AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+         SELECT source, n_docs, total_tokens, distinct_terms, hapax,
+           CAST(distinct_terms AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS ttr,
+           CAST(hapax AS DOUBLE) / CAST(distinct_terms AS DOUBLE) AS hapax_rate
+         FROM st JOIN nd USING (source)""",
+
     // same space-split tokens; n-gram lists via the inclusive-slice
     // comprehension (shinglesSql's shape at n=2 and n=5); identical
     // integer gates and one-division fractions

@@ -55,6 +55,131 @@ object TrainingQueries {
             / (col("n") * col("total_chars")).cast("double")).as("gini"))
     }),
 
+    // GBDT histogram split-finding — the inner loop of every
+    // distributed tree learner (XGBoost/LightGBM hist mode): bin each
+    // feature, accumulate per-bin label sums, scan the tiny histogram
+    // for the variance-reduction-optimal split. Scale shape: rows
+    // expand ×|features| via ONE narrow explode, then a map-side-
+    // combinable groupBy collapses to ≤61 (feature, bin) rows — the
+    // cumulative scans and argmax run on that collapsed frame, never
+    // on data. Exactness: bins and label cents are integers, so every
+    // histogram cell is an associative BIGINT sum; the gain
+    // Σ_L²/n_L + Σ_R²/n_R − Σ²/n is a PINNED IEEE sequence on those
+    // exact integers, identical on any engine or partitioning.
+    "qF9_gbdt_hist" -> ((s, dir) => {
+      val binned = table(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_discount") * 100).cast("long").as("disc"))
+        .select(explode(array(
+          struct(lit("quantity").as("feature"), col("qty").as("bin"),
+            col("cents")),
+          struct(lit("discount").as("feature"), col("disc").as("bin"),
+            col("cents")))).as("x"))
+        .select(col("x.feature").as("feature"), col("x.bin").as("bin"),
+          col("x.cents").as("cents"))
+        .groupBy("feature", "bin")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      val wc = Window.partitionBy("feature").orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("feature")
+      val gains = binned
+        .withColumn("n_l", sum("n").over(wc))
+        .withColumn("s_l", sum("s").over(wc))
+        .withColumn("n_t", sum("n").over(wt))
+        .withColumn("s_t", sum("s").over(wt))
+        .withColumn("n_r", col("n_t") - col("n_l"))
+        .withColumn("s_r", col("s_t") - col("s_l"))
+        .filter(col("n_r") > 0)
+        .withColumn("gain", expr(
+          """CAST(s_l AS DOUBLE) * s_l / n_l
+             + CAST(s_r AS DOUBLE) * s_r / n_r
+             - CAST(s_t AS DOUBLE) * s_t / n_t"""))
+      val wr = Window.partitionBy("feature")
+        .orderBy(col("gain").desc, col("bin").asc)
+      gains.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("feature"), col("bin").as("split_bin"),
+          col("n_l"), col("n_r"), col("s_l"), col("s_r"), col("gain"))
+    }),
+
+    // Poisson bootstrap — THE way confidence intervals ship at data
+    // scale (each replicate weights every row by an independent
+    // Poisson(1) draw; no resampling pass over the corpus, no
+    // per-replicate shuffle). 32 replicates ride one narrow ×32
+    // explode into one map-side-combinable agg. Determinism: the
+    // draw inverts the Poisson(1) CDF (literal thresholds, truncated
+    // at 6 — P(>6) ≈ 6e-4 documented) on an md5-derived uniform
+    // keyed (doc_id, replicate) — bit-identical on both engines, so
+    // replicate sums are exact BIGINTs and the mean is one final
+    // division.
+    "qFA_poisson_bootstrap" -> ((s, dir) => {
+      val two53 = 9007199254740992L
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+        0.9994058151824183)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .withColumn("r", col("r").cast("long"))
+        .withColumn("u", (Dedup.md5Long(
+            concat(col("doc_id").cast("string"), lit("|"),
+              col("r").cast("string")))
+            % two53).cast("double") / lit(two53.toDouble))
+        .withColumn("w",
+          when(col("u") < cdf(0), 0L).when(col("u") < cdf(1), 1L)
+            .when(col("u") < cdf(2), 2L).when(col("u") < cdf(3), 3L)
+            .when(col("u") < cdf(4), 4L).when(col("u") < cdf(5), 5L)
+            .otherwise(6L))
+        .groupBy("r")
+        .agg(sum("w").as("n_sampled"),
+          sum(when(col("w") > 0, 1L).otherwise(0L)).as("docs_hit"),
+          sum(col("w") * col("n_chars")).as("mass"))
+        .select(col("r"), col("n_sampled"), col("docs_hit"), col("mass"),
+          (col("mass").cast("double") / col("n_sampled").cast("double"))
+            .as("mean_chars"))
+    }),
+
+    // Pearson correlation matrix over the numeric lineitem features —
+    // the EDA / feature-selection primitive. Same shape as qF0's
+    // Gram matrix: each row expands to its 10 upper-triangle pairs
+    // via one narrow nested transform (never a self-join), then ONE
+    // map-side-combinable groupBy carries ≤10 rows per task to the
+    // exchange. Exactness: all four features are integer-exact
+    // (quantity, floor dollars, discount/tax hundredths), so the five
+    // moment sums are associative BIGINTs (Σx² ≤ 1.1e10·rows — safe
+    // under 2⁶³ past 10⁸ rows); corr is a pinned IEEE sequence on
+    // those integers.
+    "qFE_corr_matrix" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .select(expr(
+          """array(CAST(l_quantity AS BIGINT),
+                   CAST(floor(l_extendedprice) AS BIGINT),
+                   CAST(round(l_discount * 100) AS BIGINT),
+                   CAST(round(l_tax * 100) AS BIGINT))""").as("v"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 3), i ->
+               transform(sequence(i, 3), j ->
+                 named_struct('i', i, 'j', j, 'x', v[i], 'y', v[j]))))"""))
+          .as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("x").as("s_x"), sum("y").as("s_y"),
+          sum(col("x") * col("y")).as("s_xy"),
+          sum(col("x") * col("x")).as("s_xx"),
+          sum(col("y") * col("y")).as("s_yy"))
+        .withColumn("corr", expr(
+          """(CAST(n AS DOUBLE) * s_xy - CAST(s_x AS DOUBLE) * s_y)
+             / (sqrt(CAST(n AS DOUBLE) * s_xx - CAST(s_x AS DOUBLE) * s_x)
+                * sqrt(CAST(n AS DOUBLE) * s_yy - CAST(s_y AS DOUBLE) * s_y))"""))
+        .withColumn("names", array(lit("quantity"), lit("price_usd"),
+          lit("discount_c"), lit("tax_c")))
+        .select(element_at(col("names"), col("i") + 1).as("f1"),
+          element_at(col("names"), col("j") + 1).as("f2"),
+          col("n"), col("s_x"), col("s_y"), col("s_xy"),
+          col("s_xx"), col("s_yy"), col("corr"))
+    }),
+
     // k-anonymity / l-diversity audit — the privacy gate a training-
     // data release runs before shipping: for each re-identification
     // threshold k, how many rows sit in a quasi-identifier class
@@ -691,6 +816,107 @@ object TrainingQueries {
            CAST(2 * rank_mass - (n + 1) * total_chars AS DOUBLE)
              / CAST(n * total_chars AS DOUBLE) AS gini
          FROM a""",
+
+    // same bins and cents, same cumulative/total window sums (cast
+    // out of HUGEINT before arithmetic), same pinned gain sequence
+    // and (gain DESC, bin ASC) argmax
+    "qF9_gbdt_hist" ->
+      """WITH li AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc
+           FROM lineitem),
+         b AS (
+           SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+           FROM (
+             SELECT 'quantity' AS feature, qty AS bin, cents FROM li
+             UNION ALL
+             SELECT 'discount', disc, cents FROM li)
+           GROUP BY feature, bin),
+         c AS (
+           SELECT feature, bin,
+             CAST(sum(n) OVER wc AS BIGINT) AS n_l,
+             CAST(sum(s) OVER wc AS BIGINT) AS s_l,
+             CAST(sum(n) OVER wt AS BIGINT) AS n_t,
+             CAST(sum(s) OVER wt AS BIGINT) AS s_t
+           FROM b
+           WINDOW wc AS (PARTITION BY feature ORDER BY bin ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wt AS (PARTITION BY feature)),
+         d AS (
+           SELECT feature, bin, n_l, s_l, n_t, s_t,
+             n_t - n_l AS n_r, s_t - s_l AS s_r
+           FROM c WHERE n_t - n_l > 0),
+         g AS (
+           SELECT feature, bin, n_l, n_r, s_l, s_r,
+             CAST(s_l AS DOUBLE) * s_l / n_l
+               + CAST(s_r AS DOUBLE) * s_r / n_r
+               - CAST(s_t AS DOUBLE) * s_t / n_t AS gain
+           FROM d),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY feature
+                       ORDER BY gain DESC, bin ASC) AS rn
+           FROM g)
+         SELECT feature, bin AS split_bin, n_l, n_r, s_l, s_r, gain
+         FROM r WHERE rn = 1""",
+
+    // same md5-derived uniform keyed (doc_id, replicate), same
+    // literal CDF thresholds, same one final division
+    "qFA_poisson_bootstrap" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars, CAST(g.r AS BIGINT) AS r,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                    || CAST(g.r AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 9007199254740992) / 9007199254740992.0 AS u
+           FROM documents, generate_series(0, 31) g(r)),
+         w AS (
+           SELECT r, n_chars,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS w
+           FROM d)
+         SELECT r, CAST(sum(w) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+           CAST(sum(w * n_chars) AS BIGINT) AS mass,
+           CAST(sum(w * n_chars) AS DOUBLE)
+             / CAST(sum(w) AS DOUBLE) AS mean_chars
+         FROM w GROUP BY r""",
+
+    // same integer features, same upper-triangle pair expansion,
+    // same moment sums and pinned corr sequence
+    "qFE_corr_matrix" ->
+      """WITH q AS (
+           SELECT [CAST(l_quantity AS BIGINT),
+                   CAST(floor(l_extendedprice) AS BIGINT),
+                   CAST(round(l_discount * 100) AS BIGINT),
+                   CAST(round(l_tax * 100) AS BIGINT)] AS v
+           FROM lineitem),
+         p AS (
+           SELECT CAST(g1.i AS INTEGER) AS i, CAST(g2.j AS INTEGER) AS j,
+             v[CAST(g1.i AS INTEGER) + 1] AS x,
+             v[CAST(g2.j AS INTEGER) + 1] AS y
+           FROM q, generate_series(0, 3) g1(i), generate_series(0, 3) g2(j)
+           WHERE g2.j >= g1.i),
+         a AS (
+           SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+             CAST(sum(x * y) AS BIGINT) AS s_xy,
+             CAST(sum(x * x) AS BIGINT) AS s_xx,
+             CAST(sum(y * y) AS BIGINT) AS s_yy
+           FROM p GROUP BY i, j),
+         nm AS (SELECT ['quantity', 'price_usd', 'discount_c', 'tax_c'] AS names)
+         SELECT names[i + 1] AS f1, names[j + 1] AS f2,
+           n, s_x, s_y, s_xy, s_xx, s_yy,
+           (CAST(n AS DOUBLE) * s_xy - CAST(s_x AS DOUBLE) * s_y)
+             / (sqrt(CAST(n AS DOUBLE) * s_xx - CAST(s_x AS DOUBLE) * s_x)
+                * sqrt(CAST(n AS DOUBLE) * s_yy - CAST(s_y AS DOUBLE) * s_y))
+             AS corr
+         FROM a, nm""",
 
     // same class table (floored $1000 buckets), same literal
     // thresholds, same one final division
