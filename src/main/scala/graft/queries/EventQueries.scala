@@ -411,6 +411,100 @@ object EventQueries {
         .filter(col("rnk") <= 20)
     }),
 
+    // Linear multi-touch attribution — each purchase distributes
+    // 1000 milli-credits equally across its qualifying clicks (same
+    // user, within the preceding 30 min), remainder to the most
+    // recent touch so every purchase's credit sums to EXACTLY 1000 —
+    // integer-conserving by construction, so the rollup hash-checks
+    // and a finance recon of total credit is exact. Shape: the
+    // purchase⋈click self-join is an equi-join on user_id (both
+    // sides shuffle once on the key the log is bucketed by); pair
+    // count is bounded by per-user activity within the 30-min
+    // window, not corpus size. Credits then collapse by click hour.
+    "q101_attribution" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("us").as("c_us"))
+      val wp = Window.partitionBy("p_id")
+      val wr = Window.partitionBy("p_id")
+        .orderBy(col("c_us").desc, col("c_id").asc)
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_us") < col("p_us")
+          && col("p_us") - col("c_us") <= 1800000000L)
+        .withColumn("n_touch", count(lit(1)).over(wp))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("credit", expr(
+          "1000 div n_touch + CASE WHEN rn = 1 THEN 1000 % n_touch ELSE 0 END"))
+        .withColumn("click_hour", expr("(c_us div 3600000000) % 24"))
+        .groupBy("click_hour")
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          sum("credit").as("milli_credits"))
+    }),
+
+    // Activity streaks (gaps-and-islands) — per-user runs of
+    // consecutive active days, the retention/engagement primitive.
+    // The island key day − row_number is constant exactly within a
+    // consecutive run, turning streak detection into a groupBy — no
+    // self-join, no iteration. Shape: distinct (user, day) first
+    // (map-side combinable, collapses event volume to ≤ users×days),
+    // ONE per-user window on that collapsed frame, two tiny aggs.
+    // All outputs exact integers.
+    "q102_activity_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("d").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct()
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("isl", col("d") - col("rn"))
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"))
+    }),
+
+    // Mix-shift (Oaxaca–Blinder) decomposition — the "why did the
+    // average move" answer every metrics review needs: split the
+    // time range at its midpoint and decompose each event type's
+    // contribution to the average-value change into a MIX effect
+    // (volume share moved) and a RATE effect (within-type value
+    // moved). Exactness: per-type cents/counts are associative
+    // BIGINTs; the period totals ride in as a broadcast 1-row
+    // aggregate; the two effects are pinned IEEE sequences on exact
+    // integers. Types must appear in both halves (enforced by
+    // filter — a one-sided type has no rate to decompose).
+    "q103_mix_shift" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("c"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = e.crossJoin(broadcast(mid))
+        .withColumn("p2", col("us") >= col("mid"))
+        .groupBy("event_type")
+        .agg(sum(when(!col("p2"), 1L).otherwise(0L)).as("n_1"),
+          sum(when(col("p2"), 1L).otherwise(0L)).as("n_2"),
+          sum(when(!col("p2"), col("c")).otherwise(0L)).as("s_1"),
+          sum(when(col("p2"), col("c")).otherwise(0L)).as("s_2"))
+        .filter(col("n_1") > 0 && col("n_2") > 0)
+      val tot = per.agg(sum("n_1").as("t_1"), sum("n_2").as("t_2"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("mix_effect", expr(
+          """(CAST(n_2 AS DOUBLE) / t_2 - CAST(n_1 AS DOUBLE) / t_1)
+             * (CAST(s_1 AS DOUBLE) / n_1)"""))
+        .withColumn("rate_effect", expr(
+          """(CAST(n_2 AS DOUBLE) / t_2)
+             * (CAST(s_2 AS DOUBLE) / n_2 - CAST(s_1 AS DOUBLE) / n_1)"""))
+        .select(col("event_type"), col("n_1"), col("n_2"), col("s_1"),
+          col("s_2"), col("mix_effect"), col("rate_effect"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -733,6 +827,82 @@ object EventQueries {
            CAST(sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS burst_rate
          FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+
+    // same 30-min window, same equal-split with remainder-to-most-
+    // recent (integer-conserving), same UTC hour bucket
+    "q101_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         p AS (SELECT user_id, event_id AS p_id, us AS p_us
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS c_id, us AS c_us
+               FROM e WHERE event_type = 'click'),
+         cand AS (
+           SELECT p.p_id, c.c_id, c.c_us
+           FROM p JOIN c ON c.user_id = p.user_id
+           WHERE c.c_us < p.p_us AND p.p_us - c.c_us <= 1800000000),
+         credited AS (
+           SELECT p_id, c_us,
+             CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touch,
+             row_number() OVER (PARTITION BY p_id
+               ORDER BY c_us DESC, c_id ASC) AS rn
+           FROM cand),
+         k AS (
+           SELECT (c_us // 3600000000) % 24 AS click_hour, p_id,
+             1000 // n_touch
+               + CASE WHEN rn = 1 THEN 1000 % n_touch ELSE 0 END AS credit
+           FROM credited)
+         SELECT click_hour, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           CAST(sum(credit) AS BIGINT) AS milli_credits
+         FROM k GROUP BY click_hour""",
+
+    // same day floor-div, same island key day − row_number
+    "q102_activity_streaks" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+           FROM events),
+         i AS (
+           SELECT user_id,
+             d - CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY d ASC) AS BIGINT) AS isl
+           FROM d),
+         runs AS (
+           SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+           FROM i GROUP BY user_id, isl)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak
+         FROM runs GROUP BY user_id""",
+
+    // same integer midpoint split, same exact per-type sums, same
+    // pinned mix/rate sequences
+    "q103_mix_shift" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         per AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+             CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+             CAST(sum(CASE WHEN us < mid THEN c ELSE 0 END) AS BIGINT) AS s_1,
+             CAST(sum(CASE WHEN us >= mid THEN c ELSE 0 END) AS BIGINT) AS s_2
+           FROM e, m GROUP BY event_type
+           HAVING n_1 > 0 AND n_2 > 0),
+         t AS (
+           SELECT CAST(sum(n_1) AS BIGINT) AS t_1,
+             CAST(sum(n_2) AS BIGINT) AS t_2
+           FROM per)
+         SELECT event_type, n_1, n_2, s_1, s_2,
+           (CAST(n_2 AS DOUBLE) / t_2 - CAST(n_1 AS DOUBLE) / t_1)
+             * (CAST(s_1 AS DOUBLE) / n_1) AS mix_effect,
+           (CAST(n_2 AS DOUBLE) / t_2)
+             * (CAST(s_2 AS DOUBLE) / n_2 - CAST(s_1 AS DOUBLE) / n_1)
+             AS rate_effect
+         FROM per, t""",
 
     // same (ts, event_id) ordering and 30 min gap cut, same
     // lexicographic tie-break on the top-20 rank

@@ -27,6 +27,34 @@ object Relational2 {
     // (5 order priorities); an unbounded listagg at 100 TB is an
     // anti-pattern regardless of ordering — the row would grow with
     // the corpus.
+    // Exact weighted median (by revenue mass) per return flag — the
+    // robust-center statistic percentile sketches approximate; here
+    // the value domain is small (50 distinct quantities) so the
+    // EXACT form ships at any scale: ONE map-side-combinable
+    // groupBy(flag, qty) collapses the corpus to ≤50 rows per flag,
+    // and the cumulative-mass selection (first qty whose doubled
+    // running weight reaches the total — an integer comparison, no
+    // float midpoint) runs on that collapsed frame. This is the
+    // grouped-median discipline at 100 TB: aggregate first, window
+    // never touches raw rows.
+    "q100_weighted_median" -> ((s, dir) => {
+      val byQty = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("flag", "qty").agg(sum("cents").as("w"))
+      val wc = Window.partitionBy("flag").orderBy(col("qty").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("flag")
+      byQty.withColumn("cum", sum("w").over(wc))
+        .withColumn("tot", sum("w").over(wt))
+        .filter(lit(2L) * col("cum") >= col("tot"))
+        .groupBy("flag")
+        .agg(min("qty").as("median_qty"),
+          min_by(col("cum"), col("qty")).as("cum_at_median"),
+          max("tot").as("total_w"))
+    }),
+
     // Referential-integrity audit over every FK edge of the schema —
     // the constraint-validation pass a warehouse runs after each
     // load (parquet lakes enforce nothing; orphan detection IS the
@@ -1006,6 +1034,27 @@ object Relational2 {
   )
 
   def oracles: Map[String, String] = Map(
+    // same collapsed (flag, qty) mass table; window sums leave
+    // HUGEINT before the doubled-cum comparison
+    "q100_weighted_median" ->
+      """WITH m AS (
+           SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT flag, qty,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY qty ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+           FROM m),
+         f AS (SELECT * FROM c WHERE 2 * cum >= tot),
+         r AS (
+           SELECT flag, qty, cum, tot,
+             row_number() OVER (PARTITION BY flag ORDER BY qty ASC) AS rn
+           FROM f)
+         SELECT flag, qty AS median_qty, cum AS cum_at_median, tot AS total_w
+         FROM r WHERE rn = 1""",
+
     // same seven edges, NOT EXISTS mirrors the left anti
     "qF8_ri_audit" ->
       """SELECT 'lineitem->orders' AS edge,

@@ -45,6 +45,36 @@ object TextQueries {
     "bigdata" -> Seq("spark", "stream", "batch"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skipgram co-occurrence counts (the word2vec/GloVe input): for
+    // every token, its forward contexts at distance 1 and 2, counted
+    // per (center, context, dist) and cut to a global top-30. Shape:
+    // positions come from ONE posexplode; contexts from two leads
+    // over the per-doc window (one doc_id shuffle — never a
+    // positions self-join); counts are map-side combinable over the
+    // vocabulary-bounded domain, so the final rank orders ≤|V|²·2
+    // collapsed rows, not data. Counts exact; ties break
+    // lexicographically so the cut is total-ordered.
+    "q105_skipgram_cooc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .withColumn("c1", lead("term", 1).over(w))
+        .withColumn("c2", lead("term", 2).over(w))
+      val pairs = toks.filter(col("c1").isNotNull)
+        .select(col("term").as("center"), col("c1").as("context"),
+          lit(1).as("dist"))
+        .unionAll(toks.filter(col("c2").isNotNull)
+          .select(col("term"), col("c2"), lit(2)))
+      val counts = pairs.groupBy("center", "context", "dist")
+        .agg(count(lit(1)).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("center").asc,
+        col("context").asc, col("dist").asc)
+      counts.withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 30)
+    }),
+
     // Type-token corpus-health audit (Heaps-law snapshot): per
     // source, total token mass, vocabulary size, hapax legomena, and
     // the type-token / hapax ratios — the lexical-diversity gates
@@ -694,6 +724,34 @@ object TextQueries {
          FROM m)"""
 
   def oracles: Map[String, String] = Map(
+    // same forward contexts via list indexing (postings idiom: the
+    // constant series bound fails loudly on overflow), same
+    // lexicographic top-30 cut
+    "q105_skipgram_cooc" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p AS (
+           SELECT CASE WHEN len(w) > 4096
+                       THEN error('token list exceeds skipgram bound 4096')
+                       ELSE w[g.i] END AS center,
+             w[g.i + 1] AS c1, w[g.i + 2] AS c2,
+             g.i AS i, len(w) AS lw
+           FROM t, generate_series(1, 4096) g(i)
+           WHERE g.i <= len(w)),
+         pairs AS (
+           SELECT center, c1 AS context, 1 AS dist FROM p WHERE i + 1 <= lw
+           UNION ALL
+           SELECT center, c2, 2 FROM p WHERE i + 2 <= lw),
+         c AS (
+           SELECT center, context, CAST(dist AS INTEGER) AS dist,
+             CAST(count(*) AS BIGINT) AS n
+           FROM pairs GROUP BY center, context, dist),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY n DESC, center ASC, context ASC, dist ASC) AS BIGINT) AS rnk
+           FROM c)
+         SELECT center, context, dist, n, rnk FROM r WHERE rnk <= 30""",
+
     // same space-split tokens, same two-level count rollup, same
     // final divisions
     "qFD_type_token" ->

@@ -55,6 +55,55 @@ object TrainingQueries {
             / (col("n") * col("total_chars")).cast("double")).as("gini"))
     }),
 
+    // Centroid silhouette score per label — the clustering-quality /
+    // label-coherence eval an embedding pipeline runs after
+    // assignment: a = distance to own centroid, b = nearest other
+    // centroid, s = (b−a)/max(a,b). Never materializes centroids as
+    // floats: with 1/65536 fixed-point components (qF0's
+    // discipline), ‖x−S/n‖² expands to qq − 2·x·S/n + ‖S‖²/n² where
+    // qq, x·S, ‖S‖² are EXACT BIGINTs (x·S ≤ 16·2³²·n; ‖S‖²
+    // bounded for clusters to ~10⁶ members, past that ship it
+    // double) — the distance is then a pinned IEEE sequence, so the
+    // per-label rollup hash-checks. Shape: point⋈centroid is a
+    // dim-key join fanning ×k (k=10 labels), all aggs map-side
+    // combinable; nothing quadratic in corpus size, and the means
+    // come from exact micro-unit sums, not order-dependent float
+    // addition.
+    "q104_silhouette" -> ((s, dir) => {
+      val long = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(
+            "transform(slice(embedding, 1, 16), x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))"))
+            .as(Seq("d", "q")))
+      val cent = long.groupBy(col("label").as("clabel"), col("d"))
+        .agg(sum("q").as("sd"), count(lit(1)).as("nc"))
+      val qq = long.groupBy("vec_id")
+        .agg(sum(col("q") * col("q")).as("qq"))
+      val ss = cent.groupBy("clabel")
+        .agg(sum(col("sd") * col("sd")).as("ss"), max("nc").as("nc"))
+      val d2 = long.join(cent, Seq("d"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("q") * col("sd")).as("xs"))
+        .join(broadcast(ss), Seq("clabel"))
+        .join(qq, Seq("vec_id"))
+        .withColumn("d2", greatest(expr(
+          """CAST(qq AS DOUBLE) - 2.0 * CAST(xs AS DOUBLE) / nc
+             + CAST(ss AS DOUBLE) / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE))"""),
+          lit(0.0)))
+      d2.groupBy("vec_id", "label")
+        .agg(max(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+          min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+        .withColumn("sil", expr(
+          "(sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("sil") * 1e6).cast("long")).as("sil_micro"),
+          sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_neg"))
+        .select(col("label"), col("n"), col("sil_micro"), col("n_neg"),
+          (col("sil_micro").cast("double") / (col("n").cast("double") * 1e6))
+            .as("mean_sil"))
+    }),
+
     // GBDT histogram split-finding — the inner loop of every
     // distributed tree learner (XGBoost/LightGBM hist mode): bin each
     // feature, accumulate per-bin label sums, scan the tiny histogram
@@ -816,6 +865,55 @@ object TrainingQueries {
            CAST(2 * rank_mass - (n + 1) * total_chars AS DOUBLE)
              / CAST(n * total_chars AS DOUBLE) AS gini
          FROM a""",
+
+    // same fixed-point long form, same exact moment integers, same
+    // pinned distance/silhouette sequences
+    "q104_silhouette" ->
+      """WITH pts AS (
+           SELECT vec_id, label,
+             [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)
+              for x in embedding[1:16]] AS v
+           FROM embeddings),
+         long AS (
+           SELECT vec_id, label, CAST(g.d AS INTEGER) AS d,
+             v[CAST(g.d AS INTEGER) + 1] AS q
+           FROM pts, generate_series(0, 15) g(d)),
+         cent AS (
+           SELECT label AS clabel, d, CAST(sum(q) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS nc
+           FROM long GROUP BY label, d),
+         qq AS (
+           SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+           FROM long GROUP BY vec_id),
+         ss AS (
+           SELECT clabel, CAST(sum(sd * sd) AS BIGINT) AS ss,
+             CAST(max(nc) AS BIGINT) AS nc
+           FROM cent GROUP BY clabel),
+         xs AS (
+           SELECT l.vec_id, l.label, c.clabel, CAST(sum(l.q * c.sd) AS BIGINT) AS xs
+           FROM long l JOIN cent c USING (d)
+           GROUP BY l.vec_id, l.label, c.clabel),
+         dist AS (
+           SELECT x.vec_id, x.label, x.clabel,
+             greatest(CAST(q.qq AS DOUBLE) - 2.0 * CAST(x.xs AS DOUBLE) / s.nc
+               + CAST(s.ss AS DOUBLE) / (CAST(s.nc AS DOUBLE) * CAST(s.nc AS DOUBLE)),
+               0.0) AS d2
+           FROM xs x JOIN ss s USING (clabel) JOIN qq q USING (vec_id)),
+         ab AS (
+           SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN d2 END) AS a2,
+             min(CASE WHEN clabel <> label THEN d2 END) AS b2
+           FROM dist GROUP BY vec_id, label),
+         sil AS (
+           SELECT label,
+             (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) AS sil
+           FROM ab)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(sil * 1e6) AS BIGINT)) AS BIGINT) AS sil_micro,
+           CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(CAST(floor(sil * 1e6) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e6) AS mean_sil
+         FROM sil GROUP BY label""",
 
     // same bins and cents, same cumulative/total window sums (cast
     // out of HUGEINT before arithmetic), same pinned gain sequence
