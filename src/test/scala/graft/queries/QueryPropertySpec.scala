@@ -213,4 +213,118 @@ class QueryPropertySpec extends SparkSpec {
         "bigram/5-gram position counts inconsistent for the same token stream")
     }
   }
+
+  test("qF5: suppression is monotone in k and rates are proper fractions") {
+    val rows = SparkEntry.queries("qF5_k_anonymity")(spark, dir)
+      .orderBy("k").collect()
+    assert(rows.length === 4)
+    val risk = rows.map(_.getAs[Long]("rows_at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a <= b },
+      "rows at risk shrank as k grew")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("suppression_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("classes_at_risk") <= r.getAs[Long]("n_classes"))
+    }
+  }
+
+  test("qF8: TPC-H referential integrity holds (zero orphans, 7 edges)") {
+    val rows = SparkEntry.queries("qF8_ri_audit")(spark, dir).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("orphans") === 0L,
+        s"edge ${r.getAs[String]("edge")} reported orphans on clean data")
+      assert(r.getAs[Long]("child_rows") > 0L)
+    }
+  }
+
+  test("qF9: best-split gain is a nonnegative variance reduction") {
+    val rows = SparkEntry.queries("qF9_gbdt_hist")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      // SL²/nL + SR²/nR ≥ S²/n (Cauchy–Schwarz): any split's gain
+      // is nonnegative, so the argmax must be too
+      assert(r.getAs[Double]("gain") >= 0.0)
+      assert(r.getAs[Long]("n_l") > 0 && r.getAs[Long]("n_r") > 0)
+    }
+  }
+
+  test("q100: weighted median is the first qty whose doubled mass covers the total") {
+    val rows = SparkEntry.queries("q100_weighted_median")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cum = r.getAs[Long]("cum_at_median")
+      val tot = r.getAs[Long]("total_w")
+      assert(2 * cum >= tot, "selected qty does not cover half the mass")
+      assert(cum <= tot)
+    }
+  }
+
+  test("q101: attribution conserves exactly 1000 milli-credits per touched purchase") {
+    val total = SparkEntry.queries("q101_attribution")(spark, dir)
+      .agg(sum("milli_credits")).collect()(0).getLong(0)
+    // independently recount purchases with >=1 qualifying click
+    val e = graft.io.Sources.table(spark, dir, "events")
+      .withColumn("us", expr("unix_micros(ts)"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"))
+    val touched = p.join(c, Seq("user_id"))
+      .filter(col("c_us") < col("p_us")
+        && col("p_us") - col("c_us") <= 1800000000L)
+      .select("p_id").distinct().count()
+    assert(total === 1000L * touched,
+      s"credit mass $total != 1000 x $touched touched purchases")
+  }
+
+  test("q102: streak partition is consistent with distinct active days") {
+    val rows = SparkEntry.queries("q102_activity_streaks")(spark, dir)
+    val sums = rows.agg(sum("n_active_days"), sum("n_streaks")).collect()(0)
+    val distinctDays = graft.io.Sources.table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().count()
+    assert(sums.getLong(0) === distinctDays,
+      "streak lengths do not partition the active-day set")
+    rows.collect().foreach { r =>
+      assert(r.getAs[Long]("max_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+    }
+  }
+
+  test("q103: mix and rate effects sum to the overall mean shift") {
+    val rows = SparkEntry.queries("q103_mix_shift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val t1 = rows.map(_.getAs[Long]("n_1")).sum.toDouble
+    val t2 = rows.map(_.getAs[Long]("n_2")).sum.toDouble
+    val meanShift = rows.map(_.getAs[Long]("s_2")).sum / t2 -
+      rows.map(_.getAs[Long]("s_1")).sum / t1
+    val decomposed = rows.map(r =>
+      r.getAs[Double]("mix_effect") + r.getAs[Double]("rate_effect")).sum
+    assert(math.abs(decomposed - meanShift) < 1e-6,
+      s"decomposition identity broken: $decomposed vs $meanShift")
+  }
+
+  test("q104: silhouette scores stay in [-1, 1]") {
+    val rows = SparkEntry.queries("q104_silhouette")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_sil")
+      assert(m >= -1.0 && m <= 1.0)
+      assert(r.getAs[Long]("n_neg") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("qFB: linkage scores respect the weight bounds") {
+    val rows = SparkEntry.queries("qFB_fs_linkage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      val sum = r.getAs[Long]("sum_score")
+      assert(r.getAs[Long]("max_score") <= 5400L)
+      assert(sum >= -1900L * n && sum <= 5400L * n)
+      assert(r.getAs[Double]("match_rate") >= 0.0
+        && r.getAs[Double]("match_rate") <= 1.0)
+    }
+  }
 }
