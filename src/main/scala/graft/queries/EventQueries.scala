@@ -505,6 +505,63 @@ object EventQueries {
           col("s_2"), col("mix_effect"), col("rate_effect"))
     }),
 
+    // RFM segmentation — the marketing/user-quality tiering staple:
+    // per user, Recency (days since last event, against the corpus
+    // max anchor), Frequency (event count), Monetary (cents sum);
+    // each quartiled by ntile(4) over a TOTAL order (metric,
+    // user_id — ties can't float between tiles), composed into a
+    // 3-digit segment code and rolled up. Shape: the per-user agg
+    // collapses event volume first; the three ntiles sort the USER
+    // dimension, not events (past ~10⁹ users, swap in qE2's
+    // range-partitioned ECDF — same contract). All counts/sums
+    // exact; avg monetary is one final division.
+    "q106_rfm_segmentation" -> ((s, dir) => {
+      val anchor = Window.partitionBy()
+      val users = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(max("d").as("last_d"), count(lit(1)).as("freq"),
+          sum("c").as("monetary"))
+        .withColumn("recency", max("last_d").over(anchor) - col("last_d"))
+      def quart(metric: String) = ntile(4).over(
+        Window.orderBy(col(metric).asc, col("user_id").asc))
+      users
+        .withColumn("r_q", quart("recency"))
+        .withColumn("f_q", quart("freq"))
+        .withColumn("m_q", quart("monetary"))
+        .withColumn("segment",
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"), sum("monetary").as("cents"))
+        .select(col("segment"), col("n_users"), col("cents"),
+          (col("cents").cast("double") / col("n_users").cast("double"))
+            .as("avg_cents"))
+    }),
+
+    // Cohort LTV curves — cumulative revenue by signup cohort and
+    // age, the growth metric every subscription/marketplace pipeline
+    // materializes. Cohort = the user's first active day (exact
+    // integer day index), age = days since. Shape: per-user cohort
+    // via one agg, join back (user-key equi-join), then a (cohort,
+    // age) agg whose cumulative sum runs over the tiny cohort×age
+    // frame. Everything integer — no division at all.
+    "q107_cohort_ltv" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("di"),
+          round(col("value") * 100).cast("long").as("c"))
+      val cohort = e.groupBy("user_id").agg(min("di").as("cohort_d"))
+      val wc = Window.partitionBy("cohort_d").orderBy(col("age").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(cohort, Seq("user_id"))
+        .withColumn("age", col("di") - col("cohort_d"))
+        .groupBy("cohort_d", "age")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum("c").as("cents"))
+        .withColumn("cum_cents", sum("cents").over(wc))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -827,6 +884,51 @@ object EventQueries {
            CAST(sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS burst_rate
          FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+
+    // same total-ordered ntiles (metric, user_id), same segment code
+    "q106_rfm_segmentation" ->
+      """WITH u AS (
+           SELECT user_id,
+             CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT user_id, freq, monetary,
+             CAST(max(last_d) OVER () AS BIGINT) - last_d AS recency
+           FROM u),
+         q AS (
+           SELECT monetary,
+             ntile(4) OVER (ORDER BY recency ASC, user_id ASC) AS r_q,
+             ntile(4) OVER (ORDER BY freq ASC, user_id ASC) AS f_q,
+             ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m_q
+           FROM a)
+         SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary) AS BIGINT) AS cents,
+           CAST(sum(monetary) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+         FROM q GROUP BY 1""",
+
+    // same integer day index, same per-cohort cumulative frame
+    "q107_cohort_ltv" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS di,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         ch AS (
+           SELECT user_id, CAST(min(di) AS BIGINT) AS cohort_d
+           FROM e GROUP BY user_id),
+         a AS (
+           SELECT cohort_d, di - cohort_d AS age,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS cents
+           FROM e JOIN ch ON ch.user_id = e.user_id
+           GROUP BY cohort_d, age)
+         SELECT cohort_d, age, n_users, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_d ORDER BY age ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+         FROM a""",
 
     // same 30-min window, same equal-split with remainder-to-most-
     // recent (integer-conserving), same UTC hour bucket

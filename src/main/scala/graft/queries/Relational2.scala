@@ -27,6 +27,56 @@ object Relational2 {
     // (5 order priorities); an unbounded listagg at 100 TB is an
     // anti-pattern regardless of ordering — the row would grow with
     // the corpus.
+    // Hash-bucket load audit — the layout-planning check run before
+    // committing to a bucketed table spec: distribute rows over 32
+    // md5 buckets of the would-be bucketing key and report each
+    // bucket's load factor (n·32/total; 1.0 = perfectly even). An
+    // uneven load here predicts straggler tasks in every downstream
+    // bucketed join. Shape: narrow hash map → 32-row agg; the totals
+    // ride back as a broadcast 1-row aggregate. Counts exact, load
+    // factors one division each.
+    "q109_bucket_skew" -> ((s, dir) => {
+      val per = table(s, dir, "lineitem")
+        .select((graft.dedup.Dedup.md5Long(
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string"))) % 32).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum("n").as("t"), max("n").as("mx"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          (col("n").cast("double") * 32.0 / col("t").cast("double"))
+            .as("load_factor"),
+          (col("mx").cast("double") * 32.0 / col("t").cast("double"))
+            .as("max_load"))
+    }),
+
+    // Exact grouped percentiles (p25/p50/p75) on a bounded value
+    // domain — q100's cumulative-mass selection generalized to three
+    // thresholds: first qty whose quadrupled running count reaches
+    // p·total, an integer comparison per threshold. The corpus
+    // collapses to ≤50 rows per flag BEFORE any window runs; the
+    // three thresholds explode against that collapsed frame. This is
+    // how exact quantiles ship at 100 TB when the domain is bounded
+    // — reserve sketches (qCD) for unbounded domains.
+    "q10A_grouped_percentiles" -> ((s, dir) => {
+      val byQty = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("flag", "qty").agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy("flag").orderBy(col("qty").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("flag")
+      val ps = s.range(1).select(explode(
+        array(lit(1L), lit(2L), lit(3L))).as("p"))
+      byQty.withColumn("cum", sum("w").over(wc))
+        .withColumn("tot", sum("w").over(wt))
+        .crossJoin(broadcast(ps))
+        .filter(lit(4L) * col("cum") >= col("p") * col("tot"))
+        .groupBy("flag", "p")
+        .agg(min("qty").as("qty_at_p"))
+        .select(col("flag"), (col("p") * 25).as("pct"), col("qty_at_p"))
+    }),
+
     // Exact weighted median (by revenue mass) per return flag — the
     // robust-center statistic percentile sketches approximate; here
     // the value domain is small (50 distinct quantities) so the
@@ -1034,6 +1084,45 @@ object Relational2 {
   )
 
   def oracles: Map[String, String] = Map(
+    // same md5 bucket map, same broadcast totals
+    "q109_bucket_skew" ->
+      """WITH b AS (
+           SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+             AS bucket
+           FROM lineitem),
+         per AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY bucket),
+         t AS (
+           SELECT CAST(sum(n) AS BIGINT) AS t, CAST(max(n) AS BIGINT) AS mx
+           FROM per)
+         SELECT bucket, n,
+           CAST(n AS DOUBLE) * 32.0 / CAST(t AS DOUBLE) AS load_factor,
+           CAST(mx AS DOUBLE) * 32.0 / CAST(t AS DOUBLE) AS max_load
+         FROM per, t""",
+
+    // same collapsed count table, same quadrupled-cum integer
+    // threshold per percentile
+    "q10A_grouped_percentiles" ->
+      """WITH m AS (
+           SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT flag, qty,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY qty ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+           FROM m),
+         ps AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS p),
+         f AS (
+           SELECT flag, p, min(qty) AS qty_at_p
+           FROM c, ps WHERE 4 * cum >= p * tot
+           GROUP BY flag, p)
+         SELECT flag, CAST(p * 25 AS BIGINT) AS pct, qty_at_p
+         FROM f""",
+
     // same collapsed (flag, qty) mass table; window sums leave
     // HUGEINT before the doubled-cum comparison
     "q100_weighted_median" ->

@@ -45,6 +45,37 @@ object TextQueries {
     "bigdata" -> Seq("spark", "stream", "batch"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Zipf rank-frequency slope — the corpus-law fit that flags
+    // synthetic or templated text (natural corpora slope ≈ −1): OLS
+    // of ln(count) on ln(rank) over the ranked vocabulary. The
+    // log-log points quantize to 1/10⁶ fixed point (LnExact is
+    // correctly-rounded, matching DuckDB's glibc ln on identical
+    // integer inputs), so the five OLS moments are associative
+    // BIGINTs (safe to ~10⁴ vocab terms; past that compute the
+    // moments in double) and slope/intercept are pinned final
+    // divisions. Shape: token explode → vocab-bounded count agg →
+    // rank window and OLS over the collapsed vocabulary frame.
+    "q108_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.orderBy(col("cnt").desc, col("term").asc)
+      table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .select(
+          floor(graft.functions.LnExact(col("rnk").cast("double")) * 1e6)
+            .cast("long").as("x"),
+          floor(graft.functions.LnExact(col("cnt").cast("double")) * 1e6)
+            .cast("long").as("y"))
+        .agg(count(lit(1)).as("v"), sum("x").as("s_x"), sum("y").as("s_y"),
+          sum(col("x") * col("y")).as("s_xy"),
+          sum(col("x") * col("x")).as("s_xx"))
+        .withColumn("slope", expr(
+          "CAST(v * s_xy - s_x * s_y AS DOUBLE) / CAST(v * s_xx - s_x * s_x AS DOUBLE)"))
+        .withColumn("intercept", expr(
+          "(CAST(s_y AS DOUBLE) - slope * s_x) / v / 1e6"))
+    }),
+
     // Skipgram co-occurrence counts (the word2vec/GloVe input): for
     // every token, its forward contexts at distance 1 and 2, counted
     // per (center, context, dist) and cut to a global top-30. Shape:
@@ -724,6 +755,36 @@ object TextQueries {
          FROM m)"""
 
   def oracles: Map[String, String] = Map(
+    // same (count DESC, term ASC) ranks, same 1/10⁶ ln floors, same
+    // exact moment integers and pinned divisions
+    "q108_zipf_slope" ->
+      """WITH c AS (
+           SELECT u.term AS term, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents, unnest(string_split(text, ' ')) AS u(term)
+           GROUP BY u.term),
+         r AS (
+           SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+             AS rnk, cnt
+           FROM c),
+         fp AS (
+           SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+           FROM r),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+             CAST(sum(x * y) AS BIGINT) AS s_xy,
+             CAST(sum(x * x) AS BIGINT) AS s_xx
+           FROM fp),
+         s AS (
+           SELECT v, s_x, s_y, s_xy, s_xx,
+             CAST(v * s_xy - s_x * s_y AS DOUBLE)
+               / CAST(v * s_xx - s_x * s_x AS DOUBLE) AS slope
+           FROM m)
+         SELECT v, s_x, s_y, s_xy, s_xx, slope,
+           (CAST(s_y AS DOUBLE) - slope * s_x) / v / 1e6 AS intercept
+         FROM s""",
+
     // same forward contexts via list indexing (postings idiom: the
     // constant series bound fails loudly on overflow), same
     // lexicographic top-30 cut
