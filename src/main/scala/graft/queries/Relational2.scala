@@ -27,6 +27,38 @@ object Relational2 {
     // (5 order priorities); an unbounded listagg at 100 TB is an
     // anti-pattern regardless of ordering — the row would grow with
     // the corpus.
+    // Data-contract validation (Deequ-style constraint suite) — six
+    // declarative rules over lineitem evaluated in ONE pass: every
+    // rule is a conditional sum in the same aggregate (NULL counts
+    // as a violation — a contract a null can satisfy is no
+    // contract), then stack() unpivots the single row into one row
+    // per rule. Contrast qF8: FK rules need anti-joins; domain/
+    // range/null rules need only this single scan — a full contract
+    // suite at 100 TB costs one pass plus the FK audit, never a
+    // pass per rule.
+    "q10E_data_contract" -> ((s, dir) => {
+      table(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L)).as("v1"),
+          sum(when(col("l_discount").between(0, 0.1), 0L).otherwise(1L)).as("v2"),
+          sum(when(col("l_extendedprice") > 0, 0L).otherwise(1L)).as("v3"),
+          sum(when(col("l_tax") >= 0, 0L).otherwise(1L)).as("v4"),
+          sum(when(col("l_orderkey").isNotNull
+            && col("l_partkey").isNotNull, 0L).otherwise(1L)).as("v5"),
+          sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+            .as("v6"))
+        .select(col("n_rows"), expr(
+          """stack(6,
+               'quantity_in_1_50', v1,
+               'discount_in_0_01', v2,
+               'price_positive', v3,
+               'tax_nonnegative', v4,
+               'keys_not_null', v5,
+               'returnflag_domain', v6) AS (rule, violations)"""))
+        .select(col("rule"), col("n_rows"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+    }),
+
     // Hash-bucket load audit — the layout-planning check run before
     // committing to a bucketed table spec: distribute rows over 32
     // md5 buckets of the would-be bucketing key and report each
@@ -1084,6 +1116,33 @@ object Relational2 {
   )
 
   def oracles: Map[String, String] = Map(
+    // same one-pass conditional sums (NULL = violation), unpivoted
+    "q10E_data_contract" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN l_extendedprice > 0
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN l_tax >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+             CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                            AND l_partkey IS NOT NULL
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v5,
+             CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v6
+           FROM lineitem)
+         SELECT u.rule, n_rows, u.violations, u.violations = 0 AS pass
+         FROM a, unnest([
+           struct_pack(rule := 'quantity_in_1_50', violations := v1),
+           struct_pack(rule := 'discount_in_0_01', violations := v2),
+           struct_pack(rule := 'price_positive', violations := v3),
+           struct_pack(rule := 'tax_nonnegative', violations := v4),
+           struct_pack(rule := 'keys_not_null', violations := v5),
+           struct_pack(rule := 'returnflag_domain', violations := v6)
+         ]) AS t(u)""",
+
     // same md5 bucket map, same broadcast totals
     "q109_bucket_skew" ->
       """WITH b AS (

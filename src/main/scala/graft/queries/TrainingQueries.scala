@@ -55,6 +55,111 @@ object TrainingQueries {
             / (col("n") * col("total_chars")).cast("double")).as("gini"))
     }),
 
+    // Neyman optimal allocation — survey sampling's answer to "how
+    // do I spend a 1000-row label budget across strata": allocate
+    // ∝ N_h·σ_h. The float weight N_h·σ_h quantizes to 1/10² fixed
+    // point IMMEDIATELY (one deterministic double per stratum, then
+    // floor — 10² keeps w_fp·1000 under 2⁶³ out to ~10⁸ rows per
+    // stratum), so the total, every integer-div share, and the
+    // largest-remainder top-up are EXACT integer arithmetic — the
+    // allocation sums to precisely 1000 on any engine and any
+    // partitioning (a float-share allocation can gain or lose a row
+    // to ulp). Shape: one moment agg collapses the corpus to ≤6
+    // stratum rows; everything after runs on that frame.
+    "q10B_neyman_allocation" -> ((s, dir) => {
+      val strata = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          // floor dollars, not cents: keeps Σc² under 2⁶³ to ~10⁸
+          // rows per stratum (qFE's discipline)
+          floor(col("l_extendedprice")).cast("long").as("c"))
+        .groupBy("flag", "status")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("qc"))
+        .withColumn("w_fp", floor(expr(
+          """CAST(n AS DOUBLE)
+             * sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc) / n
+             * 100""")).cast("long"))
+      val tot = strata.agg(sum("w_fp").as("t"))
+      val wr = Window.orderBy(
+        (col("w_fp") * 1000 % col("t")).desc, col("flag").asc, col("status").asc)
+      val shares = strata.crossJoin(broadcast(tot))
+        .withColumn("base", expr("w_fp * 1000 div t"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+      val short = shares.agg((lit(1000L) - sum("base")).as("short"))
+      shares.crossJoin(broadcast(short))
+        .select(col("flag"), col("status"), col("n"), col("w_fp"),
+          (col("base") + when(col("rnk") <= col("short"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+
+    // Capture–recapture (Chapman) corpus-size estimate — the "how
+    // big is the deduplicated population really" trick: two
+    // INDEPENDENT deterministic 10% hash samples; the overlap rate
+    // calibrates total size without ever counting the full distinct
+    // set. Narrow scan + one conditional agg; the estimate is a
+    // pinned integer expression (Chapman's form is exact integer
+    // division here), checked against the true count carried in the
+    // same row.
+    "q10C_capture_recapture" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k"))
+        .withColumn("in_a",
+          Dedup.md5Long(concat(col("k"), lit("|A"))) % 10 === 0)
+        .withColumn("in_b",
+          Dedup.md5Long(concat(col("k"), lit("|B"))) % 10 === 0)
+      o.agg(count(lit(1)).as("n_true"),
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("in_b"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_est"),
+          expr("CAST((n1 + 1) * (n2 + 1) div (m + 1) - 1 AS DOUBLE) / n_true")
+            .as("est_ratio"))
+    }),
+
+    // Information gain of each candidate feature for predicting
+    // order status — the feature-selection screen run before any
+    // tree/NB fit. IG = H(label) − H(label|feature), computed from
+    // COUNTS only: each entropy term c·ln(c/n) is one deterministic
+    // double immediately floored to 1/10⁶ fixed point, so the sums
+    // over (bin, label) cells are associative BIGINTs and the final
+    // IG is a pinned division — no order-dependent float
+    // accumulation (Σ of raw double terms would never hash-check).
+    // Shape: two vocabulary-bounded count aggs (cells ≤ bins×labels)
+    // + a broadcast label-marginal row.
+    "q10D_info_gain" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderstatus").as("label"),
+          col("o_orderpriority").as("f_priority"),
+          month(col("o_orderdate")).cast("string").as("f_month"))
+      val long = o.select(explode(array(
+          struct(lit("priority").as("feature"), col("f_priority").as("bin"),
+            col("label")),
+          struct(lit("month").as("feature"), col("f_month").as("bin"),
+            col("label")))).as("x"))
+        .select(col("x.feature").as("feature"), col("x.bin").as("bin"),
+          col("x.label").as("label"))
+      val cells = long.groupBy("feature", "bin", "label")
+        .agg(count(lit(1)).as("c"))
+      val bins = cells.groupBy("feature", "bin").agg(sum("c").as("nb"))
+      val cond = cells.join(bins, Seq("feature", "bin"))
+        .withColumn("t_fp", floor(col("c") * graft.functions.LnExact(
+          col("c").cast("double") / col("nb")) * lit(1e6)).cast("long"))
+        .groupBy("feature")
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          sum("c").as("n_rows"), sum("t_fp").as("cond_fp"))
+      val marg = o.groupBy("label").agg(count(lit(1)).as("cl"))
+        .withColumn("nn", sum("cl").over(Window.partitionBy()))
+        .withColumn("t_fp", floor(col("cl") * graft.functions.LnExact(
+          col("cl").cast("double") / col("nn")) * lit(1e6)).cast("long"))
+        .agg(max("nn").as("nn"), sum("t_fp").as("marg_fp"))
+      cond.crossJoin(broadcast(marg))
+        .select(col("feature"), col("n_bins"), col("n_rows"),
+          col("cond_fp"), col("marg_fp"),
+          expr("CAST(cond_fp - marg_fp AS DOUBLE) / n_rows / 1e6").as("info_gain"))
+    }),
+
     // Centroid silhouette score per label — the clustering-quality /
     // label-coherence eval an embedding pipeline runs after
     // assignment: a = distance to own centroid, b = nearest other
@@ -865,6 +970,93 @@ object TrainingQueries {
            CAST(2 * rank_mass - (n + 1) * total_chars AS DOUBLE)
              / CAST(n * total_chars AS DOUBLE) AS gini
          FROM a""",
+
+    // same dollar moments, same 1/10² weight floors, same integer
+    // shares and largest-remainder rank
+    "q10B_neyman_allocation" ->
+      """WITH m AS (
+           SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sc,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS qc
+           FROM lineitem GROUP BY 1, 2),
+         w AS (
+           SELECT flag, status, n,
+             CAST(floor(CAST(n AS DOUBLE)
+               * sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc) / n
+               * 100) AS BIGINT) AS w_fp
+           FROM m),
+         t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS t FROM w),
+         sh AS (
+           SELECT flag, status, n, w_fp,
+             w_fp * 1000 // t AS base,
+             CAST(row_number() OVER (ORDER BY (w_fp * 1000 % t) DESC,
+               flag ASC, status ASC) AS BIGINT) AS rnk
+           FROM w, t),
+         sht AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS short FROM sh)
+         SELECT flag, status, n, w_fp,
+           CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+         FROM sh, sht""",
+
+    // same two independent md5 samples, same Chapman integer form
+    "q10C_capture_recapture" ->
+      """WITH o AS (
+           SELECT
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|A'), 1, 15))
+               AS BIGINT) % 10 = 0 AS in_a,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|B'), 1, 15))
+               AS BIGINT) % 10 = 0 AS in_b
+           FROM orders),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS m
+           FROM o)
+         SELECT n_true, n1, n2, m,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_est,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS DOUBLE) / n_true
+             AS est_ratio
+         FROM a""",
+
+    // same count cells, same per-cell 1/10⁶ entropy-term floors,
+    // same pinned final division
+    "q10D_info_gain" ->
+      """WITH o AS (
+           SELECT o_orderstatus AS label, o_orderpriority AS f_priority,
+             CAST(month(o_orderdate) AS VARCHAR) AS f_month
+           FROM orders),
+         long AS (
+           SELECT 'priority' AS feature, f_priority AS bin, label FROM o
+           UNION ALL
+           SELECT 'month', f_month, label FROM o),
+         cells AS (
+           SELECT feature, bin, label, CAST(count(*) AS BIGINT) AS c
+           FROM long GROUP BY feature, bin, label),
+         bins AS (
+           SELECT feature, bin, CAST(sum(c) AS BIGINT) AS nb
+           FROM cells GROUP BY feature, bin),
+         cond AS (
+           SELECT c.feature,
+             CAST(count(DISTINCT c.bin) AS BIGINT) AS n_bins,
+             CAST(sum(c.c) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(c.c * ln(CAST(c.c AS DOUBLE) / b.nb) * 1e6)
+               AS BIGINT)) AS BIGINT) AS cond_fp
+           FROM cells c JOIN bins b USING (feature, bin)
+           GROUP BY c.feature),
+         lc AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS cl FROM o GROUP BY label),
+         lt AS (SELECT CAST(sum(cl) AS BIGINT) AS nn FROM lc),
+         marg AS (
+           SELECT CAST(max(nn) AS BIGINT) AS nn,
+             CAST(sum(CAST(floor(cl * ln(CAST(cl AS DOUBLE) / nn) * 1e6)
+               AS BIGINT)) AS BIGINT) AS marg_fp
+           FROM lc, lt)
+         SELECT feature, n_bins, n_rows, cond_fp, marg_fp,
+           CAST(cond_fp - marg_fp AS DOUBLE) / n_rows / 1e6 AS info_gain
+         FROM cond, marg""",
 
     // same fixed-point long form, same exact moment integers, same
     // pinned distance/silhouette sequences
