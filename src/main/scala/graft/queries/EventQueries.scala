@@ -562,6 +562,124 @@ object EventQueries {
         .withColumn("cum_cents", sum("cents").over(wc))
     }),
 
+    // Seasonal-naive forecast backtest — the baseline every real
+    // forecaster must beat, and the cheapest drift alarm: predict
+    // each day's revenue by the value 7 days earlier, report MAE per
+    // event type. Calendar-correct: the lag is a self-JOIN on
+    // (type, day−7), not a row offset, so missing days can't
+    // misalign the season. Shape: the daily agg collapses events
+    // first; the join and error rollup run on the tiny day×type
+    // frame. Errors are exact cent integers; MAE is one final
+    // division.
+    "q10F_seasonal_backtest" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("cents"))
+      val prior = daily.select(col("event_type"), (col("d") + 7).as("d"),
+        col("cents").as("pred"))
+      daily.join(prior, Seq("event_type", "d"))
+        .withColumn("abs_err", abs(col("cents") - col("pred")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("abs_err").as("sum_abs_err"))
+        .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+          (col("sum_abs_err").cast("double") / col("n_days").cast("double"))
+            .as("mae_cents"))
+    }),
+
+    // CUSUM changepoint detection per event type — the level-shift
+    // monitor over a daily metric series. Deviations are scaled by
+    // the day count (dev = D·c_d − S) so mean-centering never
+    // leaves the integers, the cumulative sum is an associative
+    // BIGINT window over the ≤|days| collapsed frame, and the
+    // changepoint is the argmax of |cusum| with earliest-day
+    // tie-break — fully deterministic, no float ever.
+    "q110_cusum_changepoint" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("cents"))
+      val wt = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("event_type").orderBy(col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("d").asc)
+      daily
+        .withColumn("dd", count(lit(1)).over(wt))
+        .withColumn("ss", sum("cents").over(wt))
+        .withColumn("dev", col("dd") * col("cents") - col("ss"))
+        .withColumn("cusum", sum("dev").over(wc))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("d").as("change_day"),
+          col("cusum").as("cusum_at"), col("dd").as("n_days"))
+    }),
+
+    // Join-fanout audit — the guard a planner runs BEFORE a
+    // fact-to-fact join: per join key, the two sides' row counts and
+    // their product (that key's output contribution); the exact
+    // total join cardinality and the top-10 riskiest keys. qCF is
+    // the sketch version of this; here both sides collapse to
+    // per-key counts first (map-side combinable), so the audit costs
+    // two aggs and a tiny join — the 10⁹-key version replaces the
+    // global top-10 window with GroupedTopK partial heaps, same
+    // contract. All integers exact.
+    "q111_join_fanout_audit" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      def side(t: String, nm: String) =
+        e.filter(col("event_type") === t)
+          .groupBy("user_id").agg(count(lit(1)).as(nm))
+      val per = side("purchase", "na").join(side("click", "nb"), Seq("user_id"))
+        .withColumn("prod", col("na") * col("nb"))
+      val tot = per.agg(sum("prod").as("total_pairs"))
+      val wr = Window.orderBy(col("prod").desc, col("user_id").asc)
+      per.withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 10)
+        .crossJoin(broadcast(tot))
+        .select(col("rnk"), col("user_id"), col("na"), col("nb"),
+          col("prod"), col("total_pairs"))
+    }),
+
+    // Watermark-lateness audit — replay the ingestion log (event_id
+    // order) and measure how far each event arrived behind the
+    // running event-time high-water mark: the statistic that SIZES
+    // the watermark delay for every streaming job downstream. The
+    // prefix max runs DISTRIBUTED via the two-phase split: fixed
+    // event_id buckets compute local running maxes, the ≤|buckets|
+    // ledger of bucket maxes takes a window prefix-max and
+    // broadcasts back — no global sort, no single task ever holds
+    // the log (qE2's range-ledger discipline). Lateness stays in
+    // exact µs integers.
+    "q112_lateness_audit" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("event_id div 1000").as("bkt"))
+      val win = Window.partitionBy("bkt")
+        .orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ledger = e.groupBy("bkt").agg(max("us").as("bmax"))
+      val wl = Window.orderBy(col("bkt").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixed = ledger.withColumn("pmax", max("bmax").over(wl))
+      e.join(broadcast(prefixed.select("bkt", "pmax")), Seq("bkt"))
+        .withColumn("rmax", max("us").over(win))
+        .withColumn("wm", greatest(
+          coalesce(col("rmax"), lit(-9223372036854775807L)),
+          coalesce(col("pmax"), lit(-9223372036854775807L))))
+        .withColumn("lateness",
+          when(col("wm") === -9223372036854775807L, 0L)
+            .otherwise(greatest(col("wm") - col("us"), lit(0L))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lateness") > 60000000L, 1L).otherwise(0L))
+            .as("n_late_1m"),
+          max("lateness").as("max_lateness_us"),
+          sum("lateness").as("sum_lateness_us"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -884,6 +1002,99 @@ object EventQueries {
            CAST(sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS burst_rate
          FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+
+    // same calendar join on (type, day−7), same exact cent errors
+    "q10F_seasonal_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.event_type, abs(a.cents - b.cents) AS abs_err
+           FROM daily a JOIN daily b
+             ON b.event_type = a.event_type AND b.d = a.d - 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_cents
+         FROM j GROUP BY event_type""",
+
+    // same D-scaled integer deviations, same |cusum| argmax with
+    // earliest-day tie-break
+    "q110_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, d, cents,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS dd,
+             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+           FROM daily),
+         c AS (
+           SELECT event_type, d, dd,
+             CAST(sum(dd * cents - ss) OVER (PARTITION BY event_type
+               ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum
+           FROM t),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(cusum) DESC, d ASC) AS rn
+           FROM c)
+         SELECT event_type, d AS change_day, cusum AS cusum_at,
+           dd AS n_days
+         FROM r WHERE rn = 1""",
+
+    // same per-key count collapse, same (prod DESC, user ASC) top-10
+    "q111_join_fanout_audit" ->
+      """WITH a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS na
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         b AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS nb
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+         per AS (
+           SELECT a.user_id, na, nb, na * nb AS prod
+           FROM a JOIN b USING (user_id)),
+         t AS (SELECT CAST(sum(prod) AS BIGINT) AS total_pairs FROM per),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY prod DESC, user_id ASC) AS BIGINT) AS rnk
+           FROM per)
+         SELECT rnk, user_id, na, nb, prod, total_pairs
+         FROM r, t WHERE rnk <= 10""",
+
+    // same fixed buckets, same two-phase prefix max, same µs
+    // lateness integers
+    "q112_lateness_audit" ->
+      """WITH e AS (
+           SELECT event_id, event_type, epoch_us(ts) AS us,
+             event_id // 1000 AS bkt
+           FROM events),
+         l AS (SELECT bkt, CAST(max(us) AS BIGINT) AS bmax FROM e GROUP BY bkt),
+         p AS (
+           SELECT bkt, CAST(max(bmax) OVER (ORDER BY bkt ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pmax
+           FROM l),
+         w AS (
+           SELECT e.event_type, e.us,
+             greatest(
+               coalesce(CAST(max(e.us) OVER (PARTITION BY e.bkt
+                 ORDER BY e.event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 -9223372036854775807),
+               coalesce(p.pmax, -9223372036854775807)) AS wm
+           FROM e JOIN p USING (bkt)),
+         lat AS (
+           SELECT event_type,
+             CASE WHEN wm = -9223372036854775807 THEN 0
+                  ELSE greatest(wm - us, 0) END AS lateness
+           FROM w)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lateness > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_1m,
+           CAST(max(lateness) AS BIGINT) AS max_lateness_us,
+           CAST(sum(lateness) AS BIGINT) AS sum_lateness_us
+         FROM lat GROUP BY event_type""",
 
     // same total-ordered ntiles (metric, user_id), same segment code
     "q106_rfm_segmentation" ->
