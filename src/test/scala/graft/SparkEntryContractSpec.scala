@@ -39,10 +39,11 @@ class SparkEntryContractSpec extends AnyFunSuite {
       s"queries without oracles (driver records only rows>0): $missing")
   }
 
-  test("query names follow the two-char-id naming scheme") {
-    // hex-sequential ids plus the historical q1G
+  test("query names follow the hex-sequential naming scheme") {
+    // two-char hex ids (plus the historical q1G); the space filled at
+    // qFF, so round 6 onward continues with three-char ids (q100…)
     val bad = SparkEntry.queries.keySet
-      .filterNot(_.matches("q[0-9A-Z]{2}_[a-z0-9_]+"))
+      .filterNot(_.matches("q[0-9A-Z]{2,3}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming query names: $bad")
   }
 }

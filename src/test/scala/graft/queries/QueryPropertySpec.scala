@@ -315,6 +315,50 @@ class QueryPropertySpec extends SparkSpec {
     }
   }
 
+  test("q10B: Neyman allocation spends exactly the 1000-row budget") {
+    val rows = SparkEntry.queries("q10B_neyman_allocation")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 1000L)
+    rows.foreach(r => assert(r.getAs[Long]("alloc") >= 0L))
+  }
+
+  test("q10C: capture-recapture overlap is bounded by both samples") {
+    val r = SparkEntry.queries("q10C_capture_recapture")(spark, dir).collect()(0)
+    val m = r.getAs[Long]("m")
+    assert(m <= math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+    assert(r.getAs[Long]("n_est") > 0L)
+  }
+
+  test("q10E: the shipped contract passes on clean TPC-H data") {
+    val rows = SparkEntry.queries("q10E_data_contract")(spark, dir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass"),
+        s"rule ${r.getAs[String]("rule")} flagged violations on clean data")
+    }
+  }
+
+  test("qFE: correlation matrix diagonal is 1 and cells are bounded") {
+    val rows = SparkEntry.queries("qFE_corr_matrix")(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(math.abs(c) <= 1.0 + 1e-12, s"|corr| > 1: $c")
+      if (r.getAs[String]("f1") == r.getAs[String]("f2"))
+        // sqrt(a)*sqrt(a) reconstructs a only to ulp, so the
+        // diagonal is 1 within float error, not bit-exactly
+        assert(math.abs(c - 1.0) < 1e-12)
+    }
+  }
+
+  test("q112: lateness audit counts every event exactly once") {
+    val rows = SparkEntry.queries("q112_lateness_audit")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = graft.io.Sources.table(spark, dir, "events").count()
+    assert(total === nEvents)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_late_1m") <= r.getAs[Long]("n")))
+  }
+
   test("qFB: linkage scores respect the weight bounds") {
     val rows = SparkEntry.queries("qFB_fs_linkage")(spark, dir).collect()
     assert(rows.nonEmpty)
