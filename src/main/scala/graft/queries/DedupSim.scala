@@ -75,6 +75,55 @@ object DedupSim {
     // micro-units are exact longs and the per-brand rollup hashes
     // bit-for-bit. The expression runs inside whole-stage codegen —
     // no UDF, no dispatch per row.
+    // Hybrid retrieval with reciprocal-rank fusion — the RAG-stack
+    // staple: a lexical ranking (term frequency of the query term)
+    // and a vector ranking (dot product against a broadcast probe
+    // embedding), each cut to its top-100 HEAD, fused by
+    // RRF = Σ 1/(60+rank) over the lists a doc was retrieved in
+    // (absent list contributes 0 — retrieval-system semantics: you
+    // can only fuse what each ranker returned). Fusion works on
+    // RANKS, so the two score scales never need calibration; the
+    // 1/(60+r) terms quantize to integer nano-units, making the
+    // fused score and its top-10 cut exact integer arithmetic.
+    // Shape: docs⋈embeddings is a key equi-join; the probe rides as
+    // a 1-row broadcast; each orderBy().limit(100) head plans as
+    // TakeOrderedAndProject (per-partition top-K, bounded merge —
+    // never a single-partition sort of the corpus); the rank/fusion
+    // windows then run over ≤100/≤200-row collapsed frames, the
+    // repo's documented bounded-window precedent.
+    "q113_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = table(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("probe"))
+      val cand = table(s, dir, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(probe))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(split(text, ' '), t -> t = 'spark')) AS BIGINT)")
+            .as("tf"),
+          Similarity.dot(Similarity.asDouble(col("embedding")), col("probe"))
+            .as("dot"))
+        .filter(col("doc_id") =!= 0)
+      val h1 = cand.orderBy(col("tf").desc, col("doc_id").asc).limit(100)
+        .withColumn("r1", row_number()
+          .over(Window.orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("tf"), col("r1"))
+      val h2 = cand.orderBy(col("dot").desc, col("doc_id").asc).limit(100)
+        .withColumn("r2", row_number()
+          .over(Window.orderBy(col("dot").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("dot"), col("r2"))
+      val wr = Window.orderBy(col("rrf_fp").desc, col("doc_id").asc)
+      h1.join(h2, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fp", expr(
+          """CAST(coalesce(1000000000 div (60 + r1), 0)
+             + coalesce(1000000000 div (60 + r2), 0) AS BIGINT)"""))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("doc_id"), col("tf"), col("r1"), col("r2"),
+          col("dot"), col("rrf_fp"))
+    }),
+
     // Fellegi–Sunter record-linkage scoring — probabilistic entity
     // resolution's canonical decision model: per candidate pair, sum
     // per-field agreement/disagreement log-odds weights and threshold
@@ -792,6 +841,46 @@ object DedupSim {
     // DuckDB's builtin jaro_winkler_similarity IS the reference for
     // the native expression — same blocked pairs, same micro-unit
     // rollup; any drift in the string metric breaks the hash
+    // same tf and dot-fold constructions (q45's bit-exact dot
+    // precedent), same top-100 heads, same nano-unit RRF integers,
+    // same absent-list-contributes-0 fusion and tie-breaks
+    "q113_hybrid_rrf" ->
+      """WITH probe AS (
+           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
+           FROM embeddings WHERE vec_id = 0),
+         cand AS (
+           SELECT d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '),
+               t -> t = 'spark')) AS BIGINT) AS tf,
+             list_sum(list_transform(list_zip(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), probe.p),
+               q -> q[1] * q[2])) AS dot
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id, probe
+           WHERE d.doc_id <> 0),
+         h1 AS (
+           SELECT doc_id, tf, r1 FROM (
+             SELECT doc_id, tf,
+               CAST(row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS BIGINT)
+                 AS r1
+             FROM cand) WHERE r1 <= 100),
+         h2 AS (
+           SELECT doc_id, dot, r2 FROM (
+             SELECT doc_id, dot,
+               CAST(row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS BIGINT)
+                 AS r2
+             FROM cand) WHERE r2 <= 100),
+         s AS (
+           SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id, tf, r1, r2, dot,
+             CAST(coalesce(1000000000 // (60 + r1), 0)
+               + coalesce(1000000000 // (60 + r2), 0) AS BIGINT) AS rrf_fp
+           FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id),
+         f AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY rrf_fp DESC, doc_id ASC) AS BIGINT) AS rnk
+           FROM s)
+         SELECT rnk, doc_id, tf, r1, r2, dot, rrf_fp
+         FROM f WHERE rnk <= 10""",
+
     // same neighborhood pairs, same milli-unit weights and 2000
     // threshold, same one final division
     "qFB_fs_linkage" ->

@@ -680,6 +680,70 @@ object EventQueries {
           sum("lateness").as("sum_lateness_us"))
     }),
 
+    // CUPED variance reduction — the covariate adjustment every
+    // mature experimentation platform applies before reading a test:
+    // Y′ = Y − θ(X − X̄) with X the user's pre-period spend and θ
+    // the pooled cov(X,Y)/var(X). Reported per arm: raw vs adjusted
+    // variance and the reduction share. Everything derives from SIX
+    // BIGINT moments per arm (user totals in floor dollars keep Σx²
+    // under 2⁶³ at any user count) plus a broadcast pooled-θ row;
+    // var(Y′) expands to var(Y) − 2θ·cov + θ²·var(X), a pinned IEEE
+    // sequence on exact integers. One user-key agg, two tiny aggs —
+    // no second pass over events.
+    "q114_cuped" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value")).cast("long").as("d"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val users = e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("us") < col("mid"), col("d")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), col("d")).otherwise(0L)).as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      val moments = Seq(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val pooled = users.agg(moments.head, moments.tail: _*)
+        .select(expr(
+          """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""")
+          .as("theta"))
+      users.groupBy("arm").agg(moments.head, moments.tail: _*)
+        .crossJoin(broadcast(pooled))
+        .withColumn("var_y", expr(
+          "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1))"))
+        .withColumn("var_x", expr(
+          "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))"))
+        .withColumn("cov_xy", expr(
+          "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1))"))
+        .withColumn("var_adj", expr(
+          "var_y - 2 * theta * cov_xy + theta * theta * var_x"))
+        .select(col("arm"), col("n").as("n_users"), col("theta"),
+          col("var_y"), col("var_adj"),
+          expr("1.0 - var_adj / var_y").as("reduction"))
+    }),
+
+    // Sample-ratio-mismatch guardrail — the FIRST validity check on
+    // any A/B readout: with a 50/50 split design, is the realized
+    // arm imbalance within chance? χ² = (n_a−n_b)²/(n_a+n_b) per
+    // event type against the 3.841 (p=0.05, df=1) critical value.
+    // One conditional-sum pass; counts exact, χ² one pinned
+    // division. An SRM flag here invalidates qF6's t-test before
+    // anyone reads it — the two queries are a pair.
+    "q115_srm_check" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("arm"))
+        .groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2", expr(
+          "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("chi2"),
+          (col("chi2") > 3.841).as("srm_flag"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -1095,6 +1159,67 @@ object EventQueries {
            CAST(max(lateness) AS BIGINT) AS max_lateness_us,
            CAST(sum(lateness) AS BIGINT) AS sum_lateness_us
          FROM lat GROUP BY event_type""",
+
+    // same floor-dollar user totals, same six exact BIGINT moments,
+    // same pinned double sequence for theta and the variance expansion
+    "q114_cuped" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value) AS BIGINT) AS d
+           FROM events),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         users AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN us < mid THEN d ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN us >= mid THEN d ELSE 0 END) AS BIGINT) AS y,
+             user_id % 2 AS arm
+           FROM e, mid GROUP BY user_id),
+         pooled AS (
+           SELECT (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS BIGINT)
+                   - CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) * CAST(sum(y) AS BIGINT))
+                / (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS BIGINT)
+                   - CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) * CAST(sum(x) AS BIGINT))
+               AS theta
+           FROM users),
+         arms AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM users GROUP BY arm),
+         v AS (
+           SELECT arm, n, theta,
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_y,
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_x,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cov_xy
+           FROM arms, pooled),
+         a AS (
+           SELECT *, var_y - 2 * theta * cov_xy + theta * theta * var_x
+             AS var_adj
+           FROM v)
+         SELECT arm, n AS n_users, theta, var_y, var_adj,
+           1.0 - var_adj / var_y AS reduction
+         FROM a""",
+
+    // same parity-arm conditional counts, same single chi-square
+    // division against the df=1 p=0.05 critical value
+    "q115_srm_check" ->
+      """WITH c AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+           FROM events GROUP BY event_type)
+         SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
+             AS srm_flag
+         FROM c""",
 
     // same total-ordered ntiles (metric, user_id), same segment code
     "q106_rfm_segmentation" ->
