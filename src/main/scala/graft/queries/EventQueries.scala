@@ -744,6 +744,146 @@ object EventQueries {
           (col("chi2") > 3.841).as("srm_flag"))
     }),
 
+    // Population Stability Index — THE model-monitoring drift score:
+    // Σ (p_now − p_ref) · ln(p_now/p_ref) over bins, here the
+    // event-type distribution of the first vs second half of the
+    // stream. One conditional-count pass builds the bins; shares are
+    // exact-integer ratios; the log ratio runs through LnExact on a
+    // pinned double (correctly rounded — matches DuckDB's ln
+    // bit-for-bit on the identical input), and each bin's term is
+    // floored to nano-units so the TOTAL is an associative BIGINT
+    // sum over the collapsed bin frame — partition-invariant, no
+    // float accumulation anywhere.
+    "q117_psi_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val bins = e.crossJoin(broadcast(mid))
+        .groupBy("event_type")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n_b"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+      val tot = bins.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("p_a", expr("CAST(n_a AS DOUBLE) / ta"))
+        .withColumn("p_b", expr("CAST(n_b AS DOUBLE) / tb"))
+        .withColumn("ln_ratio", graft.functions.LnExact(expr(
+          "CAST(n_b AS DOUBLE) * ta / (CAST(n_a AS DOUBLE) * tb)")))
+        .withColumn("term_fp",
+          floor((col("p_b") - col("p_a")) * col("ln_ratio") * 1e9).cast("long"))
+        .withColumn("psi_total_fp", sum("term_fp").over(Window.partitionBy()))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("p_a"),
+          col("p_b"), col("ln_ratio"), col("term_fp"), col("psi_total_fp"))
+    }),
+
+    // UCB1 arm scores (Auer et al.) — the explore/exploit ranking a
+    // bandit-driven rollout computes each decision tick: per arm
+    // (event type), normalized mean reward + √(2 ln N / n). Counts
+    // and cent-sums are exact; ln N runs through LnExact to
+    // micro-units (one broadcast scalar); the bonus uses IEEE sqrt
+    // (correctly rounded — cross-engine exact); the final ranking
+    // orders the 5-row collapsed arm frame. One pass over events.
+    "q119_ucb_bandit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val arms = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s_cents"))
+      val tot = ev.agg(count(lit(1)).as("n_total"),
+        max("cents").as("max_cents"))
+      arms.crossJoin(broadcast(tot))
+        .withColumn("ln_n_fp",
+          floor(graft.functions.LnExact(col("n_total").cast("double")) * 1e6)
+            .cast("long"))
+        .withColumn("mean01", expr(
+          "CAST(s_cents AS DOUBLE) / n / max_cents"))
+        .withColumn("bonus", expr(
+          "sqrt(2.0 * (CAST(ln_n_fp AS DOUBLE) / 1e6) / n)"))
+        .withColumn("ucb", expr("mean01 + bonus"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("ucb").desc, col("event_type").asc)).cast("long"))
+        .select(col("rnk"), col("event_type"), col("n"), col("s_cents"),
+          col("ln_n_fp"), col("mean01"), col("bonus"), col("ucb"))
+    }),
+
+    // Split-conformal coverage audit — the distribution-free
+    // prediction-interval recipe (Vovk; Lei et al.): calibrate
+    // per-type [5%, 95%] interval bounds on the first half of the
+    // stream as EXACT order statistics (integer-arithmetic ranks —
+    // no float quantile math anywhere), then measure empirical
+    // coverage on the held-out second half. The rank windows
+    // partition by type (never a single-partition sort); bounds
+    // broadcast back to the test half; coverage is one pinned
+    // division. The conformal guarantee says coverage ≥ 90% up to
+    // finite-sample noise — the audit row makes that checkable.
+    "q11A_conformal_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val half = e.crossJoin(broadcast(mid))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents").asc, col("event_id").asc)
+      val stats = half.filter(col("us") < col("mid"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_cal",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("k_lo", expr(
+          "greatest(CAST(1 AS BIGINT), (n_cal + 1) div 20)"))
+        .withColumn("k_hi", expr("least(n_cal, ((n_cal + 1) * 19 + 19) div 20)"))
+        .groupBy("event_type")
+        .agg(max(col("n_cal")).as("n_cal"),
+          max(when(col("rn") === col("k_lo"), col("cents"))).as("lo_cents"),
+          max(when(col("rn") === col("k_hi"), col("cents"))).as("hi_cents"))
+      half.filter(col("us") >= col("mid"))
+        .join(broadcast(stats), "event_type")
+        .groupBy("event_type", "n_cal", "lo_cents", "hi_cents")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("cents") >= col("lo_cents")
+            && col("cents") <= col("hi_cents"), 1L).otherwise(0L)).as("n_in"))
+        .withColumn("coverage", expr("CAST(n_in AS DOUBLE) / n_test"))
+    }),
+
+    // Mann–Kendall trend test — the nonparametric "is this metric
+    // drifting" check monitoring stacks run on daily series (no
+    // normality assumption, robust to outliers): S = Σ sign(x_j−x_i)
+    // over ordered day pairs, normal approximation with continuity
+    // correction. The day self-join is quadratic ONLY in the number
+    // of days per type (calendar-bounded — 30 here, 365 at any
+    // scale), never in events; S and the variance numerator are
+    // exact integers; z is two pinned ops (IEEE sqrt + division).
+    "q11C_mann_kendall" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "d").agg(sum("cents").as("v"))
+      val s_ = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type")
+            && col("a.d") < col("b.d"))
+        .select(col("a.event_type").as("event_type"),
+          expr("CAST(sign(b.v - a.v) AS BIGINT)").as("sgn"))
+        .groupBy("event_type").agg(sum("sgn").as("s_stat"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(s_, "event_type")
+        .withColumn("var18_num", expr(
+          "n_days * (n_days - 1) * (2 * n_days + 5)"))
+        .withColumn("z", expr(
+          """CASE WHEN s_stat > 0
+               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18_num AS DOUBLE) / 18)
+             WHEN s_stat < 0
+               THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18_num AS DOUBLE) / 18)
+             ELSE 0.0 END"""))
+        .withColumn("trend", expr(
+          "CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down' ELSE 'none' END"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18_num"), col("z"), col("trend"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -1220,6 +1360,138 @@ object EventQueries {
            CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
              AS srm_flag
          FROM c""",
+
+    // same half split, same pinned ratio into ln, same nano-unit
+    // terms and exact BIGINT total over the bin frame
+    "q117_psi_drift" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) AS us FROM events),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         bins AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM e, mid GROUP BY event_type
+           HAVING n_a > 0 AND n_b > 0),
+         tot AS (
+           SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+           FROM bins),
+         t AS (
+           SELECT event_type, n_a, n_b,
+             CAST(n_a AS DOUBLE) / ta AS p_a,
+             CAST(n_b AS DOUBLE) / tb AS p_b,
+             ln(CAST(n_b AS DOUBLE) * ta / (CAST(n_a AS DOUBLE) * tb))
+               AS ln_ratio
+           FROM bins, tot),
+         f AS (
+           SELECT *, CAST(floor((p_b - p_a) * ln_ratio * 1e9) AS BIGINT)
+             AS term_fp
+           FROM t)
+         SELECT event_type, n_a, n_b, p_a, p_b, ln_ratio, term_fp,
+           CAST(sum(term_fp) OVER () AS BIGINT) AS psi_total_fp
+         FROM f""",
+
+    // same exact counts/cent-sums, same micro-unit ln N, same IEEE
+    // sqrt bonus and collapsed-frame ranking
+    "q119_ucb_bandit" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         arms AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s_cents
+           FROM ev GROUP BY event_type),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(max(cents) AS BIGINT) AS max_cents
+           FROM ev),
+         t AS (
+           SELECT event_type, n, s_cents,
+             CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT) AS ln_n_fp,
+             CAST(s_cents AS DOUBLE) / n / max_cents AS mean01
+           FROM arms, tot),
+         u AS (
+           SELECT *,
+             sqrt(2.0 * (CAST(ln_n_fp AS DOUBLE) / 1e6) / n) AS bonus
+           FROM t),
+         f AS (
+           SELECT *, mean01 + bonus AS ucb FROM u)
+         SELECT CAST(row_number() OVER (ORDER BY ucb DESC, event_type ASC)
+             AS BIGINT) AS rnk,
+           event_type, n, s_cents, ln_n_fp, mean01, bonus, ucb
+         FROM f""",
+
+    // same integer-rank order statistics on the calibration half,
+    // same inclusive bounds and one coverage division
+    "q11A_conformal_coverage" ->
+      """WITH e AS (
+           SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         cal AS (
+           SELECT event_type, cents,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY cents ASC, event_id ASC) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+           FROM e, mid WHERE us < mid),
+         k AS (
+           SELECT *, greatest(CAST(1 AS BIGINT), (n_cal + 1) // 20) AS k_lo,
+             least(n_cal, ((n_cal + 1) * 19 + 19) // 20) AS k_hi
+           FROM cal),
+         stats AS (
+           SELECT event_type, max(n_cal) AS n_cal,
+             max(CASE WHEN rn = k_lo THEN cents END) AS lo_cents,
+             max(CASE WHEN rn = k_hi THEN cents END) AS hi_cents
+           FROM k GROUP BY event_type),
+         test AS (
+           SELECT e.event_type, n_cal, lo_cents, hi_cents,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN cents >= lo_cents AND cents <= hi_cents
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+           FROM e CROSS JOIN mid
+           JOIN stats ON stats.event_type = e.event_type
+           WHERE us >= mid
+           GROUP BY e.event_type, n_cal, lo_cents, hi_cents)
+         SELECT event_type, n_cal, lo_cents, hi_cents, n_test, n_in,
+           CAST(n_in AS DOUBLE) / n_test AS coverage
+         FROM test""",
+
+    // same day-pair sign sums, same integer variance numerator, same
+    // continuity-corrected z
+    "q11C_mann_kendall" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+             CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.d < b.d
+           GROUP BY a.event_type),
+         nd AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type),
+         t AS (
+           SELECT nd.event_type, n_days, s_stat,
+             n_days * (n_days - 1) * (2 * n_days + 5) AS var18_num
+           FROM nd JOIN p ON p.event_type = nd.event_type),
+         z AS (
+           SELECT *,
+             CASE WHEN s_stat > 0
+               THEN CAST(s_stat - 1 AS DOUBLE)
+                 / sqrt(CAST(var18_num AS DOUBLE) / 18)
+             WHEN s_stat < 0
+               THEN CAST(s_stat + 1 AS DOUBLE)
+                 / sqrt(CAST(var18_num AS DOUBLE) / 18)
+             ELSE 0.0 END AS z
+           FROM t)
+         SELECT event_type, n_days, s_stat, var18_num, z,
+           CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
+             ELSE 'none' END AS trend
+         FROM z""",
 
     // same total-ordered ntiles (metric, user_id), same segment code
     "q106_rfm_segmentation" ->

@@ -134,6 +134,55 @@ object GraphQueries {
       val core = kcore(e, KcoreK)
       core.select(col("p1").as("u")).union(core.select(col("p2").as("u")))
         .groupBy("u").agg(count(lit(1)).as("core_deg"))
+    }),
+
+    // Adamic–Adar link prediction over the same part co-order graph
+    // as qB2/qE8: for non-adjacent pairs sharing neighbors,
+    // AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — the classic "which
+    // edges are missing" score (friend suggestion, retrieval-graph
+    // densification). Scale shape: candidate pairs come from wedge
+    // enumeration through each common neighbor w — Σ C(deg_w, 2)
+    // wedges, explicitly HUB-CAPPED at deg ≤ 256 (hubs contribute
+    // the least per-wedge weight 1/ln(deg) and the most wedges; the
+    // cap bounds per-vertex fan-out at C(256,2) regardless of graph
+    // size, the standard LP blocking rule). Per-neighbor weights are
+    // nano-unit integers (floor(1e9/ln deg) — LnExact is correctly
+    // rounded, so both engines floor the identical double), making
+    // the pair score an exact BIGINT sum; existing edges drop via
+    // one anti-join; the top-20 cut is TakeOrderedAndProject (never
+    // a global single-partition sort), re-ranked over the 20-row
+    // frame.
+    "q11B_adamic_adar" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint()
+      val nbrs = e.select(col("p1").as("w"), col("p2").as("v"))
+        .union(e.select(col("p2").as("w"), col("p1").as("v")))
+      val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))
+      val wn = nbrs.join(deg, "w")
+        .filter(col("deg") >= 2 && col("deg") <= 256)
+        .withColumn("t_fp",
+          floor(lit(1e9) / graft.functions.LnExact(col("deg").cast("double")))
+            .cast("long"))
+      val aa = wn.as("x").join(wn.as("y"),
+          col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("p1"), col("y.v").as("p2"),
+          col("x.t_fp").as("t_fp"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp"))
+        .join(e, Seq("p1", "p2"), "left_anti")
+      aa.orderBy(col("aa_fp").desc, col("p1").asc, col("p2").asc).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("aa_fp").desc, col("p1").asc, col("p2").asc))
+          .cast("long"))
+        .select(col("rnk"), col("p1"), col("p2"), col("n_common"),
+          col("aa_fp"))
     })
   )
 
@@ -289,6 +338,41 @@ object GraphQueries {
          SELECT u, CAST(count(*) AS BIGINT) AS core_deg FROM (
            SELECT p1 AS u FROM e$KcoreOracleRounds
            UNION ALL SELECT p2 FROM e$KcoreOracleRounds) GROUP BY u"""
-    }
+    },
+
+    // same hub-capped wedge enumeration, same nano-unit 1/ln(deg)
+    // weights, same anti-join and (aa_fp, p1, p2) top-20 order
+    "q11B_adamic_adar" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_orderkey % 8 = 0),
+         nbrs AS (
+           SELECT p1 AS w, p2 AS v FROM e
+           UNION ALL SELECT p2, p1 FROM e),
+         deg AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY w),
+         wn AS (
+           SELECT nbrs.w, v,
+             CAST(floor(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS t_fp
+           FROM nbrs JOIN deg ON deg.w = nbrs.w
+           WHERE deg >= 2 AND deg <= 256),
+         aa AS (
+           SELECT x.v AS p1, y.v AS p2,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(x.t_fp) AS BIGINT) AS aa_fp
+           FROM wn x JOIN wn y ON x.w = y.w AND x.v < y.v
+           GROUP BY x.v, y.v),
+         nov AS (
+           SELECT * FROM aa
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.p1 = aa.p1 AND e.p2 = aa.p2)),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY aa_fp DESC, p1 ASC, p2 ASC) AS BIGINT) AS rnk
+           FROM nov)
+         SELECT rnk, p1, p2, n_common, aa_fp
+         FROM r WHERE rnk <= 20"""
   )
 }

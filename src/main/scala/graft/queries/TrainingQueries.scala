@@ -949,6 +949,89 @@ object TrainingQueries {
         .filter(col("n_at_rank") === col("n_types"))
         .select(col("r"), col("n_types"),
           expr("sum_micro div n_types").as("norm_micro"))
+    }),
+
+    // Out-of-fold target encoding — the leakage-safe way to turn a
+    // categorical feature into a number for tree/linear models: each
+    // (category, fold) cell is encoded with the target mean computed
+    // on the OTHER folds, so no row sees its own label. One
+    // map-side-combinable groupBy builds the |cats|×|folds| cell
+    // table (25 rows here, bounded regardless of row count); the
+    // leave-one-out subtraction is a window over that collapsed
+    // frame — raw rows are scanned ONCE and never re-shuffled.
+    // Cents sums are exact BIGINTs; the encoding is one pinned
+    // double division at the end.
+    "q116_target_encode_oof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = table(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          (col("c_custkey") % 5).as("fold"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .groupBy("seg", "fold")
+        .agg(count(lit(1)).as("n_in"), sum("cents").as("s_in"))
+      val w = Window.partitionBy("seg")
+      g.withColumn("n_tot", sum("n_in").over(w))
+        .withColumn("s_tot", sum("s_in").over(w))
+        .select(col("seg"), col("fold"), col("n_in"),
+          (col("n_tot") - col("n_in")).as("n_out"),
+          expr("CAST(s_tot - s_in AS DOUBLE) / (n_tot - n_in) / 100")
+            .as("oof_mean"))
+    }),
+
+    // Reliability diagram (calibration bins) — the ECE input every
+    // model-eval pipeline computes: bucket predictions by confidence
+    // decile, compare mean confidence to realized accuracy. The
+    // "model" is a deterministic md5-uniform confidence u and an
+    // outcome drawn at rate u² (same md5, independent salt) — a
+    // knowably OVERconfident predictor, so the per-bin gap is
+    // structurally nonzero and the query's output is meaningful.
+    // Confidences quantize to nano-units before summing (exact
+    // BIGINTs, partition-invariant); accuracy / mean-conf / gap are
+    // pinned final divisions. Narrow map + one 10-row agg.
+    "q118_calibration_bins" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)
+             AS BIGINT) / 4503599627370496.0"""))
+        .withColumn("hit", expr(
+          """CAST(conv(substring(md5(CAST(doc_id AS STRING) || '|y'), 1, 13),
+             16, 10) AS BIGINT) % 1000000
+             < CAST(floor(u * u * 1000000) AS BIGINT)"""))
+        .withColumn("bin", floor(col("u") * 10).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+          sum(floor(col("u") * 1e9).cast("long")).as("conf_fp"))
+        .withColumn("accuracy", expr("CAST(n_hit AS DOUBLE) / n"))
+        .withColumn("mean_conf", expr("CAST(conf_fp AS DOUBLE) / n / 1e9"))
+        .withColumn("gap", expr("abs(accuracy - mean_conf)"))
+    }),
+
+    // Temperature-scaled domain mixture (T = 0.5) — the sampling-
+    // weight law multilingual/multi-domain training corpora are mixed by
+    // (p_d^(1/T) normalized; T=2 in mT5's notation is w ∝ √p): head
+    // domains are damped, tail domains boosted, and the factor
+    // column says how much each domain is up/down-sampled vs raw.
+    // √tokens quantizes to micro-units (IEEE sqrt is correctly
+    // rounded — bit-identical across engines), so the normalizer is
+    // an exact BIGINT sum over the collapsed |domains| frame and
+    // every output share is a pinned division.
+    "q11D_temp_mixture" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      table(s, dir, "documents")
+        .select(col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("s_fp",
+          floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+        .withColumn("tot_fp", sum("s_fp").over(Window.partitionBy()))
+        .withColumn("tot_tokens", sum("n_tokens").over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("s_fp"),
+          expr("CAST(s_fp AS DOUBLE) / tot_fp").as("weight"),
+          expr("""(CAST(s_fp AS DOUBLE) / tot_fp)
+                  / (CAST(n_tokens AS DOUBLE) / tot_tokens)""").as("factor"))
     })
   )
 
@@ -1709,6 +1792,70 @@ object TrainingQueries {
            FROM f GROUP BY r)
          SELECT CAST(r AS BIGINT) AS r, t.n_types,
            sum_micro // t.n_types AS norm_micro
-         FROM g, t WHERE n_at_rank = t.n_types"""
+         FROM g, t WHERE n_at_rank = t.n_types""",
+
+    // same cents cells, same leave-one-out window subtraction, same
+    // one pinned division
+    "q116_target_encode_oof" ->
+      """WITH g AS (
+           SELECT c_mktsegment AS seg, c_custkey % 5 AS fold,
+             CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_in
+           FROM customer GROUP BY 1, 2),
+         t AS (
+           SELECT seg, fold, n_in, s_in,
+             CAST(sum(n_in) OVER (PARTITION BY seg) AS BIGINT) AS n_tot,
+             CAST(sum(s_in) OVER (PARTITION BY seg) AS BIGINT) AS s_tot
+           FROM g)
+         SELECT seg, fold, n_in, n_tot - n_in AS n_out,
+           CAST(s_tot - s_in AS DOUBLE) / (n_tot - n_in) / 100 AS oof_mean
+         FROM t""",
+
+    // same 13-hex md5 uniforms, same u² outcome rate, same nano-unit
+    // confidence sums and pinned final divisions
+    "q118_calibration_bins" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) / 4503599627370496.0 AS u,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|y'), 1, 13))
+               AS BIGINT) AS h2
+           FROM documents),
+         b AS (
+           SELECT CAST(floor(u * 10) AS BIGINT) AS bin, u,
+             h2 % 1000000 < CAST(floor(u * u * 1000000) AS BIGINT) AS hit
+           FROM d),
+         g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(sum(CAST(floor(u * 1e9) AS BIGINT)) AS BIGINT) AS conf_fp
+           FROM b GROUP BY bin)
+         SELECT bin, n, n_hit, conf_fp,
+           CAST(n_hit AS DOUBLE) / n AS accuracy,
+           CAST(conf_fp AS DOUBLE) / n / 1e9 AS mean_conf,
+           abs(CAST(n_hit AS DOUBLE) / n - CAST(conf_fp AS DOUBLE) / n / 1e9)
+             AS gap
+         FROM g""",
+
+    // same micro-unit √tokens, same exact normalizers over the
+    // collapsed domain frame, same pinned share divisions
+    "q11D_temp_mixture" ->
+      """WITH s AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         f AS (
+           SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+             AS s_fp
+           FROM s),
+         t AS (
+           SELECT *, CAST(sum(s_fp) OVER () AS BIGINT) AS tot_fp,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens
+           FROM f)
+         SELECT source, n_docs, n_tokens, s_fp,
+           CAST(s_fp AS DOUBLE) / tot_fp AS weight,
+           (CAST(s_fp AS DOUBLE) / tot_fp)
+             / (CAST(n_tokens AS DOUBLE) / tot_tokens) AS factor
+         FROM t"""
   )
 }

@@ -371,4 +371,162 @@ class QueryPropertySpec extends SparkSpec {
         && r.getAs[Double]("match_rate") <= 1.0)
     }
   }
+
+  test("q113: RRF scores reconstruct from ranks and the cut is total") {
+    val rows = SparkEntry.queries("q113_hybrid_rrf")(spark, dir)
+      .orderBy("rnk").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq ===
+      (1L to rows.length).toSeq)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val r1 = Option(r.getAs[Any]("r1")).map(_.asInstanceOf[Long])
+      val r2 = Option(r.getAs[Any]("r2")).map(_.asInstanceOf[Long])
+      assert(r1.isDefined || r2.isDefined, "doc in neither head")
+      r1.foreach(v => assert(v >= 1 && v <= 100))
+      r2.foreach(v => assert(v >= 1 && v <= 100))
+      val expected = r1.map(v => 1000000000L / (60 + v)).getOrElse(0L) +
+        r2.map(v => 1000000000L / (60 + v)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_fp") === expected)
+      assert(r.getAs[Long]("rrf_fp") <= prev, "fused order not descending")
+      prev = r.getAs[Long]("rrf_fp")
+    }
+  }
+
+  test("q114: CUPED reduction is consistent with its variance identity") {
+    val rows = SparkEntry.queries("q114_cuped")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 1)
+      val varY = r.getAs[Double]("var_y")
+      val varAdj = r.getAs[Double]("var_adj")
+      val red = r.getAs[Double]("reduction")
+      assert(varY > 0.0 && varAdj >= 0.0)
+      assert(math.abs(red - (1.0 - varAdj / varY)) < 1e-12)
+    }
+  }
+
+  test("q115: SRM chi-square is consistent with arm counts") {
+    val rows = SparkEntry.queries("q115_srm_check")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val chi2 = r.getAs[Double]("chi2")
+      assert(na + nb > 0)
+      assert(math.abs(chi2 -
+        (na - nb).toDouble * (na - nb) / (na + nb)) < 1e-9)
+      assert(r.getAs[Boolean]("srm_flag") === (chi2 > 3.841))
+    }
+  }
+
+  test("q116: OOF encoding excludes exactly the in-fold rows") {
+    val rows = SparkEntry.queries("q116_target_encode_oof")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySeg = rows.groupBy(_.getAs[String]("seg"))
+    bySeg.values.foreach { fs =>
+      val tot = fs.map(_.getAs[Long]("n_in")).sum
+      fs.foreach { r =>
+        assert(r.getAs[Long]("n_out") === tot - r.getAs[Long]("n_in"))
+        assert(!r.getAs[Double]("oof_mean").isNaN)
+      }
+    }
+  }
+
+  test("q117: PSI terms are non-negative and total to the sum") {
+    val rows = SparkEntry.queries("q117_psi_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("psi_total_fp")
+    // each term (p_b-p_a)·ln(p_b/p_a) ≥ 0 mathematically; flooring
+    // the IEEE product can shave at most one nano-unit below zero
+    rows.foreach(r => assert(r.getAs[Long]("term_fp") >= -1L))
+    assert(rows.map(_.getAs[Long]("term_fp")).sum === total)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("psi_total_fp") === total, "total not constant"))
+  }
+
+  test("q118: calibration bins partition the corpus and bound confidence") {
+    val rows = SparkEntry.queries("q118_calibration_bins")(spark, dir)
+      .collect()
+    val nDocs = graft.io.Sources.table(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nDocs)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val mc = r.getAs[Double]("mean_conf")
+      assert(mc >= bin / 10.0 - 1e-9 && mc < (bin + 1) / 10.0 + 1e-9)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("gap") >= 0.0)
+    }
+  }
+
+  test("q119: UCB bonus shrinks with arm pulls") {
+    val rows = SparkEntry.queries("q119_ucb_bandit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+      (1L to rows.length).toSeq)
+    val byN = rows.sortBy(_.getAs[Long]("n"))
+    byN.zip(byN.tail).foreach { case (a, b) =>
+      if (a.getAs[Long]("n") < b.getAs[Long]("n"))
+        assert(a.getAs[Double]("bonus") > b.getAs[Double]("bonus"),
+          "bonus not decreasing in n")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("mean01") <= 1.0 + 1e-12))
+  }
+
+  test("q11A: conformal bounds are ordered and coverage is a ratio") {
+    val rows = SparkEntry.queries("q11A_conformal_coverage")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("n_in") <= r.getAs[Long]("n_test"))
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+  }
+
+  test("q11B: Adamic-Adar pairs are novel and weight-bounded") {
+    val rows = SparkEntry.queries("q11B_adamic_adar")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // max per-neighbor weight is 1/ln(2) (deg=2 floor of the cap)
+    val maxW = math.floor(1e9 / math.log(2.0)).toLong
+    var prev = Long.MaxValue
+    rows.sortBy(_.getAs[Long]("rnk")).foreach { r =>
+      val n = r.getAs[Long]("n_common")
+      val aa = r.getAs[Long]("aa_fp")
+      assert(n >= 1)
+      assert(aa <= n * maxW, s"aa_fp $aa exceeds $n × 1/ln2")
+      assert(aa <= prev, "not ordered by score")
+      prev = aa
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+    }
+  }
+
+  test("q11C: Mann-Kendall S is bounded by the pair count") {
+    val rows = SparkEntry.queries("q11C_mann_kendall")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      val s = r.getAs[Long]("s_stat")
+      assert(math.abs(s) <= n * (n - 1) / 2)
+      assert(r.getAs[Long]("var18_num") === n * (n - 1) * (2 * n + 5))
+      val z = r.getAs[Double]("z")
+      val trend = r.getAs[String]("trend")
+      assert(trend === (if (z > 1.96) "up" else if (z < -1.96) "down"
+        else "none"))
+    }
+  }
+
+  test("q11D: temperature mixture weights normalize and damp the head") {
+    val rows = SparkEntry.queries("q11D_temp_mixture")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.zip(byTok.tail).foreach { case (a, b) =>
+      if (a.getAs[Long]("n_tokens") < b.getAs[Long]("n_tokens"))
+        assert(a.getAs[Double]("factor") > b.getAs[Double]("factor"),
+          "sqrt damping must boost smaller domains more")
+    }
+  }
 }
