@@ -884,6 +884,146 @@ object EventQueries {
           col("var18_num"), col("z"), col("trend"))
     }),
 
+    // Differentially-private histogram release (Laplace mechanism,
+    // ε = 1) — what a privacy-preserving analytics endpoint actually
+    // publishes instead of raw counts: n + Lap(1/ε) per cell. The
+    // noise draw is the exact inverse-CDF transform of a
+    // deterministic md5-uniform (the qFA discipline): u → −sign(u−½)
+    // ·ln(1−2|u−½|), with ln through LnExact (correctly rounded —
+    // both engines floor the identical double) and the result
+    // quantized to micro-units, so the released value is exact
+    // integer arithmetic and hash-checks across engines. One
+    // map-side-combinable count; noise is a 5-row narrow map.
+    "q11E_dp_histogram" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(event_type || '|dp'), 1, 13), 16, 10)
+             AS DOUBLE) / 4.503599627370496e15"""))
+        .withColumn("lnv",
+          graft.functions.LnExact(expr("1.0 - 2.0 * abs(u - 0.5)")))
+        .withColumn("noise_fp", expr(
+          "CAST(floor(-sign(u - 0.5) * lnv * 1e6) AS BIGINT)"))
+        .withColumn("released_fp", expr("n * 1000000 + noise_fp"))
+        .withColumn("released", expr("CAST(released_fp AS DOUBLE) / 1e6"))
+        .select(col("event_type"), col("n"), col("u"), col("noise_fp"),
+          col("released_fp"), col("released"))
+    }),
+
+    // Lag/rolling feature matrix — the feature-store staple every
+    // forecasting and churn model trains on: per-user daily spend
+    // with lag-1, lag-7, and a 7-observation rolling sum/count
+    // (observation-window semantics: gaps are real, the frame is
+    // ROWS not RANGE — documented). The windows PARTITION BY user —
+    // embarrassingly parallel at any scale, never a global sort.
+    // Users are cut to a deterministic 1-in-13 panel so the feature
+    // frame is audit-sized; every column is an exact BIGINT (nulls
+    // where the lag runs off the series start propagate through
+    // delta1 — the model-side imputation decision stays downstream).
+    "q11F_lag_features" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .filter(col("user_id") % 13 === 3)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id", "d").agg(sum("cents").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("d").asc)
+      val w7 = w.rowsBetween(-6, 0)
+      daily
+        .withColumn("lag1", lag("cents", 1).over(w))
+        .withColumn("lag7", lag("cents", 7).over(w))
+        .withColumn("roll7_sum", sum("cents").over(w7))
+        .withColumn("roll7_n", count(lit(1)).over(w7))
+        .withColumn("delta1", col("cents") - col("lag1"))
+    }),
+
+    // Group-sequential interim analysis (O'Brien–Fleming, K = 4
+    // looks) — how a mature experiment platform peeks early without
+    // inflating false positives: the z statistic at each quarter of
+    // the test window is compared to a DECREASING spending boundary
+    // (4.332 → 2.014), so early stops need overwhelming evidence.
+    // Looks are exact integer time-quarters of [min ts, max ts];
+    // per-(look, arm) moments are one grouped pass in floor-dollars
+    // (the second-moment overflow discipline); cumulative-to-look
+    // sums are a window over the collapsed 8-row frame; z is the
+    // Welch statistic as pinned IEEE ops on exact integers.
+    "q121_group_sequential" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select((col("user_id") % 2).as("arm"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value")).cast("long").as("dlr"))
+      val bounds = e.agg(min("us").as("lo"), max("us").as("hi"))
+      val per = e.crossJoin(broadcast(bounds))
+        .withColumn("look", expr(
+          "least(CAST(3 AS BIGINT), ((us - lo) * 4) div (hi - lo + 1)) + 1"))
+        .groupBy("look", "arm")
+        .agg(count(lit(1)).as("n"), sum("dlr").as("sd"),
+          sum(col("dlr") * col("dlr")).as("ssd"))
+      val wc = Window.partitionBy("arm").orderBy(col("look").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per
+        .withColumn("cn", sum("n").over(wc))
+        .withColumn("cs", sum("sd").over(wc))
+        .withColumn("css", sum("ssd").over(wc))
+      val a = cum.filter(col("arm") === 0)
+        .select(col("look"), col("cn").as("n_a"), col("cs").as("s_a"),
+          col("css").as("ss_a"))
+      val b = cum.filter(col("arm") === 1)
+        .select(col("look").as("lb"), col("cn").as("n_b"),
+          col("cs").as("s_b"), col("css").as("ss_b"))
+      a.join(b, col("look") === col("lb")).drop("lb")
+        .withColumn("z", expr(
+          """(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt(
+               (CAST(n_a AS DOUBLE) * ss_a - CAST(s_a AS DOUBLE) * s_a)
+                 / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+               + (CAST(n_b AS DOUBLE) * ss_b - CAST(s_b AS DOUBLE) * s_b)
+                 / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b)"""))
+        .withColumn("obf_bound", expr(
+          """CAST(CASE look WHEN 1 THEN 4.332 WHEN 2 THEN 2.963
+             WHEN 3 THEN 2.359 ELSE 2.014 END AS DOUBLE)"""))
+        .withColumn("crossed", expr("abs(z) > obf_bound"))
+        .select(col("look"), col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+          col("z"), col("obf_bound"), col("crossed"))
+    }),
+
+    // Bucket-jackknife standard error of a ratio metric (revenue per
+    // click) — the delete-one-group variance every experimentation
+    // readout quotes for a metric that is a RATIO of sums (the delta
+    // method's empirical twin; Tukey '58). Users hash to 32 md5
+    // buckets; each leave-one-bucket-out ratio is a pinned double on
+    // exact integer sums, its deviation from θ̂ quantizes to
+    // milli-units (squares stay far under 2⁶³ — the overflow
+    // discipline), and the variance assembles from exact BIGINT
+    // moments over the collapsed 32-row frame. One pass over events.
+    "q122_jackknife_ratio" -> ((s, dir) => {
+      val per = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("bkt", graft.dedup.Dedup.md5Long(
+          concat(col("user_id").cast("string"), lit("|jk"))) % 32)
+        .groupBy("bkt")
+        .agg(sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("num"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("den"))
+      val w = Window.partitionBy()
+      per
+        .withColumn("tnum", sum("num").over(w))
+        .withColumn("tden", sum("den").over(w))
+        .withColumn("theta", expr("CAST(tnum AS DOUBLE) / tden"))
+        .withColumn("r_i", expr("CAST(tnum - num AS DOUBLE) / (tden - den)"))
+        .withColumn("dev_fp", expr(
+          "CAST(floor((r_i - theta) * 1e3) AS BIGINT)"))
+        .withColumn("s_dev", sum("dev_fp").over(w))
+        .withColumn("ss_dev", sum(expr("dev_fp * dev_fp")).over(w))
+        .withColumn("var_jk", expr(
+          """31.0 / 32 * (CAST(ss_dev AS DOUBLE)
+             - CAST(s_dev AS DOUBLE) * s_dev / 32) / 1e6"""))
+        .withColumn("se_jk", expr("sqrt(var_jk)"))
+        .select(col("bkt"), col("num"), col("den"), col("theta"),
+          col("r_i"), col("dev_fp"), col("var_jk"), col("se_jk"))
+    }),
+
     "q51_window_sliding" -> ((s, dir) =>
       EventWindows.sliding(table(s, dir, "events"), "1 hour", "30 minutes")),
 
@@ -1492,6 +1632,126 @@ object EventQueries {
            CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
              ELSE 'none' END AS trend
          FROM z""",
+
+    // same md5 uniforms, same inverse-CDF Laplace transform through
+    // the correctly-rounded ln, same micro-unit release integers
+    "q11E_dp_histogram" ->
+      """WITH c AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+         u AS (
+           SELECT *, CAST(CAST(('0x' || substr(md5(event_type || '|dp'), 1, 13))
+             AS BIGINT) AS DOUBLE) / 4.503599627370496e15 AS u
+           FROM c),
+         l AS (
+           SELECT *, ln(1.0 - 2.0 * abs(u - 0.5)) AS lnv FROM u),
+         f AS (
+           SELECT *, CAST(floor(-sign(u - 0.5) * lnv * 1e6) AS BIGINT)
+             AS noise_fp
+           FROM l),
+         r AS (
+           SELECT *, n * 1000000 + noise_fp AS released_fp FROM f)
+         SELECT event_type, n, u, noise_fp, released_fp,
+           CAST(released_fp AS DOUBLE) / 1e6 AS released
+         FROM r""",
+
+    // same 1-in-13 panel, same per-user daily cents, same ROWS-frame
+    // lags and 7-observation rolling sums — all exact BIGINTs
+    "q11F_lag_features" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events WHERE user_id % 13 = 3 GROUP BY 1, 2)
+         SELECT user_id, d, cents,
+           lag(cents, 1) OVER w AS lag1,
+           lag(cents, 7) OVER w AS lag7,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY d ASC
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_sum,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY d ASC
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n,
+           cents - lag(cents, 1) OVER w AS delta1
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY d ASC)""",
+
+    // same integer time-quarter looks, same floor-dollar moments and
+    // cumulative window, same pinned Welch z and OBF literals
+    "q121_group_sequential" ->
+      """WITH e AS (
+           SELECT user_id % 2 AS arm, epoch_us(ts) AS us,
+             CAST(floor(value) AS BIGINT) AS dlr
+           FROM events),
+         bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+         per AS (
+           SELECT least(CAST(3 AS BIGINT), ((us - lo) * 4) // (hi - lo + 1))
+               + 1 AS look, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dlr) AS BIGINT) AS sd,
+             CAST(sum(dlr * dlr) AS BIGINT) AS ssd
+           FROM e, bounds GROUP BY 1, 2),
+         cum AS (
+           SELECT look, arm,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(sd) OVER w AS BIGINT) AS cs,
+             CAST(sum(ssd) OVER w AS BIGINT) AS css
+           FROM per
+           WINDOW w AS (PARTITION BY arm ORDER BY look ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         j AS (
+           SELECT a.look, a.cn AS n_a, a.cs AS s_a, a.css AS ss_a,
+             b.cn AS n_b, b.cs AS s_b, b.css AS ss_b
+           FROM cum a JOIN cum b ON a.look = b.look
+           WHERE a.arm = 0 AND b.arm = 1),
+         z AS (
+           SELECT *,
+             (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt(
+               (CAST(n_a AS DOUBLE) * ss_a - CAST(s_a AS DOUBLE) * s_a)
+                 / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+               + (CAST(n_b AS DOUBLE) * ss_b - CAST(s_b AS DOUBLE) * s_b)
+                 / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b) AS z
+           FROM j),
+         o AS (
+           SELECT *, CAST(CASE look WHEN 1 THEN 4.332 WHEN 2 THEN 2.963
+             WHEN 3 THEN 2.359 ELSE 2.014 END AS DOUBLE) AS obf_bound
+           FROM z)
+         SELECT look, n_a, n_b, s_a, s_b, z, obf_bound,
+           abs(z) > obf_bound AS crossed
+         FROM o""",
+
+    // same md5 buckets, same leave-one-out ratios and milli-unit
+    // deviations, same exact moment assembly over the 32-row frame
+    "q122_jackknife_ratio" ->
+      """WITH per AS (
+           SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|jk'),
+               1, 15)) AS BIGINT) % 32 AS bkt,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS num,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS den
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT *, CAST(sum(num) OVER () AS BIGINT) AS tnum,
+             CAST(sum(den) OVER () AS BIGINT) AS tden
+           FROM per),
+         r AS (
+           SELECT *, CAST(tnum AS DOUBLE) / tden AS theta,
+             CAST(tnum - num AS DOUBLE) / (tden - den) AS r_i
+           FROM t),
+         d AS (
+           SELECT *, CAST(floor((r_i - theta) * 1e3) AS BIGINT) AS dev_fp
+           FROM r),
+         m AS (
+           SELECT *, CAST(sum(dev_fp) OVER () AS BIGINT) AS s_dev,
+             CAST(sum(dev_fp * dev_fp) OVER () AS BIGINT) AS ss_dev
+           FROM d),
+         v AS (
+           SELECT *, 31.0 / 32 * (CAST(ss_dev AS DOUBLE)
+             - CAST(s_dev AS DOUBLE) * s_dev / 32) / 1e6 AS var_jk
+           FROM m)
+         SELECT bkt, num, den, theta, r_i, dev_fp, var_jk,
+           sqrt(var_jk) AS se_jk
+         FROM v""",
 
     // same total-ordered ntiles (metric, user_id), same segment code
     "q106_rfm_segmentation" ->

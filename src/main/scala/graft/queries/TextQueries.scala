@@ -521,6 +521,35 @@ object TextQueries {
         .withColumn("p_ppm",
           expr("((cnt + 1) * 1000000) div (class_tot + vocab)"))
         .select("lang", "term", "cnt", "class_tot", "vocab", "p_ppm")
+    }),
+
+    // N-gram novelty / memorization audit — the pre-training check
+    // that catches boilerplate and cross-document copying that
+    // doc-level dedup misses: what fraction of each source's 8-gram
+    // instances also occur in at least one OTHER document? Shape:
+    // shingle explode (linear in tokens) → 60-bit hash → document
+    // frequency via a two-phase distinct agg keyed on the hash (a
+    // narrow long shuffle, never the shingle strings) → hash join
+    // back → per-source rollup (bounded rows). Counts exact; the
+    // dup-rate is one pinned division per source.
+    "q120_ngram_novelty" -> ((s, dir) => {
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(TextStats.shingles(col("w"), 8)).as("g"))
+        .select(col("doc_id"), col("source"),
+          graft.dedup.Dedup.md5Long(col("g")).as("h"))
+      val df = sh.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("docf"))
+      sh.join(df, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("docf") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("dup_rate", expr(
+          "CAST(n_shared AS DOUBLE) / n_shingles"))
+        .withColumn("novelty", expr("1.0 - dup_rate"))
     })
   )
 
@@ -1183,6 +1212,32 @@ object TextQueries {
            ((coalesce(c.cnt, 0) + 1) * 1000000) // (ct.class_tot + v.vocab)
              AS p_ppm
          FROM fr CROSS JOIN ct CROSS JOIN v
-         LEFT JOIN c ON c.lang = ct.lang AND c.term = fr.term"""
+         LEFT JOIN c ON c.lang = ct.lang AND c.term = fr.term""",
+
+    // same 8-gram shingles (q37's comprehension spelling), same
+    // 60-bit hash keys, same distinct document frequency and
+    // per-source rollup
+    "q120_ngram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+         sh AS (
+           SELECT doc_id, source,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+           FROM t, unnest([array_to_string(w[i:i+7], ' ')
+             for i in generate_series(1, len(w) - 7)]) AS u(g)),
+         df AS (
+           SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS docf
+           FROM sh GROUP BY h),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN docf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+           FROM sh JOIN df USING (h) GROUP BY source)
+         SELECT source, n_shingles, n_shared,
+           CAST(n_shared AS DOUBLE) / n_shingles AS dup_rate,
+           1.0 - CAST(n_shared AS DOUBLE) / n_shingles AS novelty
+         FROM g"""
   )
 }

@@ -993,7 +993,7 @@ object TrainingQueries {
         .select(col("doc_id"))
         .withColumn("u", expr(
           """CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)
-             AS BIGINT) / 4503599627370496.0"""))
+             AS DOUBLE) / 4.503599627370496e15"""))
         .withColumn("hit", expr(
           """CAST(conv(substring(md5(CAST(doc_id AS STRING) || '|y'), 1, 13),
              16, 10) AS BIGINT) % 1000000
@@ -1816,8 +1816,8 @@ object TrainingQueries {
     "q118_calibration_bins" ->
       """WITH d AS (
            SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-               AS BIGINT) / 4503599627370496.0 AS u,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) AS DOUBLE) / 4.503599627370496e15 AS u,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|y'), 1, 13))
                AS BIGINT) AS h2
            FROM documents),

@@ -518,6 +518,78 @@ class QueryPropertySpec extends SparkSpec {
     }
   }
 
+  test("q11E: DP release decomposes into count and bounded noise") {
+    val rows = SparkEntry.queries("q11E_dp_histogram")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("released_fp") ===
+        r.getAs[Long]("n") * 1000000L + r.getAs[Long]("noise_fp"))
+      // |ln(1-2|u-1/2|)| ≤ 52·ln2 ≈ 36.04 for a 52-bit uniform
+      assert(math.abs(r.getAs[Long]("noise_fp")) <= 37000000L)
+      val u = r.getAs[Double]("u")
+      assert(u >= 0.0 && u < 1.0)
+    }
+  }
+
+  test("q11F: rolling frames are bounded and deltas reconcile") {
+    val rows = SparkEntry.queries("q11F_lag_features")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n7 = r.getAs[Long]("roll7_n")
+      assert(n7 >= 1 && n7 <= 7)
+      assert(r.getAs[Long]("roll7_sum") >= r.getAs[Long]("cents"),
+        "rolling sum below current day (negative spend?)")
+      val lag1 = Option(r.getAs[Any]("lag1")).map(_.asInstanceOf[Long])
+      val d1 = Option(r.getAs[Any]("delta1")).map(_.asInstanceOf[Long])
+      assert(lag1.isDefined === d1.isDefined)
+      (lag1, d1) match {
+        case (Some(l), Some(d)) => assert(d === r.getAs[Long]("cents") - l)
+        case _ =>
+      }
+    }
+  }
+
+  test("q120: shared shingles never exceed the shingle count") {
+    val rows = SparkEntry.queries("q120_ngram_novelty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val s = r.getAs[Long]("n_shared")
+      assert(n > 0 && s >= 0 && s <= n)
+      val dup = r.getAs[Double]("dup_rate")
+      assert(math.abs(r.getAs[Double]("novelty") - (1.0 - dup)) < 1e-15)
+    }
+  }
+
+  test("q121: interim looks accumulate and boundaries tighten") {
+    val rows = SparkEntry.queries("q121_group_sequential")(spark, dir)
+      .orderBy("look").collect()
+    assert(rows.map(_.getAs[Long]("look")).toSeq === Seq(1L, 2L, 3L, 4L))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_a") <= b.getAs[Long]("n_a"))
+      assert(a.getAs[Long]("n_b") <= b.getAs[Long]("n_b"))
+      assert(a.getAs[Double]("obf_bound") > b.getAs[Double]("obf_bound"))
+    }
+    rows.foreach(r => assert(r.getAs[Boolean]("crossed") ===
+      (math.abs(r.getAs[Double]("z")) > r.getAs[Double]("obf_bound"))))
+  }
+
+  test("q122: jackknife estimates reconstruct from bucket totals") {
+    val rows = SparkEntry.queries("q122_jackknife_ratio")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val tnum = rows.map(_.getAs[Long]("num")).sum
+    val tden = rows.map(_.getAs[Long]("den")).sum
+    val theta = rows.head.getAs[Double]("theta")
+    assert(math.abs(theta - tnum.toDouble / tden) < 1e-12)
+    rows.foreach { r =>
+      val exp = (tnum - r.getAs[Long]("num")).toDouble /
+        (tden - r.getAs[Long]("den"))
+      assert(math.abs(r.getAs[Double]("r_i") - exp) < 1e-12)
+      assert(r.getAs[Double]("var_jk") >= 0.0)
+      assert(r.getAs[Double]("var_jk") === rows.head.getAs[Double]("var_jk"))
+    }
+  }
+
   test("q11D: temperature mixture weights normalize and damp the head") {
     val rows = SparkEntry.queries("q11D_temp_mixture")(spark, dir).collect()
     assert(rows.nonEmpty)
