@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin the session TZ so the NTZ→LTZ events cast (io/Sources.scala)
+      // is wall-clock-identity on any host, not just Etc/UTC ones
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,6 +59,16 @@ object Bench {
     // the reported total and slip under a vs-baseline envelope
     val reported = if (failed.nonEmpty) -1.0 else total
     println(s"""{"metric":"total","value":$reported,"unit":"sec","queries":$qs,"staging":$stages,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // compact summary printed LAST: the full per-query line above is
+    // larger than the driver's capture window, so rounds were being
+    // compared on whatever 2-query overlap survived truncation. A
+    // tail-anchored short line always survives and carries the totals
+    // plus the 10 heaviest queries for cross-round comparison.
+    val stagingTotal = results.flatMap(_._3).sum
+    val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$reported,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"query_total_s":${f"$total%.1f"},"staging_total_s":${f"$stagingTotal%.1f"},"top10":$top10,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

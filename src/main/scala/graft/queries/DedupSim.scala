@@ -176,12 +176,15 @@ object DedupSim {
           col("p_name").as("name"))
         .select(col("brand") +: col("name") +:
           (1 to 4).map(k => lag(col("name"), k).over(w).as(s"prev$k")): _*)
-      val hits = (1 to 4).map { k =>
-        o.filter(col(s"prev$k").isNotNull)
-          .select(col("brand"),
-            graft.functions.JaroWinkler(col("name"), col(s"prev$k")).as("sim"))
-          .filter(col("sim") >= 0.95)
-      }.reduce(_ unionAll _)
+      // one pass over the windowed frame: the 4 neighbor similarities
+      // are emitted as an exploded array instead of 4× unionAll
+      // re-reads of the same window (null prev_k → null sim, dropped
+      // by the >= filter exactly like the old isNotNull pre-filter)
+      val hits = o.select(col("brand"),
+          explode(array((1 to 4).map(k =>
+            graft.functions.JaroWinkler(col("name"), col(s"prev$k"))): _*))
+            .as("sim"))
+        .filter(col("sim") >= 0.95)
       hits
         .groupBy("brand")
         .agg(count(lit(1)).as("n_pairs"),
