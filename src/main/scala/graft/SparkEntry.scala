@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, EventQueries, GraphQueries, IoQueries, MultimodalQueries, PipelineQueries, PlanQueries, Relational, Relational2, TextQueries, TrainingQueries, TweetOps}
+import graft.queries.{DedupSim, EvalQueries, EventQueries, GraphQueries, IoQueries, MultimodalQueries, PipelineQueries, PlanQueries, Relational, Relational2, TextQueries, TrainingQueries, TweetOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracles),
       (PlanQueries.queries, PlanQueries.oracles),
       (TrainingQueries.queries, TrainingQueries.oracles),
-      (GraphQueries.queries, GraphQueries.oracles)
+      (GraphQueries.queries, GraphQueries.oracles),
+      (EvalQueries.queries, EvalQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

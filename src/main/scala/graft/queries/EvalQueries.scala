@@ -1,0 +1,659 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources.table
+
+/** Evaluation-science and curation-analytics queries (round 7): the
+  * statistical machinery an LLM-training data/eval pipeline runs on
+  * top of the curation engine — corpus growth law fitting, survival
+  * analysis, preference-model aggregation, observational matching,
+  * label-noise estimation, dialog-structure audits, robust trend
+  * estimation, and link analysis.
+  *
+  * Float discipline (the repo-wide contract): every aggregate that
+  * crosses a shuffle is an exact integer (cents / nano-quantized
+  * BIGINT, or decimal(38,0) moments à la qB3); doubles appear only in
+  * pinned final per-row expressions that the DuckDB oracle replays in
+  * the identical op order. Natural logs go through [[graft.functions.LnExact]]
+  * (correctly-rounded, matches DuckDB's libm `ln` — q11B precedent)
+  * and are floor-quantized to integer nanos BEFORE any sum.
+  */
+object EvalQueries {
+
+  /** md5-derived uniform in [0, 2^52) as a BIGINT — the q118 synthetic
+    * randomness convention (13 hex chars = 52 bits, exact in a double). */
+  private def md5Bits(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Heaps'-law fit: V(N) = K·N^β — the vocabulary-growth curve every
+    // tokenizer/corpus sizing study starts from. Token first-
+    // occurrences come from ONE hash aggregate (token → min doc_id):
+    // at 100 TB this is the same map-side-combinable groupBy as exact
+    // dedup, never a sort. The cumulative frame then has ONE ROW PER
+    // DOCUMENT (corpus doc count, ~1e9 at scale — bounded and tiny
+    // next to the token stream), and the global-order prefix sums run
+    // on that collapsed frame; the OLS moments over (ln N, ln V) are
+    // nano-quantized BIGINTs summed in decimal(38,0) (qB3 discipline),
+    // so the fit is partition-order-invariant. Output: one row.
+    "q123_heaps_law" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val newPerDoc = toks.groupBy("tok").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("new_toks"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        .join(newPerDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("new_toks"))
+      val wCum = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = perDoc
+        .withColumn("n_cum", sum("n_toks").over(wCum))
+        .withColumn("v_cum", sum("new_toks").over(wCum))
+        .select(
+          floor(graft.functions.LnExact(col("n_cum").cast("double")) * 1e9)
+            .cast("long").as("x_fp"),
+          floor(graft.functions.LnExact(col("v_cum").cast("double")) * 1e9)
+            .cast("long").as("y_fp"),
+          col("n_cum"), col("v_cum"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = pts.agg(
+        count(lit(1)).as("n"),
+        max("n_cum").as("tokens_total"), max("v_cum").as("vocab_total"),
+        sum(dec(col("x_fp"))).as("sx"), sum(dec(col("y_fp"))).as("sy"),
+        sum(dec(col("x_fp")) * dec(col("y_fp"))).as("sxy"),
+        sum(dec(col("x_fp")) * dec(col("x_fp"))).as("sxx"))
+      val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+      val den = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+      m.select(col("n").as("n_docs"), col("tokens_total"), col("vocab_total"),
+          num.cast("double").as("numd"), den.cast("double").as("dend"),
+          col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+          col("n"))
+        .select(col("n_docs"), col("tokens_total"), col("vocab_total"),
+          (col("numd") / col("dend")).as("heaps_beta"),
+          (((col("syd") - (col("numd") / col("dend")) * col("sxd")) / col("n"))
+            / 1e9).as("heaps_lnk"))
+    }),
+
+    // Caliper nearest-neighbor matching (propensity-score shape): the
+    // observational-causal workhorse — match each treated unit to its
+    // nearest control on a score, within a caliper. Controls collapse
+    // to ONE ROW PER DISTINCT SCORE first (bounded: the score grid,
+    // 10k cells here), which (a) makes the nearest-below/above lookup
+    // deterministic with no tie ambiguity and (b) turns the match
+    // into two sorted-merge passes over a treated∪control-grid union —
+    // the q18 as-of shape, linear after the sort, never a pair join.
+    // Distances and outcome diffs are exact cents BIGINTs.
+    "q124_caliper_match" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("score", col("cents") % 10000L)
+      val ctl = e.filter(col("event_type") === "view")
+        .groupBy("score").agg(min("cents").as("c_cents"))
+      val trt = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("score"), col("cents"))
+      val u = trt.select(col("event_id"), col("score"), col("cents"),
+          lit(null).cast("long").as("g_score"), lit(null).cast("long").as("g_cents"),
+          lit(0).as("is_g"))
+        .union(ctl.select(lit(-1L).as("event_id"), col("score"),
+          lit(null).cast("long").as("cents"),
+          col("score").as("g_score"), col("c_cents").as("g_cents"), lit(1).as("is_g")))
+      // grid rows sort before treated at the same score in BOTH
+      // directions, so an exact-score control is its own match
+      val wUp = Window.orderBy(col("score").asc, col("is_g").desc,
+          col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDn = Window.orderBy(col("score").desc, col("is_g").desc,
+          col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val matched = u
+        .withColumn("lo_score", last(when(col("is_g") === 1, col("g_score")),
+          ignoreNulls = true).over(wUp))
+        .withColumn("lo_cents", last(when(col("is_g") === 1, col("g_cents")),
+          ignoreNulls = true).over(wUp))
+        .withColumn("hi_score", last(when(col("is_g") === 1, col("g_score")),
+          ignoreNulls = true).over(wDn))
+        .withColumn("hi_cents", last(when(col("is_g") === 1, col("g_cents")),
+          ignoreNulls = true).over(wDn))
+        .filter(col("is_g") === 0)
+        .withColumn("d_lo", when(col("lo_score").isNotNull,
+          col("score") - col("lo_score")))
+        .withColumn("d_hi", when(col("hi_score").isNotNull,
+          col("hi_score") - col("score")))
+        .withColumn("use_lo", col("d_lo").isNotNull &&
+          (col("d_hi").isNull || col("d_lo") <= col("d_hi")))
+        .withColumn("m_dist", when(col("use_lo"), col("d_lo")).otherwise(col("d_hi")))
+        .withColumn("m_cents", when(col("use_lo"), col("lo_cents")).otherwise(col("hi_cents")))
+        .withColumn("is_match", col("m_dist").isNotNull && col("m_dist") <= 50L)
+      matched
+        .groupBy((col("score") / lit(1000L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_treated"),
+          sum(when(col("is_match"), 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("is_match"), col("cents") - col("m_cents"))
+            .otherwise(0L)).as("diff_cents"))
+        .withColumn("att_dollars", when(col("n_matched") > 0,
+          expr("CAST(diff_cents AS DOUBLE) / n_matched / 100")))
+    }),
+
+    // Kaplan–Meier survival over user lifetimes: per-user duration =
+    // days between first and last event; "death" = the user's final
+    // event is an 'error' (churn proxy), otherwise right-censored.
+    // The life table collapses to one row per distinct duration-day
+    // (bounded by the calendar span), so the at-risk reverse prefix
+    // sum and the survival product both run on a tiny frame; the
+    // product is exp of a cumulative BIGINT sum of nano-quantized
+    // ln(1 − d/n) terms — ordered, exact, partition-invariant.
+    "q125_kaplan_meier" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val users = e
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+          floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / lit(86400000000L)).as("dur_days"),
+          max(when(col("rn") === 1, col("event_type"))).as("last_type"))
+        .withColumn("observed", when(col("last_type") === "error", 1L).otherwise(0L))
+      val lt = users.groupBy("dur_days")
+        .agg(count(lit(1)).as("n_at"), sum("observed").as("deaths"))
+      val wRisk = Window.orderBy(col("dur_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSurv = Window.orderBy(col("dur_days").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lt.withColumn("at_risk", sum("n_at").over(wRisk))
+        .withColumn("lnq_fp", when(col("deaths") > 0,
+          floor(graft.functions.LnExact(
+            lit(1.0) - col("deaths").cast("double") / col("at_risk")) * 1e9)
+            .cast("long")).otherwise(0L))
+        .withColumn("survival",
+          exp(sum("lnq_fp").over(wSurv).cast("double") / 1e9))
+        .filter(col("deaths") > 0)
+        .select(col("dur_days"), col("at_risk"), col("deaths"), col("survival"))
+    }),
+
+    // Bradley–Terry preference strengths (2 MM iterations) — the
+    // pairwise-preference aggregation under every RLHF reward-data
+    // pipeline. "Comparisons" are consecutive same-user events: the
+    // higher-valued event's type wins (tie → earlier). The raw stream
+    // collapses map-side to a ≤K² pair matrix (K = #types), so the MM
+    // iterations run on a broadcast-size frame no matter the event
+    // count. Strengths stay micro-quantized BIGINTs between
+    // iterations; per-pair MM terms use exact BIGINT floor division
+    // (n·10¹² DIV (π_i+π_j)), so iteration 2 is bit-identical across
+    // engines with zero float sums.
+    "q126_bradley_terry" -> ((s, dir) => {
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val comp = table(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("p_type", lag("event_type", 1).over(wSeq))
+        .withColumn("p_cents", lag("cents", 1).over(wSeq))
+        .filter(col("p_type").isNotNull && col("p_type") =!= col("event_type"))
+        .withColumn("winner", when(col("cents") > col("p_cents"),
+          col("event_type")).otherwise(col("p_type")))
+        .withColumn("loser", when(col("cents") > col("p_cents"),
+          col("p_type")).otherwise(col("event_type")))
+      val pairs = comp.groupBy("winner", "loser").agg(count(lit(1)).as("n_wl"))
+      val und = pairs.select(col("winner").as("a"), col("loser").as("b"), col("n_wl"))
+        .union(pairs.select(col("loser").as("a"), col("winner").as("b"), lit(0L)))
+        .groupBy("a", "b").agg(sum("n_wl").as("wins_ab"))
+        // n_ab = wins_ab + wins_ba: the partition holds exactly the
+        // (a,b) and (b,a) rows, so the partition sum IS the pair total
+        .withColumn("n_ab", sum("wins_ab").over(Window.partitionBy(
+          least(col("a"), col("b")), greatest(col("a"), col("b")))))
+      // iteration 1 from π=1: π₁ = W / (N/2), micro-quantized
+      val it1 = und.groupBy("a")
+        .agg(sum("wins_ab").as("w"), sum("n_ab").as("n"))
+        .withColumn("p1_fp",
+          floor(lit(2e6) * col("w").cast("double") / col("n")).cast("long"))
+      // iteration 2: π₂ = W / Σ_b n_ab/(π₁a+π₁b), all-integer terms
+      val p1 = it1.select(col("a").as("k"), col("p1_fp").as("pf"))
+      val terms = und
+        .join(p1.withColumnRenamed("k", "a").withColumnRenamed("pf", "pa"), "a")
+        .join(p1.withColumnRenamed("k", "b").withColumnRenamed("pf", "pb"), "b")
+        .withColumn("term_fp",
+          expr("n_ab * 1000000000000L div (pa + pb)"))
+        .groupBy("a").agg(sum("term_fp").as("den_fp"))
+      it1.join(terms, "a")
+        .select(col("a").as("event_type"), col("w").as("n_wins"),
+          col("n").as("n_comparisons"), col("p1_fp"),
+          (col("w").cast("double") * 1e6 / col("den_fp")).as("strength"))
+    }),
+
+    // Confident-learning label-noise matrix (Northcutt-style): class
+    // thresholds t_j = mean score of class j among examples LABELED j;
+    // an example votes for class j* = argmax over classes whose score
+    // clears t_j. Scores are synthetic md5 uniforms (+ a true-class
+    // boost, so the matrix has real diagonal structure — q118's
+    // knowably-structured-randomness convention). Everything is
+    // integer-exact: the threshold compare is score·n_j ≥ Σscores
+    // (BIGINT cross-multiply, no mean division), argmax ties break by
+    // class name. Shape: docs × K explode → one groupBy for
+    // thresholds (K rows, broadcast back) → windowed argmax → K²
+    // matrix. Linear in docs, K=5.
+    "q127_label_noise" -> ((s, dir) => {
+      val langs = table(s, dir, "documents").select(col("lang").as("cls")).distinct()
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .crossJoin(broadcast(langs))
+        .withColumn("score_fp",
+          md5Bits(concat(col("doc_id").cast("string"), lit("|"), col("cls")))
+              % lit(1000000000L)
+            + when(col("cls") === col("lang"), lit(500000000L)).otherwise(lit(0L)))
+      val thr = scored.filter(col("cls") === col("lang"))
+        .groupBy("cls").agg(count(lit(1)).as("n_j"), sum("score_fp").as("s_j"))
+      val wArg = Window.partitionBy("doc_id")
+        .orderBy(col("score_fp").desc, col("cls").asc)
+      scored.join(broadcast(thr), "cls")
+        .filter(col("score_fp") * col("n_j") >= col("s_j"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("label"), col("cls").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_noise_cell", (col("label") =!= col("predicted")).cast("int"))
+    }),
+
+    // Dialog-turn structure audit — the SFT-conversation shape checks
+    // (turn counts, who opens/closes, turn lengths) run per session.
+    // Sessions use a 24 h gap (the synthetic stream's median same-user
+    // gap is ~7 h, so 24 h yields real multi-turn sessions); turns are
+    // role runs (qD0's RLE trick: cumulative role-change counter).
+    // All narrow per-user windows + one bounded groupBy by turn-count
+    // bucket; ratios are single pinned divisions over exact counts.
+    "q128_dialog_turns" -> ((s, dir) => {
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ev = table(s, dir, "events")
+        .withColumn("role", when(col("event_type").isin("click", "view"), "u")
+          .otherwise("a"))
+        .withColumn("new_s", when(col("ts").cast("long")
+            - lag(col("ts").cast("long"), 1).over(wSeq) >= 86400L
+            || lag(col("ts"), 1).over(wSeq).isNull, 1L).otherwise(0L))
+        .withColumn("sess", sum("new_s").over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wSess = Window.partitionBy("user_id", "sess")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val turns = ev
+        .withColumn("turn_brk", when(lag("role", 1).over(wSess).isNull
+          || lag("role", 1).over(wSess) =!= col("role"), 1L).otherwise(0L))
+        .withColumn("turn", sum("turn_brk").over(
+          wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSess = turns.groupBy("user_id", "sess")
+        .agg(max("turn").as("n_turns"), count(lit(1)).as("n_events"),
+          // (user_id, ts) is unique in events, so ts alone is a total
+          // order within the session — a single-column min_by/max_by
+          // key both engines agg identically
+          min_by(col("role"), col("ts")).as("open_role"),
+          max_by(col("role"), col("ts")).as("close_role"))
+      perSess
+        .groupBy(least(col("n_turns"), lit(6L)).as("turns_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          sum(when(col("open_role") === "u", 1L).otherwise(0L)).as("n_open_u"),
+          sum(when(col("close_role") === "a", 1L).otherwise(0L)).as("n_close_a"),
+          sum("n_turns").as("n_turns_sum"))
+        .withColumn("avg_turn_len",
+          expr("CAST(n_events AS DOUBLE) / n_turns_sum"))
+        .withColumn("open_u_rate",
+          expr("CAST(n_open_u AS DOUBLE) / n_sessions"))
+    }),
+
+    // Theil–Sen robust trend per event type — the outlier-proof slope
+    // estimator for metric drift. The pair set is explicitly bounded:
+    // the first 102 events per type (row_number sample) give exactly
+    // C(102,2)=5151 pairwise slopes — odd by construction, so the
+    // median is a POSITIONAL element (rank 2576 of the slope order),
+    // no interpolation, no float averaging. x is the sample index, so
+    // Δx>0 always and each slope is one pinned double division of
+    // exact cents. Per-group work is a constant 102×102 regardless of
+    // data size — the capped-sample robust-statistic shape.
+    "q129_theil_sen" -> ((s, dir) => {
+      val wSmp = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val smp = table(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("idx", row_number().over(wSmp))
+        .filter(col("idx") <= 102)
+        .select(col("event_type"), col("idx").cast("long").as("idx"), col("cents"))
+      val slopes = smp.as("i").join(smp.as("j"),
+          col("i.event_type") === col("j.event_type") &&
+            col("i.idx") < col("j.idx"))
+        .select(col("i.event_type").as("event_type"),
+          ((col("j.cents") - col("i.cents")).cast("double")
+            / (col("j.idx") - col("i.idx"))).as("slope"),
+          col("i.idx").as("i"), col("j.idx").as("j"))
+      val wMed = Window.partitionBy("event_type")
+        .orderBy(col("slope").asc, col("i").asc, col("j").asc)
+      slopes
+        .withColumn("rn", row_number().over(wMed))
+        .withColumn("n_pairs", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .filter(col("rn") === (col("n_pairs") + 1) / 2)
+        .select(col("event_type"), col("n_pairs"),
+          col("slope").as("ts_slope_cents_per_step"))
+    }),
+
+    // HITS hubs & authorities (2 exact iterations) on the customer →
+    // supplier purchase graph — the other classic link-analysis
+    // fixed point next to qA3's PageRank, and the bipartite ranking
+    // shape retrieval pipelines use for query↔doc graphs. Scores stay
+    // RAW BIGINT sums through both iterations (no per-step float
+    // normalization — auth₂ ≈ Σdeg·deg fits int64 at bench scale;
+    // decimal(38,0) is the stated 100 TB upgrade), one pinned
+    // division to a relative score at the end. Each iteration is one
+    // shuffle-join + partial agg on the distinct edge list; top-20 is
+    // TakeOrderedAndProject, never a global sort.
+    "q12A_hits" -> ((s, dir) => {
+      val e = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .localCheckpoint()
+      // hub₀ = 1 ⇒ auth₁ = in-degree; hub₁ = Σ auth₁ over c's edges
+      val auth1 = e.groupBy("sup").agg(count(lit(1)).as("a1"))
+      val hub1 = e.join(auth1, "sup").groupBy("c").agg(sum("a1").as("h1"))
+      val auth2 = e.join(hub1, "c").groupBy("sup").agg(sum("h1").as("a2"))
+      val mx = auth2.agg(max("a2").as("mx"))
+      auth2.crossJoin(broadcast(mx))
+        .orderBy(col("a2").desc, col("sup").asc).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("a2").desc, col("sup").asc)).cast("long"))
+        .select(col("rnk"), col("sup").as("s_suppkey"),
+          col("a2").as("authority_fp"),
+          (col("a2").cast("double") / col("mx")).as("authority_rel"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q123_heaps_law" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         newperdoc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS new_toks FROM (
+             SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok) f
+           GROUP BY doc_id),
+         perdoc AS (
+           SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(coalesce(any_value(n.new_toks), 0) AS BIGINT) AS new_toks
+           FROM toks t LEFT JOIN newperdoc n ON t.doc_id = n.doc_id
+           GROUP BY t.doc_id),
+         cum AS (
+           SELECT
+             CAST(sum(n_toks) OVER w AS BIGINT) AS n_cum,
+             CAST(sum(new_toks) OVER w AS BIGINT) AS v_cum
+           FROM perdoc
+           WINDOW w AS (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pts AS (
+           SELECT n_cum, v_cum,
+             CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e9) AS BIGINT) AS x_fp,
+             CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1e9) AS BIGINT) AS y_fp
+           FROM cum),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             max(n_cum) AS tokens_total, max(v_cum) AS vocab_total,
+             CAST(sum(CAST(x_fp AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y_fp AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x_fp AS HUGEINT) * CAST(y_fp AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x_fp AS HUGEINT) * CAST(x_fp AS HUGEINT)) AS HUGEINT) AS sxx
+           FROM pts)
+         SELECT n AS n_docs, tokens_total, vocab_total,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS heaps_beta,
+           ((CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE)) / 1e9 AS heaps_lnk
+         FROM m""",
+
+    "q124_caliper_match" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(round(value * 100) AS BIGINT) % 10000 AS score
+           FROM events),
+         ctl AS (
+           SELECT score, min(cents) AS c_cents FROM e
+           WHERE event_type = 'view' GROUP BY score),
+         trt AS (
+           SELECT event_id, score, cents FROM e WHERE event_type = 'purchase'),
+         m AS (
+           SELECT t.event_id, t.score, t.cents,
+             lo.score AS lo_score, lo.c_cents AS lo_cents,
+             hi.score AS hi_score, hi.c_cents AS hi_cents
+           FROM trt t
+           ASOF LEFT JOIN ctl lo ON lo.score <= t.score
+           ASOF LEFT JOIN ctl hi ON hi.score >= t.score),
+         d AS (
+           SELECT *,
+             CASE WHEN lo_score IS NOT NULL THEN score - lo_score END AS d_lo,
+             CASE WHEN hi_score IS NOT NULL THEN hi_score - score END AS d_hi
+           FROM m),
+         pick AS (
+           SELECT *,
+             (d_lo IS NOT NULL AND (d_hi IS NULL OR d_lo <= d_hi)) AS use_lo
+           FROM d),
+         f AS (
+           SELECT score, cents,
+             CASE WHEN use_lo THEN d_lo ELSE d_hi END AS m_dist,
+             CASE WHEN use_lo THEN lo_cents ELSE hi_cents END AS m_cents
+           FROM pick),
+         g AS (
+           SELECT score // 1000 AS bucket, cents, m_cents,
+             (m_dist IS NOT NULL AND m_dist <= 50) AS is_match
+           FROM f)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_treated,
+           CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN is_match THEN cents - m_cents ELSE 0 END) AS BIGINT)
+             AS diff_cents,
+           CASE WHEN sum(CASE WHEN is_match THEN 1 ELSE 0 END) > 0 THEN
+             CAST(sum(CASE WHEN is_match THEN cents - m_cents ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN is_match THEN 1 ELSE 0 END) / 100 END AS att_dollars
+         FROM g GROUP BY bucket""",
+
+    "q125_kaplan_meier" ->
+      """WITH ranked AS (
+           SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+         users AS (
+           SELECT user_id,
+             CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts)))
+               / 86400000000) AS BIGINT) AS dur_days,
+             CAST(CASE WHEN max(CASE WHEN rn = 1 THEN event_type END) = 'error'
+               THEN 1 ELSE 0 END AS BIGINT) AS observed
+           FROM ranked GROUP BY user_id),
+         lt AS (
+           SELECT dur_days, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(observed) AS BIGINT) AS deaths
+           FROM users GROUP BY dur_days),
+         risk AS (
+           SELECT dur_days, deaths,
+             CAST(sum(n_at) OVER (ORDER BY dur_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS at_risk
+           FROM lt),
+         q AS (
+           SELECT dur_days, at_risk, deaths,
+             CASE WHEN deaths > 0 THEN
+               CAST(floor(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk) * 1e9)
+                 AS BIGINT)
+             ELSE 0 END AS lnq_fp
+           FROM risk)
+         SELECT dur_days, at_risk, deaths,
+           exp(CAST(sum(lnq_fp) OVER (ORDER BY dur_days ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1e9) AS survival
+         FROM q
+         QUALIFY deaths > 0""",
+
+    "q126_bradley_terry" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(event_type) OVER w AS p_type,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER w AS p_cents
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         comp AS (
+           SELECT
+             CASE WHEN cents > p_cents THEN event_type ELSE p_type END AS winner,
+             CASE WHEN cents > p_cents THEN p_type ELSE event_type END AS loser
+           FROM seq WHERE p_type IS NOT NULL AND p_type <> event_type),
+         pairs AS (
+           SELECT winner, loser, CAST(count(*) AS BIGINT) AS n_wl
+           FROM comp GROUP BY winner, loser),
+         und AS (
+           SELECT a, b, CAST(sum(n_wl) AS BIGINT) AS wins_ab FROM (
+             SELECT winner AS a, loser AS b, n_wl FROM pairs
+             UNION ALL
+             SELECT loser AS a, winner AS b, 0 FROM pairs) u
+           GROUP BY a, b),
+         undn AS (
+           SELECT a, b, wins_ab,
+             CAST(sum(wins_ab) OVER (PARTITION BY least(a, b),
+               greatest(a, b)) AS BIGINT) AS n_ab
+           FROM und),
+         it1 AS (
+           SELECT a, CAST(sum(wins_ab) AS BIGINT) AS w,
+             CAST(sum(n_ab) AS BIGINT) AS n,
+             CAST(floor(2e6 * CAST(sum(wins_ab) AS DOUBLE) / sum(n_ab))
+               AS BIGINT) AS p1_fp
+           FROM undn GROUP BY a),
+         terms AS (
+           SELECT u.a,
+             CAST(sum(u.n_ab * 1000000000000 // (pa.p1_fp + pb.p1_fp))
+               AS BIGINT) AS den_fp
+           FROM undn u
+           JOIN it1 pa ON u.a = pa.a
+           JOIN it1 pb ON u.b = pb.a
+           GROUP BY u.a)
+         SELECT i.a AS event_type, i.w AS n_wins, i.n AS n_comparisons,
+           i.p1_fp,
+           CAST(i.w AS DOUBLE) * 1e6 / t.den_fp AS strength
+         FROM it1 i JOIN terms t ON i.a = t.a""",
+
+    "q127_label_noise" ->
+      """WITH langs AS (SELECT DISTINCT lang AS cls FROM documents),
+         scored AS (
+           SELECT d.doc_id, d.lang, l.cls,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || l.cls),
+               1, 13)) AS BIGINT) % 1000000000
+             + CASE WHEN l.cls = d.lang THEN 500000000 ELSE 0 END AS score_fp
+           FROM documents d CROSS JOIN langs l),
+         thr AS (
+           SELECT cls, CAST(count(*) AS BIGINT) AS n_j,
+             CAST(sum(score_fp) AS BIGINT) AS s_j
+           FROM scored WHERE cls = lang GROUP BY cls),
+         votes AS (
+           SELECT s.doc_id, s.lang, s.cls, s.score_fp
+           FROM scored s JOIN thr t ON s.cls = t.cls
+           WHERE s.score_fp * t.n_j >= t.s_j),
+         arg AS (
+           SELECT doc_id, lang, cls,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_fp DESC, cls ASC) AS rn
+           FROM votes)
+         SELECT lang AS label, cls AS predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CASE WHEN lang <> cls THEN 1 ELSE 0 END AS INTEGER)
+             AS is_noise_cell
+         FROM arg WHERE rn = 1 GROUP BY lang, cls""",
+
+    "q128_dialog_turns" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 'u' ELSE 'a' END
+               AS role,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 86400000000
+               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessed AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sess
+           FROM ev),
+         turned AS (
+           SELECT *, CAST(sum(CASE WHEN prev_role IS NULL
+               OR prev_role <> role THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, sess ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS turn
+           FROM (
+             SELECT *, lag(role) OVER (PARTITION BY user_id, sess
+               ORDER BY ts ASC, event_id ASC) AS prev_role
+             FROM sessed) x),
+         per AS (
+           SELECT user_id, sess, max(turn) AS n_turns,
+             CAST(count(*) AS BIGINT) AS n_events,
+             arg_min(role, ts) AS open_role,
+             arg_max(role, ts) AS close_role
+           FROM turned GROUP BY user_id, sess)
+         SELECT least(n_turns, 6) AS turns_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN open_role = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open_u,
+           CAST(sum(CASE WHEN close_role = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_close_a,
+           CAST(sum(n_turns) AS BIGINT) AS n_turns_sum,
+           CAST(sum(n_events) AS DOUBLE) / CAST(sum(n_turns) AS BIGINT)
+             AS avg_turn_len,
+           CAST(sum(CASE WHEN open_role = 'u' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS open_u_rate
+         FROM per GROUP BY least(n_turns, 6)""",
+
+    "q129_theil_sen" ->
+      """WITH smp AS (
+           SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY ts ASC, event_id ASC) AS BIGINT) AS idx,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           QUALIFY idx <= 102),
+         slopes AS (
+           SELECT i.event_type,
+             CAST(j.cents - i.cents AS DOUBLE) / (j.idx - i.idx) AS slope,
+             i.idx AS i, j.idx AS j
+           FROM smp i JOIN smp j
+             ON i.event_type = j.event_type AND i.idx < j.idx),
+         ranked AS (
+           SELECT event_type, slope,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY slope ASC, i ASC, j ASC) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+           FROM slopes)
+         SELECT event_type, n_pairs, slope AS ts_slope_cents_per_step
+         FROM ranked WHERE rn = (n_pairs + 1) // 2""",
+
+    "q12A_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sup
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         auth1 AS (
+           SELECT sup, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY sup),
+         hub1 AS (
+           SELECT e.c, CAST(sum(a.a1) AS BIGINT) AS h1
+           FROM e JOIN auth1 a ON e.sup = a.sup GROUP BY e.c),
+         auth2 AS (
+           SELECT e.sup, CAST(sum(h.h1) AS BIGINT) AS a2
+           FROM e JOIN hub1 h ON e.c = h.c GROUP BY e.sup),
+         mx AS (SELECT max(a2) AS mx FROM auth2),
+         top AS (
+           SELECT sup, a2 FROM auth2 ORDER BY a2 DESC, sup ASC LIMIT 20)
+         SELECT CAST(row_number() OVER (ORDER BY a2 DESC, sup ASC) AS BIGINT)
+             AS rnk,
+           sup AS s_suppkey, a2 AS authority_fp,
+           CAST(a2 AS DOUBLE) / (SELECT mx FROM mx) AS authority_rel
+         FROM top"""
+  )
+}

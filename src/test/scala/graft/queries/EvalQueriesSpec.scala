@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Algebraic invariants for the round-7 eval-science queries —
+  * properties the hash oracle can't express (bounds, monotonicity,
+  * conservation laws). sf0.001 keeps the suite fast. */
+class EvalQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q123: Heaps exponent is a sublinear growth rate, vocab ≤ tokens") {
+    val r = SparkEntry.queries("q123_heaps_law")(spark, dir).collect()(0)
+    val beta = r.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0,1)")
+    assert(r.getAs[Long]("vocab_total") <= r.getAs[Long]("tokens_total"))
+  }
+
+  test("q124: matches never exceed treated; caliper bounds the distance") {
+    val rows = SparkEntry.queries("q124_caliper_match")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_treated"))
+      assert(r.getAs[Long]("n_matched") >= 0L)
+    }
+  }
+
+  test("q125: KM survival is in (0,1] and non-increasing in duration") {
+    val rows = SparkEntry.queries("q125_kaplan_meier")(spark, dir)
+      .orderBy("dur_days").collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Double]("survival"))
+    assert(s.forall(v => v > 0.0 && v <= 1.0))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a },
+      s"survival increased: ${s.mkString(", ")}")
+    rows.foreach(r =>
+      assert(r.getAs[Long]("deaths") <= r.getAs[Long]("at_risk")))
+  }
+
+  test("q126: BT wins are conserved and strengths are positive") {
+    val rows = SparkEntry.queries("q126_bradley_terry")(spark, dir).collect()
+    assert(rows.length == 5)
+    val wins = rows.map(_.getAs[Long]("n_wins")).sum
+    val comps = rows.map(_.getAs[Long]("n_comparisons")).sum
+    // every comparison contributes exactly one win and appears in two
+    // rows' comparison counts
+    assert(comps == wins * 2, s"comparisons $comps != 2 x wins $wins")
+    rows.foreach(r => assert(r.getAs[Double]("strength") > 0.0))
+  }
+
+  test("q127: noise matrix rows partition the voted docs; K² bound") {
+    val rows = SparkEntry.queries("q127_label_noise")(spark, dir).collect()
+    assert(rows.length <= 25)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum <= nDocs)
+    // the true-class boost must make the diagonal dominate
+    val diag = rows.filter(r => r.getAs[String]("label") == r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    val off = rows.filter(r => r.getAs[String]("label") != r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag > off, s"diagonal $diag not dominant over $off")
+  }
+
+  test("q128: turns bound events, rates are probabilities") {
+    val rows = SparkEntry.queries("q128_dialog_turns")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_turns_sum") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("avg_turn_len") >= 1.0)
+      val p = r.getAs[Double]("open_u_rate")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("q129: the capped sample yields exactly C(102,2) slopes per group") {
+    val rows = SparkEntry.queries("q129_theil_sen")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Long]("n_pairs") == 5151L))
+  }
+
+  test("q12A: top authority is rank 1 with relative score exactly 1") {
+    val rows = SparkEntry.queries("q12A_hits")(spark, dir)
+      .orderBy("rnk").collect()
+    // sf0.001 has only 10 suppliers; the query caps at top-20
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows(0).getAs[Double]("authority_rel") == 1.0)
+    val fps = rows.map(_.getAs[Long]("authority_fp"))
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    rows.foreach(r => {
+      val rel = r.getAs[Double]("authority_rel")
+      assert(rel > 0.0 && rel <= 1.0)
+    })
+  }
+}
