@@ -143,9 +143,14 @@ object EvalQueries {
     // event is an 'error' (churn proxy), otherwise right-censored.
     // The life table collapses to one row per distinct duration-day
     // (bounded by the calendar span), so the at-risk reverse prefix
-    // sum and the survival product both run on a tiny frame; the
-    // product is exp of a cumulative BIGINT sum of nano-quantized
-    // ln(1 − d/n) terms — ordered, exact, partition-invariant.
+    // sum and the survival product both run on a tiny frame. The
+    // survival product deliberately avoids exp/ln: Π(1 − d/n) is
+    // folded per row over the duration-sorted factor list, and since
+    // IEEE requires −, /, × to be correctly rounded (unlike exp,
+    // where JVM and libm drift a ulp apart — observed at sf0.1), the
+    // ordered fold is bit-identical across engines. The per-row
+    // prefix refold is O(R²) on the R death-days — R is bounded by
+    // the calendar span, never by the row count.
     "q125_kaplan_meier" -> ((s, dir) => {
       val e = table(s, dir, "events")
       val w = Window.partitionBy("user_id")
@@ -162,16 +167,18 @@ object EvalQueries {
         .agg(count(lit(1)).as("n_at"), sum("observed").as("deaths"))
       val wRisk = Window.orderBy(col("dur_days").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wSurv = Window.orderBy(col("dur_days").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      lt.withColumn("at_risk", sum("n_at").over(wRisk))
-        .withColumn("lnq_fp", when(col("deaths") > 0,
-          floor(graft.functions.LnExact(
-            lit(1.0) - col("deaths").cast("double") / col("at_risk")) * 1e9)
-            .cast("long")).otherwise(0L))
-        .withColumn("survival",
-          exp(sum("lnq_fp").over(wSurv).cast("double") / 1e9))
+      val lt2 = lt.withColumn("at_risk", sum("n_at").over(wRisk))
         .filter(col("deaths") > 0)
+        .select(col("dur_days"), col("at_risk"), col("deaths"))
+      val arr = lt2.agg(sort_array(collect_list(struct(
+        col("dur_days"), col("at_risk"), col("deaths")))).as("arr"))
+      lt2.crossJoin(broadcast(arr))
+        .withColumn("survival", expr(
+          """aggregate(
+               transform(
+                 filter(arr, x -> x.dur_days <= dur_days),
+                 x -> 1.0D - CAST(x.deaths AS DOUBLE) / x.at_risk),
+               CAST(1.0 AS DOUBLE), (acc, f) -> acc * f)"""))
         .select(col("dur_days"), col("at_risk"), col("deaths"), col("survival"))
     }),
 
@@ -479,20 +486,20 @@ object EvalQueries {
              CAST(sum(n_at) OVER (ORDER BY dur_days DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS at_risk
-           FROM lt),
-         q AS (
-           SELECT dur_days, at_risk, deaths,
-             CASE WHEN deaths > 0 THEN
-               CAST(floor(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk) * 1e9)
-                 AS BIGINT)
-             ELSE 0 END AS lnq_fp
+           FROM lt
+           QUALIFY deaths > 0),
+         a AS (
+           SELECT list_sort(list(struct_pack(
+             dur_days := dur_days, at_risk := at_risk, deaths := deaths)))
+             AS arr
            FROM risk)
-         SELECT dur_days, at_risk, deaths,
-           exp(CAST(sum(lnq_fp) OVER (ORDER BY dur_days ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / 1e9) AS survival
-         FROM q
-         QUALIFY deaths > 0""",
+         SELECT r.dur_days, r.at_risk, r.deaths,
+           list_reduce(
+             list_transform(
+               list_filter(a.arr, x -> x.dur_days <= r.dur_days),
+               x -> 1.0 - CAST(x.deaths AS DOUBLE) / x.at_risk),
+             (acc, f) -> acc * f) AS survival
+         FROM risk r CROSS JOIN a""",
 
     "q126_bradley_terry" ->
       """WITH seq AS (
