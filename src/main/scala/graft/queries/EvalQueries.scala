@@ -373,6 +373,182 @@ object EvalQueries {
         .select(col("rnk"), col("sup").as("s_suppkey"),
           col("a2").as("authority_fp"),
           (col("a2").cast("double") / col("mx")).as("authority_rel"))
+    }),
+
+    // Simpson's-paradox audit: does the aggregated return-rate
+    // comparison between line statuses flip sign inside ship-month
+    // strata? The canonical pre-launch sanity check for any
+    // aggregated metric comparison. Sign tests are exact BIGINT
+    // cross-multiplies (r_O > r_F ⟺ n_RO·n_F > n_RF·n_O) — no rate
+    // is ever compared as a float. One groupBy to strata (+1 row via
+    // a broadcast overall frame); bounded output.
+    "q12B_simpson_audit" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        month(col("l_shipdate")).cast("string").as("stratum"),
+        (col("l_linestatus") === "O").cast("long").as("is_o"),
+        (col("l_returnflag") === "R").cast("long").as("is_r"))
+      def agg(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+        .agg(sum("is_o").as("n_o"),
+          sum(lit(1L) - col("is_o")).as("n_f"),
+          sum(col("is_o") * col("is_r")).as("n_ro"),
+          sum((lit(1L) - col("is_o")) * col("is_r")).as("n_rf"))
+      val strata = agg(li.groupBy("stratum"))
+      val overall = agg(li.groupBy(lit("ALL").as("stratum")))
+      val sgn = (nro: Column, nf: Column, nrf: Column, no: Column) =>
+        when(nro * nf > nrf * no, 1).when(nro * nf < nrf * no, -1).otherwise(0)
+      val all1 = overall.select(
+        sgn(col("n_ro"), col("n_f"), col("n_rf"), col("n_o")).as("all_sign"))
+      strata.unionAll(overall)
+        .crossJoin(broadcast(all1))
+        .withColumn("rate_o", expr("CAST(n_ro AS DOUBLE) / n_o"))
+        .withColumn("rate_f", expr("CAST(n_rf AS DOUBLE) / n_f"))
+        .withColumn("diff_sign",
+          sgn(col("n_ro"), col("n_f"), col("n_rf"), col("n_o")))
+        .withColumn("reversed",
+          col("stratum") =!= "ALL" && col("diff_sign") =!= 0
+            && col("all_sign") =!= 0 && col("diff_sign") =!= col("all_sign"))
+        .drop("all_sign")
+    }),
+
+    // Tokenizer-fertility audit by language: chars/token and
+    // subwords/token (fertility) decide the token budget a corpus
+    // actually costs — the first table any tokenizer-selection study
+    // makes. Reuses the engine's q32 splitters; one narrow map + one
+    // K-row agg; ratios are pinned divisions over exact BIGINT sums.
+    "q12C_tokenizer_fertility" -> ((s, dir) => {
+      val t = col("text")
+      table(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          graft.text.TextStats.tokenCount(t).cast("long").as("n_tok"),
+          graft.text.TextStats.subwordCount(t).cast("long").as("n_sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          sum("n_tok").as("tokens"), sum("n_sub").as("subwords"))
+        .withColumn("fertility", expr("CAST(subwords AS DOUBLE) / tokens"))
+        .withColumn("chars_per_token", expr("CAST(chars AS DOUBLE) / tokens"))
+        .withColumn("chars_per_subword", expr("CAST(chars AS DOUBLE) / subwords"))
+    }),
+
+    // Fleiss' kappa inter-annotator agreement — the eval-pipeline
+    // gate on any human- or model-labeled dataset. Three synthetic
+    // raters label each doc (60% the true lang, else an md5-chosen
+    // alternative — q118's structured-randomness convention), and
+    // kappa comes out of THREE exact integer sums: S1 = Σ_i(Σ_k n_ik²),
+    // category marginals S_k, and their squares — P̄ and P_e are
+    // pinned final divisions. Shape: docs×3 narrow explode, one
+    // (doc,label) agg, one K-row agg; kappa is a 1-row output.
+    "q12D_fleiss_kappa" -> ((s, dir) => {
+      val langIdx = table(s, dir, "documents")
+        .select(col("lang").as("cls")).distinct()
+        .withColumn("idx",
+          (row_number().over(Window.orderBy("cls")) - 1).cast("long"))
+      val labels = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .select(col("*"), explode(sequence(lit(0), lit(2))).as("rater"))
+        .withColumn("keep_true",
+          md5Bits(concat(col("doc_id"), lit("|r"), col("rater"))) % 10 < 6)
+        .withColumn("alt_idx",
+          md5Bits(concat(col("doc_id"), lit("|a"), col("rater"))) % 5)
+        .join(broadcast(langIdx), col("alt_idx") === col("idx"))
+        .withColumn("label",
+          when(col("keep_true"), col("lang")).otherwise(col("cls")))
+      val nik = labels.groupBy("doc_id", "label").agg(count(lit(1)).as("n_ik"))
+      val s1 = nik.groupBy("doc_id").agg(sum(col("n_ik") * col("n_ik")).as("s2"))
+        .agg(count(lit(1)).as("n_items"), sum(col("s2") - 3L).as("s1"))
+      val sk = nik.groupBy("label").agg(sum("n_ik").as("s_k"))
+        .agg(count(lit(1)).as("n_cats"), sum(col("s_k") * col("s_k")).as("ssk"))
+      s1.crossJoin(broadcast(sk))
+        .withColumn("p_bar", expr("CAST(s1 AS DOUBLE) / (6.0 * n_items)"))
+        .withColumn("p_e", expr("CAST(ssk AS DOUBLE) / (9.0 * n_items * n_items)"))
+        .select(col("n_items"), col("n_cats"), col("p_bar"), col("p_e"),
+          expr("(p_bar - p_e) / (1.0 - p_e)").as("kappa"))
+    }),
+
+    // Retrieval rank metrics (MRR, hit@10, mean NDCG@10) — the eval
+    // loop's scorecard. Probes are a bounded eval set (doc_id%25=0);
+    // candidate scores and graded relevance are md5-synthetic.
+    // Per-position DCG terms are micro-quantized BIGINTs (gain and
+    // ln-based discount are per-row scalars), so per-query DCG/IDCG
+    // are exact integer sums; per-query NDCG and RR are quantized to
+    // parts-per-billion via exact BIGINT division BEFORE the
+    // cross-query mean — no double is ever summed. Scale: probes ×
+    // corpus is the brute-force eval shape; the probe set is small
+    // by construction and the per-probe top-100 is a bounded window.
+    "q12E_rank_metrics" -> ((s, dir) => {
+      val probes = table(s, dir, "documents")
+        .filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
+      val cands = table(s, dir, "documents").select(col("doc_id").as("d"))
+      val scored = probes.crossJoin(cands).filter(col("q") =!= col("d"))
+        .withColumn("score_fp", md5Bits(concat(col("q"), lit("|s|"), col("d"))))
+        .withColumn("rel",
+          when(md5Bits(concat(col("q"), lit("|g|"), col("d"))) % 16 === 15, 3L)
+            .when(md5Bits(concat(col("q"), lit("|g|"), col("d"))) % 16 === 14, 2L)
+            .when(md5Bits(concat(col("q"), lit("|g|"), col("d"))) % 16 >= 12, 1L)
+            .otherwise(0L))
+        .withColumn("gain", expr("shiftleft(1L, CAST(rel AS INT)) - 1L"))
+      val ranked = scored
+        .withColumn("pos", row_number().over(Window.partitionBy("q")
+          .orderBy(col("score_fp").desc, col("d").asc)).cast("long"))
+        .filter(col("pos") <= 100)
+      val dcg = ranked.filter(col("pos") <= 10)
+        .withColumn("term_fp", floor(lit(1e6) * col("gain").cast("double")
+          / (graft.functions.LnExact(col("pos").cast("double") + 1.0)
+             / graft.functions.LnExact(lit(2.0)))).cast("long"))
+        .groupBy("q").agg(sum("term_fp").as("dcg_fp"))
+      val idcg = ranked
+        .withColumn("ipos", row_number().over(Window.partitionBy("q")
+          .orderBy(col("gain").desc, col("d").asc)).cast("long"))
+        .filter(col("ipos") <= 10)
+        .withColumn("term_fp", floor(lit(1e6) * col("gain").cast("double")
+          / (graft.functions.LnExact(col("ipos").cast("double") + 1.0)
+             / graft.functions.LnExact(lit(2.0)))).cast("long"))
+        .groupBy("q").agg(sum("term_fp").as("idcg_fp"))
+      val rr = ranked.filter(col("rel") >= 1)
+        .groupBy("q").agg(min("pos").as("first_rel"))
+      probes.join(dcg, Seq("q"), "left")
+        .join(idcg, Seq("q"), "left").join(rr, Seq("q"), "left")
+        .select(col("q"),
+          coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+          coalesce(col("idcg_fp"), lit(0L)).as("idcg_fp"),
+          col("first_rel"))
+        .withColumn("ndcg_ppb", when(col("idcg_fp") > 0,
+          expr("dcg_fp * 1000000000L div idcg_fp")).otherwise(0L))
+        .withColumn("rr_ppb", when(col("first_rel").isNotNull,
+          expr("1000000000L div first_rel")).otherwise(0L))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("first_rel") <= 10, 1L).otherwise(0L)).as("n_hit10"),
+          sum("rr_ppb").as("srr"), sum("ndcg_ppb").as("sndcg"))
+        .select(col("n_queries"), col("n_hit10"),
+          expr("CAST(srr AS DOUBLE) / n_queries / 1e9").as("mrr"),
+          expr("CAST(sndcg AS DOUBLE) / n_queries / 1e9").as("mean_ndcg10"),
+          expr("CAST(n_hit10 AS DOUBLE) / n_queries").as("hit_rate10"))
+    }),
+
+    // A/B power analysis: per-arm variance → required sample size per
+    // arm for an MDE of 5% of the arm mean (α=.05 two-sided, 80%
+    // power). Variance comes from decimal(38,0) moment sums (qB3
+    // discipline); n = 2σ²(z_{α/2}+z_β)²/δ² is one pinned double
+    // expression over those exact moments. One K-row agg, 1 pass.
+    "q12F_power_analysis" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      table(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("cents"))).as("s"),
+          sum(dec(col("cents")) * dec(col("cents"))).as("ss"))
+        .select(col("event_type"), col("n"),
+          (dec(col("n")) * col("ss") - col("s") * col("s"))
+            .cast("double").as("m2d"),
+          col("s").cast("double").as("sd"))
+        .select(col("event_type"), col("n"),
+          expr("sd / n / 100").as("mean_dollars"),
+          expr("m2d / n / (n - 1)").as("var_cents"),
+          // δ = 5% of mean; z_{.025}+z_{.8} = 2.8015852181129683
+          expr("""CAST(ceil(2.0 * (m2d / n / (n - 1))
+                   * 2.8015852181129683 * 2.8015852181129683
+                   / ((0.05 * sd / n) * (0.05 * sd / n)))
+                  AS BIGINT)""").as("n_per_arm"))
     })
   )
 
@@ -661,6 +837,176 @@ object EvalQueries {
              AS rnk,
            sup AS s_suppkey, a2 AS authority_fp,
            CAST(a2 AS DOUBLE) / (SELECT mx FROM mx) AS authority_rel
-         FROM top"""
+         FROM top""",
+
+    "q12B_simpson_audit" ->
+      """WITH li AS (
+           SELECT CAST(month(l_shipdate) AS VARCHAR) AS stratum,
+             CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS BIGINT)
+               AS is_o,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS is_r
+           FROM lineitem),
+         strata AS (
+           SELECT stratum, CAST(sum(is_o) AS BIGINT) AS n_o,
+             CAST(sum(1 - is_o) AS BIGINT) AS n_f,
+             CAST(sum(is_o * is_r) AS BIGINT) AS n_ro,
+             CAST(sum((1 - is_o) * is_r) AS BIGINT) AS n_rf
+           FROM li GROUP BY stratum
+           UNION ALL
+           SELECT 'ALL', CAST(sum(is_o) AS BIGINT),
+             CAST(sum(1 - is_o) AS BIGINT),
+             CAST(sum(is_o * is_r) AS BIGINT),
+             CAST(sum((1 - is_o) * is_r) AS BIGINT)
+           FROM li),
+         sgn AS (
+           SELECT *,
+             CAST(CASE WHEN n_ro * n_f > n_rf * n_o THEN 1
+                       WHEN n_ro * n_f < n_rf * n_o THEN -1
+                       ELSE 0 END AS INTEGER) AS diff_sign
+           FROM strata),
+         a AS (SELECT diff_sign AS all_sign FROM sgn WHERE stratum = 'ALL')
+         SELECT stratum, n_o, n_f, n_ro, n_rf,
+           CAST(n_ro AS DOUBLE) / n_o AS rate_o,
+           CAST(n_rf AS DOUBLE) / n_f AS rate_f,
+           diff_sign,
+           (stratum <> 'ALL' AND diff_sign <> 0 AND a.all_sign <> 0
+            AND diff_sign <> a.all_sign) AS reversed
+         FROM sgn CROSS JOIN a""",
+
+    "q12C_tokenizer_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS subwords,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+             / sum(len(string_split(text, ' '))) AS fertility,
+           CAST(sum(n_chars) AS DOUBLE)
+             / sum(len(string_split(text, ' '))) AS chars_per_token,
+           CAST(sum(n_chars) AS DOUBLE)
+             / sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS chars_per_subword
+         FROM documents GROUP BY lang""",
+
+    "q12D_fleiss_kappa" ->
+      """WITH langidx AS (
+           SELECT lang AS cls,
+             CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx
+           FROM (SELECT DISTINCT lang FROM documents)),
+         labels AS (
+           SELECT d.doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                 || '|r' || CAST(r.rater AS VARCHAR)), 1, 13)) AS BIGINT)
+                 % 10 < 6
+               THEN d.lang ELSE l.cls END AS label
+           FROM documents d
+           CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS rater) r
+           JOIN langidx l ON l.idx =
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+               || '|a' || CAST(r.rater AS VARCHAR)), 1, 13)) AS BIGINT) % 5),
+         nik AS (
+           SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_ik
+           FROM labels GROUP BY doc_id, label),
+         s1 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(s2 - 3) AS BIGINT) AS s1
+           FROM (SELECT doc_id, CAST(sum(n_ik * n_ik) AS BIGINT) AS s2
+                 FROM nik GROUP BY doc_id) x),
+         sk AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cats,
+             CAST(sum(s_k * s_k) AS BIGINT) AS ssk
+           FROM (SELECT label, CAST(sum(n_ik) AS BIGINT) AS s_k
+                 FROM nik GROUP BY label) y)
+         SELECT n_items, n_cats,
+           CAST(s1 AS DOUBLE) / (6.0 * n_items) AS p_bar,
+           CAST(ssk AS DOUBLE) / (9.0 * n_items * n_items) AS p_e,
+           ((CAST(s1 AS DOUBLE) / (6.0 * n_items))
+             - (CAST(ssk AS DOUBLE) / (9.0 * n_items * n_items)))
+           / (1.0 - (CAST(ssk AS DOUBLE) / (9.0 * n_items * n_items)))
+             AS kappa
+         FROM s1 CROSS JOIN sk""",
+
+    "q12E_rank_metrics" ->
+      """WITH probes AS (
+           SELECT doc_id AS q FROM documents WHERE doc_id % 25 = 0),
+         cands AS (SELECT doc_id AS d FROM documents),
+         scored AS (
+           SELECT p.q, c.d,
+             CAST(('0x' || substr(md5(CAST(p.q AS VARCHAR) || '|s|'
+               || CAST(c.d AS VARCHAR)), 1, 13)) AS BIGINT) AS score_fp,
+             CASE CAST(('0x' || substr(md5(CAST(p.q AS VARCHAR) || '|g|'
+                 || CAST(c.d AS VARCHAR)), 1, 13)) AS BIGINT) % 16
+               WHEN 15 THEN 3 WHEN 14 THEN 2 WHEN 13 THEN 1 WHEN 12 THEN 1
+               ELSE 0 END AS rel
+           FROM probes p CROSS JOIN cands c WHERE p.q <> c.d),
+         g AS (
+           SELECT *, CAST((1 << rel) - 1 AS BIGINT) AS gain FROM scored),
+         ranked AS (
+           SELECT q, d, rel, gain,
+             CAST(row_number() OVER (PARTITION BY q
+               ORDER BY score_fp DESC, d ASC) AS BIGINT) AS pos
+           FROM g QUALIFY pos <= 100),
+         dcg AS (
+           SELECT q, CAST(sum(CAST(floor(1e6 * CAST(gain AS DOUBLE)
+             / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT))
+             AS BIGINT) AS dcg_fp
+           FROM ranked WHERE pos <= 10 GROUP BY q),
+         ideal AS (
+           SELECT q, gain,
+             CAST(row_number() OVER (PARTITION BY q
+               ORDER BY gain DESC, d ASC) AS BIGINT) AS ipos
+           FROM ranked QUALIFY ipos <= 10),
+         idcg AS (
+           SELECT q, CAST(sum(CAST(floor(1e6 * CAST(gain AS DOUBLE)
+             / (ln(CAST(ipos AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT))
+             AS BIGINT) AS idcg_fp
+           FROM ideal GROUP BY q),
+         rr AS (
+           SELECT q, min(pos) AS first_rel FROM ranked WHERE rel >= 1
+           GROUP BY q),
+         per AS (
+           SELECT p.q,
+             coalesce(d.dcg_fp, 0) AS dcg_fp,
+             coalesce(i.idcg_fp, 0) AS idcg_fp,
+             r.first_rel,
+             CASE WHEN coalesce(i.idcg_fp, 0) > 0
+               THEN coalesce(d.dcg_fp, 0) * 1000000000 // i.idcg_fp
+               ELSE 0 END AS ndcg_ppb,
+             CASE WHEN r.first_rel IS NOT NULL
+               THEN 1000000000 // r.first_rel ELSE 0 END AS rr_ppb
+           FROM probes p
+           LEFT JOIN dcg d ON p.q = d.q
+           LEFT JOIN idcg i ON p.q = i.q
+           LEFT JOIN rr r ON p.q = r.q)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN first_rel <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit10,
+           CAST(sum(rr_ppb) AS DOUBLE) / count(*) / 1e9 AS mrr,
+           CAST(sum(ndcg_ppb) AS DOUBLE) / count(*) / 1e9 AS mean_ndcg10,
+           CAST(sum(CASE WHEN first_rel <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS hit_rate10
+         FROM per""",
+
+    "q12F_power_analysis" ->
+      """WITH m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS ss
+           FROM events GROUP BY event_type),
+         d AS (
+           SELECT event_type, n,
+             CAST(n * ss - s * s AS DOUBLE) AS m2d,
+             CAST(s AS DOUBLE) AS sd
+           FROM m)
+         SELECT event_type, n,
+           sd / n / 100 AS mean_dollars,
+           m2d / n / (n - 1) AS var_cents,
+           CAST(ceil(2.0 * (m2d / n / (n - 1))
+             * 2.8015852181129683 * 2.8015852181129683
+             / ((0.05 * sd / n) * (0.05 * sd / n))) AS BIGINT) AS n_per_arm
+         FROM d"""
   )
 }

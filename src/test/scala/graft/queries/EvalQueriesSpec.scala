@@ -78,6 +78,64 @@ class EvalQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_pairs") == 5151L))
   }
 
+  test("q12B: ALL row is never 'reversed'; counts partition the table") {
+    val rows = SparkEntry.queries("q12B_simpson_audit")(spark, dir).collect()
+    val all = rows.filter(_.getAs[String]("stratum") == "ALL")
+    assert(all.length == 1 && !all(0).getAs[Boolean]("reversed"))
+    val strata = rows.filter(_.getAs[String]("stratum") != "ALL")
+    assert(strata.map(r => r.getAs[Long]("n_o") + r.getAs[Long]("n_f")).sum ==
+      all(0).getAs[Long]("n_o") + all(0).getAs[Long]("n_f"))
+  }
+
+  test("q12C: fertility ≥ 1 (subword split never merges tokens)") {
+    val rows = SparkEntry.queries("q12C_tokenizer_fertility")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("subwords") >= r.getAs[Long]("tokens"))
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
+  test("q12D: kappa is in [-1, 1] and positive under the true-label bias") {
+    val r = SparkEntry.queries("q12D_fleiss_kappa")(spark, dir).collect()(0)
+    val k = r.getAs[Double]("kappa")
+    assert(k >= -1.0 && k <= 1.0)
+    // raters agree on the true label 60% of the time — far above the
+    // ~1/5 chance rate, so agreement must be positive
+    assert(k > 0.0, s"kappa $k not positive despite 60% true-label bias")
+    val pb = r.getAs[Double]("p_bar")
+    assert(pb >= 0.0 && pb <= 1.0)
+  }
+
+  test("q12E: rank metrics are probabilities; ndcg ≤ 1 by IDCG optimality") {
+    val r = SparkEntry.queries("q12E_rank_metrics")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_queries") > 0)
+    val mrr = r.getAs[Double]("mrr")
+    val ndcg = r.getAs[Double]("mean_ndcg10")
+    val hit = r.getAs[Double]("hit_rate10")
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    assert(ndcg >= 0.0 && ndcg <= 1.0)
+    assert(hit >= 0.0 && hit <= 1.0)
+    // RR ≥ 1/rank cap and hit-rate relation: a hit in top-10 implies rr ≥ 1/10
+    assert(mrr >= hit / 10.0 - 1e-9)
+  }
+
+  test("q12F: required n per arm shrinks as the relative variance shrinks") {
+    val rows = SparkEntry.queries("q12F_power_analysis")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_per_arm") > 0L)
+      assert(r.getAs[Double]("var_cents") > 0.0)
+    }
+    // n_per_arm ∝ var/mean² — the ordering must match across arms
+    val byCv = rows.sortBy(r =>
+      r.getAs[Double]("var_cents") /
+        math.pow(r.getAs[Double]("mean_dollars") * 100, 2))
+    val ns = byCv.map(_.getAs[Long]("n_per_arm"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+      s"n_per_arm not monotone in cv²: ${ns.mkString(",")}")
+  }
+
   test("q12A: top authority is rank 1 with relative score exactly 1") {
     val rows = SparkEntry.queries("q12A_hits")(spark, dir)
       .orderBy("rnk").collect()
