@@ -785,6 +785,53 @@ object DedupSim {
       diff2.withColumn("rn", row_number().over(wmin))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("j").as("code"))
+    }),
+
+    // Near-dup threshold calibration (round 7): precision/recall of
+    // the 8-perm minhash Jaccard ESTIMATE against exact shingle
+    // Jaccard, swept over thresholds 0.3–0.7 — how a curation
+    // pipeline picks its banding threshold before a 100 TB run.
+    // Rides q98's LSH-bounded candidate set (never all-pairs); every
+    // threshold compare is an exact integer cross-multiply
+    // (10·match ≥ 8·t10; 10·inter ≥ t10·union), so the sweep adds one
+    // ×5 explode and one 5-row agg to q98's chain.
+    "q132_dedup_threshold_pr" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("shingles",
+          TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
+      val agree = cand
+        .join(sigs.select(col("doc_id").as("id1"), col("k"), col("minhash").as("m1")), Seq("id1"))
+        .join(sigs.select(col("doc_id").as("id2"), col("k"), col("minhash").as("m2")), Seq("id2", "k"))
+        .groupBy("id1", "id2")
+        .agg(sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("n_match"))
+      val shd = d.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+      val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val scored = agree
+        .join(cand
+          .join(shd.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
+          .join(shd.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n")),
+          Seq("id1", "id2"), "left")
+        .na.fill(0L, Seq("inter_n"))
+        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .withColumn("union_n", col("n1") + col("n2") - col("inter_n"))
+      scored
+        .select(col("*"), explode(array((3 to 7).map(t => lit(t.toLong)): _*)).as("t10"))
+        .withColumn("pred", col("n_match") * 10L >= col("t10") * 8L)
+        .withColumn("truth", col("inter_n") * 10L >= col("t10") * col("union_n"))
+        .groupBy("t10")
+        .agg(sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") > 0, expr("CAST(tp AS DOUBLE) / (tp + fp)")))
+        .withColumn("recall",
+          when(col("tp") + col("fn") > 0, expr("CAST(tp AS DOUBLE) / (tp + fn)")))
     })
   )
 
@@ -1430,6 +1477,63 @@ object DedupSim {
           LEFT JOIN inter i ON i.id1 = a.id1 AND i.id2 = a.id2
           JOIN sz s1 ON s1.doc_id = a.id1
           JOIN sz s2 ON s2.doc_id = a.id2""",
+
+    // q98's chain + a 5-threshold sweep; all compares are integer
+    // cross-multiplies, P/R are pinned final divisions
+    "q132_dedup_threshold_pr" ->
+      s"""$sigsSql,
+          bands AS (
+            SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              sum((k % 2 + 1) * minhash) % $P AS band_key
+            FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          agree AS (
+            SELECT c.id1, c.id2,
+              CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.id1
+            JOIN sigs b ON b.doc_id = c.id2 AND a.k = b.k
+            GROUP BY c.id1, c.id2),
+          shd AS (
+            SELECT DISTINCT doc_id, s.shingle
+            FROM (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+                 unnest(shingles) AS s(shingle)),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+          inter AS (
+            SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS inter_n
+            FROM cand c
+            JOIN shd x ON x.doc_id = c.id1
+            JOIN shd y ON y.doc_id = c.id2 AND x.shingle = y.shingle
+            GROUP BY c.id1, c.id2),
+          scored AS (
+            SELECT a.id1, a.id2, a.n_match,
+              COALESCE(i.inter_n, 0) AS inter_n,
+              s1.n + s2.n - COALESCE(i.inter_n, 0) AS union_n
+            FROM agree a
+            LEFT JOIN inter i ON i.id1 = a.id1 AND i.id2 = a.id2
+            JOIN sz s1 ON s1.doc_id = a.id1
+            JOIN sz s2 ON s2.doc_id = a.id2),
+          sweep AS (
+            SELECT s.*, CAST(t.t10 AS BIGINT) AS t10,
+              s.n_match * 10 >= t.t10 * 8 AS pred,
+              s.inter_n * 10 >= t.t10 * s.union_n AS truth
+            FROM scored s
+            CROSS JOIN (SELECT unnest(generate_series(3, 7)) AS t10) t)
+          SELECT t10,
+            CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CASE WHEN sum(CASE WHEN pred THEN 1 ELSE 0 END) > 0 THEN
+              CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS DOUBLE)
+                / sum(CASE WHEN pred THEN 1 ELSE 0 END) END AS precision,
+            CASE WHEN sum(CASE WHEN truth THEN 1 ELSE 0 END) > 0 THEN
+              CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS DOUBLE)
+                / sum(CASE WHEN truth THEN 1 ELSE 0 END) END AS recall
+          FROM sweep GROUP BY t10""",
 
     // same band construction as q42/q98, split by corpus label
     "q9D_cross_corpus_lsh" ->

@@ -549,6 +549,64 @@ object EvalQueries {
                    * 2.8015852181129683 * 2.8015852181129683
                    / ((0.05 * sd / n) * (0.05 * sd / n)))
                   AS BIGINT)""").as("n_per_arm"))
+    }),
+
+    // Matryoshka-truncation eval: recall@10 of prefix-dimension
+    // retrieval (16 of 64 dims) against full-dimension brute-force
+    // truth — the ablation every embedding-storage decision runs
+    // (half the index cost for how much recall?). Probes are the
+    // bounded eval set; per-probe overlap counts are exact integers
+    // (the mean is one pinned division), and the float dots are the
+    // q45 fold-order-pinned shape both engines reproduce bit-for-bit.
+    "q130_matryoshka_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), graft.similarity.Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("v16", slice(col("v"), 1, 16))
+      val probes = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("v16").as("qv16"))
+      val pairs = probes.join(e.filter(col("vec_id") % 25 =!= 0), lit(true))
+      def topk(scoreCol: Column, tag: String) = pairs
+        .withColumn("s", scoreCol)
+        .withColumn("rn", row_number().over(Window.partitionBy("q")
+          .orderBy(col("s").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("q"), col("vec_id").as(tag))
+      val full = topk(graft.similarity.Similarity.dot(col("qv"), col("v")), "d_full")
+      val pre = topk(graft.similarity.Similarity.dot(col("qv16"), col("v16")), "d_pre")
+      full.join(pre, full("q") === pre("q") && col("d_full") === col("d_pre"))
+        .groupBy(full("q").as("q")).agg(count(lit(1)).as("n_overlap"))
+        .agg(count(lit(1)).as("n_probes"), sum("n_overlap").as("s_overlap"))
+        .select(col("n_probes"), col("s_overlap"),
+          expr("CAST(s_overlap AS DOUBLE) / n_probes / 10").as("recall_at_10"))
+    }),
+
+    // User-level contribution bounding — the prerequisite of every
+    // user-level-DP aggregate (and of abuse-resistant metrics): cap
+    // each user at their k=8 earliest events, then audit how the cap
+    // moves per-type totals and the max single-user share
+    // (sensitivity). The cap is a per-user narrow window; shares are
+    // exact BIGINT cross-compared via max_by; one bounded agg out.
+    "q131_contribution_cap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val e = table(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("kept", col("rn") <= 8)
+      val perUser = e.groupBy("event_type", "user_id")
+        .agg(sum("cents").as("u_raw"),
+          sum(when(col("kept"), col("cents")).otherwise(0L)).as("u_cap"),
+          count(lit(1)).as("n_raw"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_cap"))
+      perUser.groupBy("event_type")
+        .agg(sum("n_raw").as("n_events"), sum("n_cap").as("n_kept"),
+          sum("u_raw").as("sum_cents_raw"), sum("u_cap").as("sum_cents_capped"),
+          max("u_raw").as("max_user_raw"), max("u_cap").as("max_user_capped"))
+        .withColumn("kept_frac", expr("CAST(n_kept AS DOUBLE) / n_events"))
+        .withColumn("max_share_raw",
+          expr("CAST(max_user_raw AS DOUBLE) / sum_cents_raw"))
+        .withColumn("max_share_capped",
+          expr("CAST(max_user_capped AS DOUBLE) / sum_cents_capped"))
     })
   )
 
@@ -1007,6 +1065,68 @@ object EvalQueries {
            CAST(ceil(2.0 * (m2d / n / (n - 1))
              * 2.8015852181129683 * 2.8015852181129683
              / ((0.05 * sd / n) * (0.05 * sd / n))) AS BIGINT) AS n_per_arm
-         FROM d"""
+         FROM d""",
+
+    "q130_matryoshka_recall" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v16
+           FROM embeddings),
+         probes AS (
+           SELECT vec_id AS q, v AS qv, v16 AS qv16 FROM e
+           WHERE vec_id % 25 = 0),
+         cands AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+         full_k AS (
+           SELECT q, vec_id AS d_full FROM (
+             SELECT p.q, c.vec_id,
+               row_number() OVER (PARTITION BY p.q ORDER BY
+                 list_sum(list_transform(list_zip(p.qv, c.v),
+                   x -> x[1] * x[2])) DESC, c.vec_id ASC) AS rn
+             FROM probes p CROSS JOIN cands c) t
+           WHERE rn <= 10),
+         pre_k AS (
+           SELECT q, vec_id AS d_pre FROM (
+             SELECT p.q, c.vec_id,
+               row_number() OVER (PARTITION BY p.q ORDER BY
+                 list_sum(list_transform(list_zip(p.qv16, c.v16),
+                   x -> x[1] * x[2])) DESC, c.vec_id ASC) AS rn
+             FROM probes p CROSS JOIN cands c) t
+           WHERE rn <= 10),
+         ov AS (
+           SELECT f.q, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM full_k f JOIN pre_k p ON f.q = p.q AND f.d_full = p.d_pre
+           GROUP BY f.q)
+         SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(n_overlap) AS BIGINT) AS s_overlap,
+           CAST(sum(n_overlap) AS DOUBLE) / count(*) / 10 AS recall_at_10
+         FROM ov""",
+
+    "q131_contribution_cap" ->
+      """WITH e AS (
+           SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) <= 8 AS kept
+           FROM events),
+         pu AS (
+           SELECT event_type, user_id,
+             CAST(sum(cents) AS BIGINT) AS u_raw,
+             CAST(sum(CASE WHEN kept THEN cents ELSE 0 END) AS BIGINT) AS u_cap,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_cap
+           FROM e GROUP BY event_type, user_id)
+         SELECT event_type,
+           CAST(sum(n_raw) AS BIGINT) AS n_events,
+           CAST(sum(n_cap) AS BIGINT) AS n_kept,
+           CAST(sum(u_raw) AS BIGINT) AS sum_cents_raw,
+           CAST(sum(u_cap) AS BIGINT) AS sum_cents_capped,
+           CAST(max(u_raw) AS BIGINT) AS max_user_raw,
+           CAST(max(u_cap) AS BIGINT) AS max_user_capped,
+           CAST(sum(n_cap) AS DOUBLE) / sum(n_raw) AS kept_frac,
+           CAST(max(u_raw) AS DOUBLE) / sum(u_raw) AS max_share_raw,
+           CAST(max(u_cap) AS DOUBLE) / sum(u_cap) AS max_share_capped
+         FROM pu GROUP BY event_type"""
+
   )
 }

@@ -18,7 +18,8 @@ class SparkEntryContractSpec extends AnyFunSuite {
       graft.queries.DedupSim.queries, graft.queries.EventQueries.queries,
       graft.queries.MultimodalQueries.queries, graft.queries.IoQueries.queries,
       graft.queries.PipelineQueries.queries, graft.queries.PlanQueries.queries,
-      graft.queries.TrainingQueries.queries, graft.queries.GraphQueries.queries)
+      graft.queries.TrainingQueries.queries, graft.queries.GraphQueries.queries,
+      graft.queries.EvalQueries.queries)
     val all = perModule.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
     assert(dups.isEmpty, s"duplicate query names across modules: $dups")

@@ -136,6 +136,37 @@ class EvalQueriesSpec extends SparkSpec {
       s"n_per_arm not monotone in cv²: ${ns.mkString(",")}")
   }
 
+  test("q130: truncated-dim recall is a fraction of a full-recall bound") {
+    val r = SparkEntry.queries("q130_matryoshka_recall")(spark, dir).collect()(0)
+    val rec = r.getAs[Double]("recall_at_10")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Long]("s_overlap") <= r.getAs[Long]("n_probes") * 10)
+  }
+
+  test("q131: capping never increases any total or share") {
+    val rows = SparkEntry.queries("q131_contribution_cap")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("sum_cents_capped") <= r.getAs[Long]("sum_cents_raw"))
+      assert(r.getAs[Long]("max_user_capped") <= r.getAs[Long]("max_user_raw"))
+      val kf = r.getAs[Double]("kept_frac")
+      assert(kf > 0.0 && kf <= 1.0)
+    }
+  }
+
+  test("q132: recall is monotone non-increasing in the threshold") {
+    val rows = SparkEntry.queries("q132_dedup_threshold_pr")(spark, dir)
+      .orderBy("t10").collect()
+    assert(rows.length == 5)
+    // raising t can only shrink both predicted and truth sets; TP+FN
+    // (truth count at t) must be non-increasing
+    val truthCounts = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn"))
+    assert(truthCounts.zip(truthCounts.tail).forall { case (a, b) => b <= a })
+    val predCounts = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+    assert(predCounts.zip(predCounts.tail).forall { case (a, b) => b <= a })
+  }
+
   test("q12A: top authority is rank 1 with relative score exactly 1") {
     val rows = SparkEntry.queries("q12A_hits")(spark, dir)
       .orderBy("rnk").collect()
