@@ -162,26 +162,7 @@ object GraphQueries {
         .select(col("a.p").as("p1"), col("b.p").as("p2"))
         .distinct()
         .localCheckpoint()
-      val nbrs = e.select(col("p1").as("w"), col("p2").as("v"))
-        .union(e.select(col("p2").as("w"), col("p1").as("v")))
-      val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))
-      val wn = nbrs.join(deg, "w")
-        .filter(col("deg") >= 2 && col("deg") <= 256)
-        .withColumn("t_fp",
-          floor(lit(1e9) / graft.functions.LnExact(col("deg").cast("double")))
-            .cast("long"))
-      // wedges per center w: ONE shuffle gathers the (deg-capped)
-      // neighbor list, then the C(deg,2) pairs explode IN-TASK from
-      // the sorted array (Pairs G1) — vs the wn⋈wn self-join form,
-      // which sort-merges two deg-sized streams to emit the same
-      // rows (measured 5.4 s → ~3 s at sf0.1; the array is ≤256
-      // elements by the hub cap, so the per-row blow-up is bounded)
-      val aa = graft.ops.Pairs.explodePairs(
-          wn.groupBy("w", "t_fp").agg(sort_array(collect_list("v")).as("vs")),
-          "vs", "p1", "p2")
-        .groupBy("p1", "p2")
-        .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp"))
-        .join(e, Seq("p1", "p2"), "left_anti")
+      val aa = adamicAdarPairs(e)
       aa.orderBy(col("aa_fp").desc, col("p1").asc, col("p2").asc).limit(20)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("aa_fp").desc, col("p1").asc, col("p2").asc))
@@ -190,6 +171,35 @@ object GraphQueries {
           col("aa_fp"))
     })
   )
+
+  /** Adamic–Adar scores for all non-adjacent pairs of `edges`
+    * (distinct undirected pairs p1 < p2) sharing ≥1 common neighbor.
+    * Wedges per center w: ONE shuffle gathers the (deg-capped)
+    * neighbor list, then the C(deg,2) pairs explode IN-TASK from the
+    * sorted array (Pairs G1) — vs the wn⋈wn self-join form, which
+    * sort-merges two deg-sized streams to emit the same rows
+    * (measured 5.4 s → 4.5 s at sf0.1). The `degCap` (default 256)
+    * bounds per-vertex fan-out at C(cap,2) REGARDLESS of graph size —
+    * hubs contribute the least per-wedge weight 1/ln(deg) and the
+    * most wedges, so dropping them is the standard link-prediction
+    * blocking rule; ScaleSmokeSpec pins that a 50k-spoke star
+    * generates zero wedges while its periphery survives. */
+  def adamicAdarPairs(edges: DataFrame, degCap: Int = 256): DataFrame = {
+    val nbrs = edges.select(col("p1").as("w"), col("p2").as("v"))
+      .union(edges.select(col("p2").as("w"), col("p1").as("v")))
+    val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))
+    val wn = nbrs.join(deg, "w")
+      .filter(col("deg") >= 2 && col("deg") <= degCap)
+      .withColumn("t_fp",
+        floor(lit(1e9) / graft.functions.LnExact(col("deg").cast("double")))
+          .cast("long"))
+    graft.ops.Pairs.explodePairs(
+        wn.groupBy("w", "t_fp").agg(sort_array(collect_list("v")).as("vs")),
+        "vs", "p1", "p2")
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp"))
+      .join(edges, Seq("p1", "p2"), "left_anti")
+  }
 
   private val KcoreK = 6
   // oracle unroll budget: rounds past the fixpoint are idempotent, so

@@ -225,4 +225,33 @@ class ScaleSmokeSpec extends SparkSpec {
     val one = out.filter(col("doc_id") === 42).collect().head.getDouble(1)
     assert(one === (700 * 1000 + -700 * -500).toDouble / 2 / 1000000.0)
   }
+
+  test("adamic-adar: the hub cap silences a 50k-spoke star, periphery survives") {
+    import graft.queries.GraphQueries
+    import spark.implicits._
+    // star: hub 0 — spokes 1..50000 (deg 50000 ≫ cap: contributes NO
+    // wedges; uncapped it would emit C(50k,2) ≈ 1.25e9 pairs), plus a
+    // 4-clique on 60001..60004 whose members (deg 3) all survive.
+    val star = spark.range(1, 50001)
+      .select(lit(0L).as("p1"), col("id").as("p2"))
+    val clique = Seq((60001L, 60002L), (60001L, 60003L), (60001L, 60004L),
+      (60002L, 60003L), (60002L, 60004L), (60003L, 60004L))
+      .toDF("p1", "p2")
+    val aa = GraphQueries.adamicAdarPairs(star.union(clique))
+    val rows = aa.collect()
+    // spokes have deg 1 (< 2) and the hub is capped: the star
+    // contributes nothing; the clique is complete, so every 2-path is
+    // an existing edge and the anti-join removes it — result is empty,
+    // reached WITHOUT enumerating the 1.25e9 hub wedges
+    assert(rows.isEmpty)
+    // periphery check: break one clique edge — its endpoints now share
+    // two common neighbors and must surface with exactly that score
+    val aa2 = GraphQueries.adamicAdarPairs(
+      star.union(clique.filter(!(col("p1") === 60003L && col("p2") === 60004L))))
+    val hit = aa2.collect()
+    assert(hit.length === 1)
+    val r = hit.head
+    assert(r.getAs[Long]("p1") === 60003L && r.getAs[Long]("p2") === 60004L)
+    assert(r.getAs[Long]("n_common") === 2L)
+  }
 }
