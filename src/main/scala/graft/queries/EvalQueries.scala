@@ -607,6 +607,107 @@ object EvalQueries {
           expr("CAST(max_user_raw AS DOUBLE) / sum_cents_raw"))
         .withColumn("max_share_capped",
           expr("CAST(max_user_capped AS DOUBLE) / sum_cents_capped"))
+    }),
+
+    // Difference-in-differences estimator with Welch-style SE — the
+    // quasi-experimental workhorse when randomization isn't
+    // available. Arms are a deterministic user split, periods the
+    // month halves; each of the 4 cells carries decimal(38,0)
+    // moments, so cell means/variances are pinned divisions and
+    // did/se/t are a fixed arithmetic tree of IEEE-exact ops (sqrt
+    // included). One groupBy, 4-cell pivot per type, K rows out.
+    "q133_did_estimator" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val cells = table(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") % 2 === 1).cast("int").as("treat"),
+          (dayofmonth(col("ts")) >= 16).cast("int").as("post"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "treat", "post")
+        .agg(count(lit(1)).as("n"), sum(dec(col("cents"))).as("sc"),
+          sum(dec(col("cents")) * dec(col("cents"))).as("ssc"))
+        .select(col("event_type"), col("treat"), col("post"), col("n"),
+          expr("CAST(sc AS DOUBLE) / n").as("m"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * ssc - sc * sc AS DOUBLE)"
+            + " / n / (n - 1) / n").as("vm"))
+      def cell(t: Int, p: Int, c: String) =
+        sum(when(col("treat") === t && col("post") === p, col(c)))
+      cells.groupBy("event_type")
+        .agg(sum("n").as("n_events"),
+          cell(1, 1, "m").as("mt2"), cell(1, 0, "m").as("mt1"),
+          cell(0, 1, "m").as("mc2"), cell(0, 0, "m").as("mc1"),
+          cell(1, 1, "vm").as("vt2"), cell(1, 0, "vm").as("vt1"),
+          cell(0, 1, "vm").as("vc2"), cell(0, 0, "vm").as("vc1"))
+        .select(col("event_type"), col("n_events"),
+          expr("(mt2 - mt1) - (mc2 - mc1)").as("did_cents"),
+          expr("sqrt(vt2 + vt1 + vc2 + vc1)").as("se_cents"))
+        .withColumn("t_stat", expr("did_cents / se_cents"))
+    }),
+
+    // l-diversity audit (k-anonymity's sensitive-attribute
+    // complement): per quasi-identifier group (lang × length band),
+    // distinct-count and ENTROPY of the sensitive attribute
+    // (source). H = ln k − (Σ c·ln c)/k from exact counts with
+    // nano-quantized ln terms — the entropy never sums raw doubles,
+    // and eH is NOT taken (exp stays off the oracle boundary; the
+    // log-diversity is the published number). Output: per
+    // distinct-sensitive-count l: how many QI groups sit there and
+    // the worst (min) k and entropy — the table a release review
+    // reads bottom-up.
+    "q134_l_diversity" -> ((s, dir) => {
+      val cel = table(s, dir, "documents")
+        .select(col("lang"), (col("n_chars") / 200L).cast("long").as("band"),
+          col("source"))
+        .groupBy("lang", "band", "source").agg(count(lit(1)).as("c"))
+      val grp = cel
+        .withColumn("clnc_fp", col("c")
+          * floor(graft.functions.LnExact(col("c").cast("double")) * 1e9)
+            .cast("long"))
+        .groupBy("lang", "band")
+        .agg(count(lit(1)).as("l_distinct"), sum("c").as("k"),
+          sum("clnc_fp").as("s_fp"))
+        .withColumn("lnk_fp",
+          floor(graft.functions.LnExact(col("k").cast("double")) * 1e9)
+            .cast("long"))
+        .withColumn("entropy_h",
+          expr("CAST(lnk_fp * k - s_fp AS DOUBLE) / k / 1e9"))
+      grp.groupBy("l_distinct")
+        .agg(count(lit(1)).as("n_groups"), min("k").as("min_k"),
+          min("entropy_h").as("min_entropy"))
+    }),
+
+    // Grid-bucketed spatial join — the scale shape for "points within
+    // radius": synthetic md5 coordinates on a 2^20 grid, cell =
+    // high bits, and each LEFT point probes its 3×3 neighbor cells
+    // (a 9-way explode, NEVER a cross join); the final L∞ radius
+    // test is an exact integer compare. The same
+    // bucketize→neighbor-probe→verify pattern as banded LSH, in 2-D.
+    // Candidate volume is bounded by cell occupancy, not N².
+    "q135_grid_spatial_join" -> ((s, dir) => {
+      def pt(df: DataFrame, idCol: String, salt: String) = df
+        .select(col(idCol).as("id"),
+          (md5Bits(concat(col(idCol), lit(s"|x|$salt"))) % 1048576L).as("x"),
+          (md5Bits(concat(col(idCol), lit(s"|y|$salt"))) % 1048576L).as("y"))
+      val cust = pt(table(s, dir, "customer"), "c_custkey", "c")
+      val supp = pt(table(s, dir, "supplier"), "s_suppkey", "s")
+      // cell = 2^16-unit tiles; radius 60000 < tile side, so the 3×3
+      // neighborhood is sufficient (no candidate can be missed)
+      val cSide = 65536L
+      val cells = supp
+        .withColumn("cx", expr(s"x div $cSide")).withColumn("cy", expr(s"y div $cSide"))
+      val probes = cust
+        .select(col("*"), explode(array((for {dx <- -1 to 1; dy <- -1 to 1}
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)).as("o"))
+        .withColumn("cx", expr(s"x div $cSide") + col("o.dx"))
+        .withColumn("cy", expr(s"y div $cSide") + col("o.dy"))
+      probes.join(cells.select(col("id").as("sid"), col("x").as("sx"),
+          col("y").as("sy"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter(abs(col("x") - col("sx")) <= 60000L
+          && abs(col("y") - col("sy")) <= 60000L)
+        .groupBy(col("id").as("c_custkey"))
+        .agg(count(lit(1)).as("n_near"), min("sid").as("nearest_ids_min"),
+          sum(abs(col("x") - col("sx")) + abs(col("y") - col("sy")))
+            .as("l1_sum"))
     })
   )
 
@@ -1126,7 +1227,95 @@ object EvalQueries {
            CAST(sum(n_cap) AS DOUBLE) / sum(n_raw) AS kept_frac,
            CAST(max(u_raw) AS DOUBLE) / sum(u_raw) AS max_share_raw,
            CAST(max(u_cap) AS DOUBLE) / sum(u_cap) AS max_share_capped
-         FROM pu GROUP BY event_type"""
+         FROM pu GROUP BY event_type""",
 
+    "q133_did_estimator" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+             CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sc,
+             CAST(sum(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS ssc
+           FROM events GROUP BY 1, 2, 3),
+         cm AS (
+           SELECT event_type, treat, post, n,
+             CAST(sc AS DOUBLE) / n AS m,
+             CAST(n * ssc - sc * sc AS DOUBLE) / n / (n - 1) / n AS vm
+           FROM cells),
+         p AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+             sum(CASE WHEN treat = 1 AND post = 1 THEN m END) AS mt2,
+             sum(CASE WHEN treat = 1 AND post = 0 THEN m END) AS mt1,
+             sum(CASE WHEN treat = 0 AND post = 1 THEN m END) AS mc2,
+             sum(CASE WHEN treat = 0 AND post = 0 THEN m END) AS mc1,
+             sum(CASE WHEN treat = 1 AND post = 1 THEN vm END) AS vt2,
+             sum(CASE WHEN treat = 1 AND post = 0 THEN vm END) AS vt1,
+             sum(CASE WHEN treat = 0 AND post = 1 THEN vm END) AS vc2,
+             sum(CASE WHEN treat = 0 AND post = 0 THEN vm END) AS vc1
+           FROM cm GROUP BY event_type)
+         SELECT event_type, n_events,
+           (mt2 - mt1) - (mc2 - mc1) AS did_cents,
+           sqrt(vt2 + vt1 + vc2 + vc1) AS se_cents,
+           ((mt2 - mt1) - (mc2 - mc1)) / sqrt(vt2 + vt1 + vc2 + vc1)
+             AS t_stat
+         FROM p""",
+
+    "q134_l_diversity" ->
+      """WITH cel AS (
+           SELECT lang, n_chars // 200 AS band, source,
+             CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2, 3),
+         grp AS (
+           SELECT lang, band,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(sum(c) AS BIGINT) AS k,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+               AS BIGINT) AS s_fp
+           FROM cel GROUP BY lang, band),
+         h AS (
+           SELECT l_distinct, k,
+             CAST(CAST(floor(ln(CAST(k AS DOUBLE)) * 1e9) AS BIGINT) * k
+               - s_fp AS DOUBLE) / k / 1e9 AS entropy_h
+           FROM grp)
+         SELECT l_distinct, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k) AS BIGINT) AS min_k,
+           min(entropy_h) AS min_entropy
+         FROM h GROUP BY l_distinct""",
+
+    "q135_grid_spatial_join" ->
+      """WITH cust AS (
+           SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|x|c'),
+               1, 13)) AS BIGINT) % 1048576 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|y|c'),
+               1, 13)) AS BIGINT) % 1048576 AS y
+           FROM customer),
+         supp AS (
+           SELECT s_suppkey AS sid,
+             CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '|x|s'),
+               1, 13)) AS BIGINT) % 1048576 AS sx,
+             CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '|y|s'),
+               1, 13)) AS BIGINT) % 1048576 AS sy
+           FROM supplier),
+         sc AS (
+           SELECT sid, sx, sy, sx // 65536 AS cx, sy // 65536 AS cy
+           FROM supp),
+         probes AS (
+           SELECT c.id, c.x, c.y,
+             c.x // 65536 + o.dx AS cx, c.y // 65536 + o.dy AS cy
+           FROM cust c
+           CROSS JOIN (SELECT dx.dx, dy.dy
+             FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dx,
+                  (SELECT unnest(generate_series(-1, 1)) AS dy) dy) o),
+         hits AS (
+           SELECT p.id, p.x, p.y, s.sid, s.sx, s.sy
+           FROM probes p JOIN sc s ON p.cx = s.cx AND p.cy = s.cy
+           WHERE abs(p.x - s.sx) <= 60000 AND abs(p.y - s.sy) <= 60000)
+         SELECT id AS c_custkey, CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min(sid) AS BIGINT) AS nearest_ids_min,
+           CAST(sum(abs(x - sx) + abs(y - sy)) AS BIGINT) AS l1_sum
+         FROM hits GROUP BY id"""
   )
 }

@@ -167,6 +167,50 @@ class EvalQueriesSpec extends SparkSpec {
     assert(predCounts.zip(predCounts.tail).forall { case (a, b) => b <= a })
   }
 
+  test("q133: DiD cells partition events; SE is positive") {
+    val rows = SparkEntry.queries("q133_did_estimator")(spark, dir).collect()
+    assert(rows.length == 5)
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("se_cents") > 0.0)
+      val t = r.getAs[Double]("t_stat")
+      assert(!t.isNaN && !t.isInfinite)
+    }
+  }
+
+  test("q134: entropy is bounded by ln(l_distinct); min_k ≥ l_distinct") {
+    val rows = SparkEntry.queries("q134_l_diversity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      val h = r.getAs[Double]("min_entropy")
+      assert(h >= -1e-9 && h <= math.log(l.toDouble) + 1e-9,
+        s"entropy $h outside [0, ln($l)]")
+      assert(r.getAs[Long]("min_k") >= l)
+    }
+  }
+
+  test("q135: grid candidates verify exactly against brute force") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q135_grid_spatial_join")(spark, dir)
+    val total = out.agg(sum("n_near")).collect()(0).getLong(0)
+    // brute-force recount (150×10 at sf0.001 — fine in a test): the
+    // grid join must find EXACTLY the pairs within the L∞ radius
+    def md5b(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(md5b(concat(col("c_custkey"), lit("|x|c"))).%(1048576L).as("x"),
+        md5b(concat(col("c_custkey"), lit("|y|c"))).%(1048576L).as("y"))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(md5b(concat(col("s_suppkey"), lit("|x|s"))).%(1048576L).as("sx"),
+        md5b(concat(col("s_suppkey"), lit("|y|s"))).%(1048576L).as("sy"))
+    val brute = cust.crossJoin(supp)
+      .filter(abs(col("x") - col("sx")) <= 60000L
+        && abs(col("y") - col("sy")) <= 60000L).count()
+    assert(total == brute, s"grid join found $total pairs, brute force $brute")
+  }
+
   test("q12A: top authority is rank 1 with relative score exactly 1") {
     val rows = SparkEntry.queries("q12A_hits")(spark, dir)
       .orderBy("rnk").collect()
