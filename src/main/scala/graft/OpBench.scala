@@ -56,7 +56,8 @@ object OpBench {
       compactionPair(spark, sfDir),
       profileDistinctPair(spark, sfDir),
       ddsketchPair(spark, sfDir),
-      md5LongPair(spark, sfDir))
+      md5LongPair(spark, sfDir),
+      wedgePair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -127,10 +128,13 @@ object OpBench {
     val sh = table(s, dir, "documents")
       .select(explode(TextStats.shingles(
         TextStats.tokens(col("text")), 3)).as("t"))
+    // fold mod-reduced values: a raw sum of 60-bit hashes over 600k
+    // shingles overflows int64 (ANSI aborts the job)
     ("md5long_native_vs_conv_chain",
-      () => sh.agg(sum(conv(substring(md5(col("t")), 1, 15), 16, 10)
-        .cast("long"))).collect(),
-      () => sh.agg(sum(graft.functions.Md5Long(col("t")))).collect())
+      () => sh.agg(sum(pmod(conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast("long"), lit(1000000007L)))).collect(),
+      () => sh.agg(sum(pmod(graft.functions.Md5Long(col("t")),
+        lit(1000000007L)))).collect())
   }
 
   /** Per-supplier top-2 lineitems: window row_number idiom vs
@@ -144,6 +148,46 @@ object OpBench {
       () => li.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2).drop("rn").count(),
       () => GroupedTopK.topK(li, Seq(col("l_suppkey")), order, 2).count())
+  }
+
+  /** Adamic–Adar wedge enumeration on q11B's real co-order edge
+    * list: the wn⋈wn self-join spelling vs the engine's
+    * groupBy+collect_list+in-task pair explode (one shuffle of the
+    * neighbor rows instead of two join sides + sort-merge). Same
+    * ~2.8M wedges, same (p1,p2) aggregate out. */
+  private def wedgePair(s: SparkSession, dir: String) = {
+    def edges = {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct().localCheckpoint()
+    }
+    def wn(e: DataFrame) = {
+      val nbrs = e.select(col("p1").as("w"), col("p2").as("v"))
+        .union(e.select(col("p2").as("w"), col("p1").as("v")))
+      nbrs.join(nbrs.groupBy("w").agg(count(lit(1)).as("deg")), "w")
+        .filter(col("deg") >= 2 && col("deg") <= 256)
+        .withColumn("t_fp", floor(lit(1e9)
+          / graft.functions.LnExact(col("deg").cast("double"))).cast("long"))
+    }
+    lazy val e = edges
+    ("wedge_selfjoin_vs_groupby_explode",
+      () => {
+        val n = wn(e)
+        n.as("x").join(n.as("y"),
+            col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+          .select(col("x.v").as("p1"), col("y.v").as("p2"), col("x.t_fp").as("t_fp"))
+          .groupBy("p1", "p2")
+          .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp")).count()
+      },
+      () => graft.ops.Pairs.explodePairs(
+          wn(e).groupBy("w", "t_fp").agg(sort_array(collect_list("v")).as("vs")),
+          "vs", "p1", "p2")
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp")).count())
   }
 
   /** SimHash near-pairs radius 3 at 60 bits over the whole corpus:
