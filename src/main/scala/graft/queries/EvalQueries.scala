@@ -708,6 +708,75 @@ object EvalQueries {
         .agg(count(lit(1)).as("n_near"), min("sid").as("nearest_ids_min"),
           sum(abs(col("x") - col("sx")) + abs(col("y") - col("sy")))
             .as("l1_sum"))
+    }),
+
+    // EWMA control chart (λ=1/2) over daily event counts — the SPC
+    // companion to q110's CUSUM. The qF4 trick makes it exact: λ=1/2
+    // means integer weights 2^(11-k) over a 12-term truncated window
+    // (the dropped tail is < 2^-12 of the mass), so the smoothed
+    // numerator/denominator are exact BIGINTs from 12 explicit lags
+    // on the collapsed daily frame (days × types rows — tiny at any
+    // corpus size); the chart value and the 3σ Poisson-style limit
+    // are pinned double ops (sqrt is IEEE-exact).
+    "q136_ewma_chart" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val lagged = daily
+        .withColumn("ewma_fp", (0 to 11).map(k =>
+          coalesce(lag(col("n"), k).over(w), lit(0L))
+            * lit(1L << (11 - k))).reduce(_ + _))
+        .withColumn("w_fp", (0 to 11).map(k =>
+          when(lag(col("n"), k).over(w).isNotNull, lit(1L << (11 - k)))
+            .otherwise(lit(0L))).reduce(_ + _))
+      val mu = daily.groupBy("event_type")
+        .agg(sum("n").as("tot"), count(lit(1)).as("days"))
+      lagged.join(broadcast(mu), "event_type")
+        .withColumn("ewma", expr("CAST(ewma_fp AS DOUBLE) / w_fp"))
+        .withColumn("mu", expr("CAST(tot AS DOUBLE) / days"))
+        .withColumn("ooc",
+          expr("abs(ewma - mu) > 3.0 * sqrt(mu)"))
+        .select(col("event_type"), col("d"), col("n"), col("ewma"),
+          col("mu"), col("ooc"))
+    }),
+
+    // Two-step Markov absorption: P(reach 'purchase' within 2
+    // transitions | current state) from the same per-user transition
+    // counts as qDC — the quantitative form of "how close is this
+    // state to converting". The K×K count matrix collapses map-side;
+    // the two-step sum is ≤K exact-integer terms per state
+    // (floor(T_ij·T_jP·10⁹ / (R_i·R_j)) — BIGINT floor division both
+    // engines share), so the probabilities are deterministic without
+    // a single float sum.
+    "q137_markov_absorption" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = table(s, dir, "events")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("i"), col("nxt").as("j"))
+        .agg(count(lit(1)).as("t_ij"))
+      val rowTot = trans.groupBy("i").agg(sum("t_ij").as("r_i"))
+      val toP = trans.filter(col("j") === "purchase")
+        .select(col("i").as("j"), col("t_ij").as("t_jp"))
+      val one = trans.filter(col("j") === "purchase")
+        .join(rowTot, "i")
+        .select(col("i"), expr("t_ij * 1000000000L div r_i").as("p1_fp"))
+      val two = trans.filter(col("j") =!= "purchase")
+        .join(broadcast(toP), Seq("j"))
+        .join(rowTot.select(col("i").as("j"), col("r_i").as("r_j")), Seq("j"))
+        .join(rowTot, Seq("i"))
+        .select(col("i"),
+          expr("t_ij * t_jp * 1000000000L div (r_i * r_j)").as("term_fp"))
+        .groupBy("i").agg(sum("term_fp").as("p2_fp"))
+      rowTot.join(one, Seq("i"), "left").join(two, Seq("i"), "left")
+        .select(col("i").as("state"), col("r_i").as("n_transitions"),
+          coalesce(col("p1_fp"), lit(0L)).as("p1_fp"),
+          coalesce(col("p2_fp"), lit(0L)).as("p2_fp"))
+        .withColumn("p_absorb_2step",
+          expr("CAST(p1_fp + p2_fp AS DOUBLE) / 1e9"))
     })
   )
 
@@ -1316,6 +1385,86 @@ object EvalQueries {
          SELECT id AS c_custkey, CAST(count(*) AS BIGINT) AS n_near,
            CAST(min(sid) AS BIGINT) AS nearest_ids_min,
            CAST(sum(abs(x - sx) + abs(y - sy)) AS BIGINT) AS l1_sum
-         FROM hits GROUP BY id"""
+         FROM hits GROUP BY id""",
+
+    "q136_ewma_chart" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, d, n,
+             CAST(coalesce(lag(n, 0) OVER w, 0) * 2048
+               + coalesce(lag(n, 1) OVER w, 0) * 1024
+               + coalesce(lag(n, 2) OVER w, 0) * 512
+               + coalesce(lag(n, 3) OVER w, 0) * 256
+               + coalesce(lag(n, 4) OVER w, 0) * 128
+               + coalesce(lag(n, 5) OVER w, 0) * 64
+               + coalesce(lag(n, 6) OVER w, 0) * 32
+               + coalesce(lag(n, 7) OVER w, 0) * 16
+               + coalesce(lag(n, 8) OVER w, 0) * 8
+               + coalesce(lag(n, 9) OVER w, 0) * 4
+               + coalesce(lag(n, 10) OVER w, 0) * 2
+               + coalesce(lag(n, 11) OVER w, 0) AS BIGINT) AS ewma_fp,
+             CAST(CASE WHEN lag(n, 0) OVER w IS NOT NULL THEN 2048 ELSE 0 END
+               + CASE WHEN lag(n, 1) OVER w IS NOT NULL THEN 1024 ELSE 0 END
+               + CASE WHEN lag(n, 2) OVER w IS NOT NULL THEN 512 ELSE 0 END
+               + CASE WHEN lag(n, 3) OVER w IS NOT NULL THEN 256 ELSE 0 END
+               + CASE WHEN lag(n, 4) OVER w IS NOT NULL THEN 128 ELSE 0 END
+               + CASE WHEN lag(n, 5) OVER w IS NOT NULL THEN 64 ELSE 0 END
+               + CASE WHEN lag(n, 6) OVER w IS NOT NULL THEN 32 ELSE 0 END
+               + CASE WHEN lag(n, 7) OVER w IS NOT NULL THEN 16 ELSE 0 END
+               + CASE WHEN lag(n, 8) OVER w IS NOT NULL THEN 8 ELSE 0 END
+               + CASE WHEN lag(n, 9) OVER w IS NOT NULL THEN 4 ELSE 0 END
+               + CASE WHEN lag(n, 10) OVER w IS NOT NULL THEN 2 ELSE 0 END
+               + CASE WHEN lag(n, 11) OVER w IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS w_fp
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         mu AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS days
+           FROM daily GROUP BY event_type)
+         SELECT l.event_type, l.d, l.n,
+           CAST(l.ewma_fp AS DOUBLE) / l.w_fp AS ewma,
+           CAST(m.tot AS DOUBLE) / m.days AS mu,
+           abs(CAST(l.ewma_fp AS DOUBLE) / l.w_fp
+             - CAST(m.tot AS DOUBLE) / m.days)
+             > 3.0 * sqrt(CAST(m.tot AS DOUBLE) / m.days) AS ooc
+         FROM lagged l JOIN mu m ON l.event_type = m.event_type""",
+
+    "q137_markov_absorption" ->
+      """WITH seq AS (
+           SELECT event_type AS i,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS j
+           FROM events),
+         trans AS (
+           SELECT i, j, CAST(count(*) AS BIGINT) AS t_ij
+           FROM seq WHERE j IS NOT NULL GROUP BY i, j),
+         rowtot AS (
+           SELECT i, CAST(sum(t_ij) AS BIGINT) AS r_i FROM trans GROUP BY i),
+         onestep AS (
+           SELECT t.i, t.t_ij * 1000000000 // r.r_i AS p1_fp
+           FROM trans t JOIN rowtot r ON t.i = r.i
+           WHERE t.j = 'purchase'),
+         twostep AS (
+           SELECT t.i,
+             CAST(sum(t.t_ij * p.t_ij * 1000000000
+               // (ri.r_i * rj.r_i)) AS BIGINT) AS p2_fp
+           FROM trans t
+           JOIN trans p ON t.j = p.i AND p.j = 'purchase'
+           JOIN rowtot ri ON t.i = ri.i
+           JOIN rowtot rj ON t.j = rj.i
+           WHERE t.j <> 'purchase'
+           GROUP BY t.i)
+         SELECT r.i AS state, r.r_i AS n_transitions,
+           CAST(coalesce(o.p1_fp, 0) AS BIGINT) AS p1_fp,
+           CAST(coalesce(w.p2_fp, 0) AS BIGINT) AS p2_fp,
+           CAST(coalesce(o.p1_fp, 0) + coalesce(w.p2_fp, 0) AS DOUBLE) / 1e9
+             AS p_absorb_2step
+         FROM rowtot r
+         LEFT JOIN onestep o ON r.i = o.i
+         LEFT JOIN twostep w ON r.i = w.i"""
   )
 }

@@ -211,6 +211,37 @@ class EvalQueriesSpec extends SparkSpec {
     assert(total == brute, s"grid join found $total pairs, brute force $brute")
   }
 
+  test("q136: EWMA is a convex combination — bounded by the window extremes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q136_ewma_chart")(spark, dir)
+      .orderBy("event_type", "d").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val ns = rs.map(_.getAs[Long]("n").toDouble)
+      rs.zipWithIndex.foreach { case (r, i) =>
+        val window = ns.slice(math.max(0, i - 11), i + 1)
+        val e = r.getAs[Double]("ewma")
+        assert(e >= window.min - 1e-9 && e <= window.max + 1e-9,
+          s"ewma $e outside window [${window.min}, ${window.max}]")
+      }
+    }
+  }
+
+  test("q137: absorption probabilities are monotone in steps and ≤ 1") {
+    val rows = SparkEntry.queries("q137_markov_absorption")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_absorb_2step")
+      assert(p >= 0.0 && p <= 1.0 + 1e-9)
+      // two-step adds non-negative mass over one-step
+      assert(r.getAs[Long]("p2_fp") >= 0L)
+      assert(r.getAs[Long]("p1_fp") + r.getAs[Long]("p2_fp") <= 1000000000L)
+    }
+    // 'purchase' itself transitions onward: its row must exist
+    assert(rows.exists(_.getAs[String]("state") == "purchase"))
+  }
+
   test("q12A: top authority is rank 1 with relative score exactly 1") {
     val rows = SparkEntry.queries("q12A_hits")(spark, dir)
       .orderBy("rnk").collect()
