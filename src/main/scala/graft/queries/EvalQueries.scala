@@ -48,11 +48,25 @@ object EvalQueries {
       val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
         .join(newPerDoc, Seq("doc_id"), "left")
         .na.fill(0L, Seq("new_toks"))
-      val wCum = Window.orderBy("doc_id")
+      // two-level prefix sum: a GLOBAL unpartitioned window would pull
+      // every doc row through one task — instead, bucket by doc_id
+      // range, prefix-sum the (bounded) bucket aggregates globally,
+      // and offset within each bucket with a partitioned window.
+      // Integer addition is associative, so the values are identical
+      // to the oracle's flat running sum.
+      val bucketed = perDoc.withColumn("bkt", expr("doc_id div 1024"))
+      val wBkt = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy("bkt")
+        .agg(sum("n_toks").as("bn"), sum("new_toks").as("bv"))
+        .withColumn("off_n", coalesce(sum("bn").over(wBkt), lit(0L)))
+        .withColumn("off_v", coalesce(sum("bv").over(wBkt), lit(0L)))
+        .select("bkt", "off_n", "off_v")
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pts = perDoc
-        .withColumn("n_cum", sum("n_toks").over(wCum))
-        .withColumn("v_cum", sum("new_toks").over(wCum))
+      val pts = bucketed.join(broadcast(offsets), "bkt")
+        .withColumn("n_cum", col("off_n") + sum("n_toks").over(wIn))
+        .withColumn("v_cum", col("off_v") + sum("new_toks").over(wIn))
         .select(
           floor(graft.functions.LnExact(col("n_cum").cast("double")) * 1e9)
             .cast("long").as("x_fp"),
@@ -95,19 +109,33 @@ object EvalQueries {
         .groupBy("score").agg(min("cents").as("c_cents"))
       val trt = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("score"), col("cents"))
+      // the nearest-neighbor windows are PARTITIONED by score bucket
+      // (never a global single-task sort): every grid row is
+      // duplicated into its two neighbor buckets, so any in-CALIPER
+      // (50 ≪ bucket width 1000) match is present in the treated
+      // row's own partition; out-of-caliper nearests may differ from
+      // the flat-sort answer, but they are not matches and never
+      // reach the output — the oracle's global ASOF form agrees on
+      // every emitted cell
+      val bkt = (c: Column) => (c / lit(1000L)).cast("long")
       val u = trt.select(col("event_id"), col("score"), col("cents"),
           lit(null).cast("long").as("g_score"), lit(null).cast("long").as("g_cents"),
-          lit(0).as("is_g"))
+          lit(0).as("is_g"), bkt(col("score")).as("wb"))
         .union(ctl.select(lit(-1L).as("event_id"), col("score"),
-          lit(null).cast("long").as("cents"),
-          col("score").as("g_score"), col("c_cents").as("g_cents"), lit(1).as("is_g")))
+            lit(null).cast("long").as("cents"),
+            col("score").as("g_score"), col("c_cents").as("g_cents"), lit(1).as("is_g"),
+            bkt(col("score")).as("wb"))
+          .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("dwb"))
+          .withColumn("wb", col("wb") + col("dwb")).drop("dwb")
+          .filter(col("wb") >= 0 && col("wb") <= 9)
+          .select("event_id", "score", "cents", "g_score", "g_cents", "is_g", "wb"))
       // grid rows sort before treated at the same score in BOTH
       // directions, so an exact-score control is its own match
-      val wUp = Window.orderBy(col("score").asc, col("is_g").desc,
-          col("event_id").asc)
+      val wUp = Window.partitionBy("wb")
+        .orderBy(col("score").asc, col("is_g").desc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wDn = Window.orderBy(col("score").desc, col("is_g").desc,
-          col("event_id").desc)
+      val wDn = Window.partitionBy("wb")
+        .orderBy(col("score").desc, col("is_g").desc, col("event_id").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val matched = u
         .withColumn("lo_score", last(when(col("is_g") === 1, col("g_score")),
