@@ -65,10 +65,14 @@ object Bench {
     // tail-anchored short line always survives and carries the totals
     // plus the 10 heaviest queries for cross-round comparison.
     val stagingTotal = results.flatMap(_._3).sum
+    // Locale.ROOT formatting: the f interpolator uses the default
+    // locale, which on comma-decimal hosts emits "1,23" — invalid JSON
+    def num(v: Double, scale: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(v))
     val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$reported,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"query_total_s":${f"$total%.1f"},"staging_total_s":${f"$stagingTotal%.1f"},"top10":$top10,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$reported,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"query_total_s":${num(total, 1)},"staging_total_s":${num(stagingTotal, 1)},"top10":$top10,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

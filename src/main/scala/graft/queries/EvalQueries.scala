@@ -28,6 +28,19 @@ object EvalQueries {
   private def md5Bits(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 
+  /** HITS iteration 2 over a (c, sup) edge list with decimal(38,0)
+    * accumulators: hub₁ = Σ auth₁ and auth₂ = Σ hub₁ grow ~deg², so
+    * raw int64 sums wrap once hub degrees reach ~1e10 (hub² growth —
+    * the first-to-break-at-1000× item from SURVEY 8.8). decimal(38,0)
+    * matches DuckDB's HUGEINT sum() accumulator bit-for-bit on the
+    * shared range. Factored out so ScaleSmokeSpec can plant
+    * near-2^63 auth₁ values and pin the no-wrap behavior. */
+  private[graft] def hitsAuth2(e: DataFrame, auth1: DataFrame): DataFrame = {
+    val hub1 = e.join(auth1, "sup").groupBy("c")
+      .agg(sum(col("a1").cast("decimal(38,0)")).as("h1"))
+    e.join(hub1, "c").groupBy("sup").agg(sum("h1").as("a2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Heaps'-law fit: V(N) = K·N^β — the vocabulary-growth curve every
@@ -279,12 +292,17 @@ object EvalQueries {
           md5Bits(concat(col("doc_id").cast("string"), lit("|"), col("cls")))
               % lit(1000000000L)
             + when(col("cls") === col("lang"), lit(500000000L)).otherwise(lit(0L)))
+      // decimal(38,0) threshold compare: s_j = Σscore_fp over n_j docs
+      // (~1.5e9 each) and the score_fp·n_j cross-multiply both pass
+      // 2^63 near 1e10 docs/class; decimal matches DuckDB's HUGEINT
+      // sum() accumulator and the compare is exact at any scale
       val thr = scored.filter(col("cls") === col("lang"))
-        .groupBy("cls").agg(count(lit(1)).as("n_j"), sum("score_fp").as("s_j"))
+        .groupBy("cls").agg(count(lit(1)).as("n_j"),
+          sum(col("score_fp").cast("decimal(38,0)")).as("s_j"))
       val wArg = Window.partitionBy("doc_id")
         .orderBy(col("score_fp").desc, col("cls").asc)
       scored.join(broadcast(thr), "cls")
-        .filter(col("score_fp") * col("n_j") >= col("s_j"))
+        .filter(col("score_fp").cast("decimal(38,0)") * col("n_j") >= col("s_j"))
         .withColumn("rn", row_number().over(wArg))
         .filter(col("rn") === 1)
         .groupBy(col("lang").as("label"), col("cls").as("predicted"))
@@ -305,8 +323,12 @@ object EvalQueries {
       val ev = table(s, dir, "events")
         .withColumn("role", when(col("event_type").isin("click", "view"), "u")
           .otherwise("a"))
-        .withColumn("new_s", when(col("ts").cast("long")
-            - lag(col("ts").cast("long"), 1).over(wSeq) >= 86400L
+        // µs-exact gap compare (unix_micros ↔ the oracle's epoch_us):
+        // a second-truncated cast would disagree with the oracle on
+        // gaps inside [86399 s, 86400 s) whose fractional parts
+        // straddle a second boundary — same pattern as q125.
+        .withColumn("new_s", when(unix_micros(col("ts"))
+            - lag(unix_micros(col("ts")), 1).over(wSeq) >= 86400000000L
             || lag(col("ts"), 1).over(wSeq).isNull, 1L).otherwise(0L))
         .withColumn("sess", sum("new_s").over(
           wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -375,13 +397,17 @@ object EvalQueries {
     // HITS hubs & authorities (2 exact iterations) on the customer →
     // supplier purchase graph — the other classic link-analysis
     // fixed point next to qA3's PageRank, and the bipartite ranking
-    // shape retrieval pipelines use for query↔doc graphs. Scores stay
-    // RAW BIGINT sums through both iterations (no per-step float
-    // normalization — auth₂ ≈ Σdeg·deg fits int64 at bench scale;
-    // decimal(38,0) is the stated 100 TB upgrade), one pinned
-    // division to a relative score at the end. Each iteration is one
-    // shuffle-join + partial agg on the distinct edge list; top-20 is
-    // TakeOrderedAndProject, never a global sort.
+    // shape retrieval pipelines use for query↔doc graphs. Scores
+    // accumulate in decimal(38,0) through both iterations (hub²
+    // growth wraps int64 near 1e10-degree hubs; decimal mirrors
+    // DuckDB's HUGEINT sum() — see hitsAuth2), one pinned division to
+    // a relative score at the end. authority_fp is emitted BIGINT for
+    // the driver contract — the cast is the one remaining int64
+    // surface, and only the top-20 diagnostic crosses it; at 100 TB a
+    // consumer reads authority_rel (double) or keeps the decimal.
+    // Each iteration is one shuffle-join + partial agg on the
+    // distinct edge list; top-20 is TakeOrderedAndProject, never a
+    // global sort.
     "q12A_hits" -> ((s, dir) => {
       val e = table(s, dir, "lineitem")
         .join(table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -391,15 +417,14 @@ object EvalQueries {
         .localCheckpoint()
       // hub₀ = 1 ⇒ auth₁ = in-degree; hub₁ = Σ auth₁ over c's edges
       val auth1 = e.groupBy("sup").agg(count(lit(1)).as("a1"))
-      val hub1 = e.join(auth1, "sup").groupBy("c").agg(sum("a1").as("h1"))
-      val auth2 = e.join(hub1, "c").groupBy("sup").agg(sum("h1").as("a2"))
+      val auth2 = hitsAuth2(e, auth1)
       val mx = auth2.agg(max("a2").as("mx"))
       auth2.crossJoin(broadcast(mx))
         .orderBy(col("a2").desc, col("sup").asc).limit(20)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("a2").desc, col("sup").asc)).cast("long"))
         .select(col("rnk"), col("sup").as("s_suppkey"),
-          col("a2").as("authority_fp"),
+          col("a2").cast("long").as("authority_fp"),
           (col("a2").cast("double") / col("mx")).as("authority_rel"))
     }),
 
@@ -621,15 +646,28 @@ object EvalQueries {
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .withColumn("rn", row_number().over(w))
         .withColumn("kept", col("rn") <= 8)
+      // decimal(38,0) cents accumulators: a per-type Σcents passes
+      // 2^63 near 1e13 events (·1e6-cent values), and a whale user's
+      // per-user sum is unbounded too — decimal mirrors DuckDB's
+      // HUGEINT sum(); the driver-contract columns cast back to
+      // BIGINT at the end (lossless at any scale the contract's
+      // BIGINT schema can represent at all)
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       val perUser = e.groupBy("event_type", "user_id")
-        .agg(sum("cents").as("u_raw"),
-          sum(when(col("kept"), col("cents")).otherwise(0L)).as("u_cap"),
+        .agg(sum(dec(col("cents"))).as("u_raw"),
+          sum(when(col("kept"), dec(col("cents")))
+            .otherwise(dec(lit(0L)))).as("u_cap"),
           count(lit(1)).as("n_raw"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_cap"))
       perUser.groupBy("event_type")
         .agg(sum("n_raw").as("n_events"), sum("n_cap").as("n_kept"),
-          sum("u_raw").as("sum_cents_raw"), sum("u_cap").as("sum_cents_capped"),
-          max("u_raw").as("max_user_raw"), max("u_cap").as("max_user_capped"))
+          sum("u_raw").as("sum_raw_d"), sum("u_cap").as("sum_cap_d"),
+          max("u_raw").as("max_raw_d"), max("u_cap").as("max_cap_d"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          col("sum_raw_d").cast("long").as("sum_cents_raw"),
+          col("sum_cap_d").cast("long").as("sum_cents_capped"),
+          col("max_raw_d").cast("long").as("max_user_raw"),
+          col("max_cap_d").cast("long").as("max_user_capped"))
         .withColumn("kept_frac", expr("CAST(n_kept AS DOUBLE) / n_events"))
         .withColumn("max_share_raw",
           expr("CAST(max_user_raw AS DOUBLE) / sum_cents_raw"))
@@ -789,15 +827,22 @@ object EvalQueries {
       val rowTot = trans.groupBy("i").agg(sum("t_ij").as("r_i"))
       val toP = trans.filter(col("j") === "purchase")
         .select(col("i").as("j"), col("t_ij").as("t_jp"))
+      // decimal(38,0) numerators: t_ij·t_jp·1e9 passes 2^63 once
+      // per-cell transition counts reach ~1.5e5 (≈sf1 — only 10× the
+      // bench scale), and t_ij·1e9 at ~1e10. Spark's `div` accepts
+      // decimal operands and still returns BIGINT, so each term stays
+      // the exact ≤1e9 integer both engines floor-divide to.
       val one = trans.filter(col("j") === "purchase")
         .join(rowTot, "i")
-        .select(col("i"), expr("t_ij * 1000000000L div r_i").as("p1_fp"))
+        .select(col("i"),
+          expr("CAST(t_ij AS DECIMAL(38,0)) * 1000000000 div r_i").as("p1_fp"))
       val two = trans.filter(col("j") =!= "purchase")
         .join(broadcast(toP), Seq("j"))
         .join(rowTot.select(col("i").as("j"), col("r_i").as("r_j")), Seq("j"))
         .join(rowTot, Seq("i"))
         .select(col("i"),
-          expr("t_ij * t_jp * 1000000000L div (r_i * r_j)").as("term_fp"))
+          expr("CAST(t_ij AS DECIMAL(38,0)) * t_jp * 1000000000"
+            + " div (CAST(r_i AS DECIMAL(38,0)) * r_j)").as("term_fp"))
         .groupBy("i").agg(sum("term_fp").as("p2_fp"))
       rowTot.join(one, Seq("i"), "left").join(two, Seq("i"), "left")
         .select(col("i").as("state"), col("r_i").as("n_transitions"),

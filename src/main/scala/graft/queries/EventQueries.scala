@@ -508,28 +508,37 @@ object EventQueries {
     // RFM segmentation — the marketing/user-quality tiering staple:
     // per user, Recency (days since last event, against the corpus
     // max anchor), Frequency (event count), Monetary (cents sum);
-    // each quartiled by ntile(4) over a TOTAL order (metric,
-    // user_id — ties can't float between tiles), composed into a
-    // 3-digit segment code and rolled up. Shape: the per-user agg
-    // collapses event volume first; the three ntiles sort the USER
-    // dimension, not events (past ~10⁹ users, swap in qE2's
-    // range-partitioned ECDF — same contract). All counts/sums
-    // exact; avg monetary is one final division.
+    // each quartiled over a TOTAL order (metric, user_id — ties
+    // can't float between tiles), composed into a 3-digit segment
+    // code and rolled up. Shape (round 8): the per-user agg collapses
+    // event volume first and is checkpointed ONCE; the anchor max is
+    // a broadcast 1-row agg and each quartile is DistributedRank's
+    // range-ledger ntile — three parallel range sorts of the USER
+    // frame + user_id equi-joins back, so no single task ever holds
+    // the users (the former global ntile window did). Bit-identical
+    // to ntile(4) by the qE2-oracle-pinned remainder rule. All
+    // counts/sums exact; avg monetary is one final division.
     "q106_rfm_segmentation" -> ((s, dir) => {
-      val anchor = Window.partitionBy()
-      val users = table(s, dir, "events")
+      val base = table(s, dir, "events")
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
           round(col("value") * 100).cast("long").as("c"))
         .groupBy("user_id")
         .agg(max("d").as("last_d"), count(lit(1)).as("freq"),
           sum("c").as("monetary"))
-        .withColumn("recency", max("last_d").over(anchor) - col("last_d"))
-      def quart(metric: String) = ntile(4).over(
-        Window.orderBy(col(metric).asc, col("user_id").asc))
+      val mx = base.agg(max("last_d").as("mx_d"))
+      val users = base.crossJoin(broadcast(mx))
+        .withColumn("recency", col("mx_d") - col("last_d"))
+        .drop("mx_d")
+        .localCheckpoint()
+      def quart(metric: String, out: String) =
+        graft.ops.DistributedRank.withNtile(
+          users.select(col("user_id"), col(metric)), 32, 4,
+          Seq(col(metric).asc, col("user_id").asc), out)
+          .select("user_id", out)
       users
-        .withColumn("r_q", quart("recency"))
-        .withColumn("f_q", quart("freq"))
-        .withColumn("m_q", quart("monetary"))
+        .join(quart("recency", "r_q"), Seq("user_id"))
+        .join(quart("freq", "f_q"), Seq("user_id"))
+        .join(quart("monetary", "m_q"), Seq("user_id"))
         .withColumn("segment",
           (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long"))
         .groupBy("segment")
@@ -623,9 +632,8 @@ object EventQueries {
     // total join cardinality and the top-10 riskiest keys. qCF is
     // the sketch version of this; here both sides collapse to
     // per-key counts first (map-side combinable), so the audit costs
-    // two aggs and a tiny join — the 10⁹-key version replaces the
-    // global top-10 window with GroupedTopK partial heaps, same
-    // contract. All integers exact.
+    // two aggs and a tiny join; the top-10 cut is TakeOrdered partial
+    // heaps (round 8), so it holds at 10⁹ keys. All integers exact.
     "q111_join_fanout_audit" -> ((s, dir) => {
       val e = table(s, dir, "events")
       def side(t: String, nm: String) =
@@ -634,9 +642,13 @@ object EventQueries {
       val per = side("purchase", "na").join(side("click", "nb"), Seq("user_id"))
         .withColumn("prod", col("na") * col("nb"))
       val tot = per.agg(sum("prod").as("total_pairs"))
-      val wr = Window.orderBy(col("prod").desc, col("user_id").asc)
-      per.withColumn("rnk", row_number().over(wr).cast("long"))
-        .filter(col("rnk") <= 10)
+      // top-10 cut BEFORE the rank window (round 8): TakeOrdered
+      // partial heaps instead of a one-task window over every joined
+      // user; the window then ranks 10 rows. Same total order ⇒
+      // identical rows and ranks.
+      per.orderBy(col("prod").desc, col("user_id").asc).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("prod").desc, col("user_id").asc)).cast("long"))
         .crossJoin(broadcast(tot))
         .select(col("rnk"), col("user_id"), col("na"), col("nb"),
           col("prod"), col("total_pairs"))

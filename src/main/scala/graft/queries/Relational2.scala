@@ -996,41 +996,16 @@ object Relational2 {
     // assignment is bit-deterministic. The oracle IS the naive global
     // ntile — proving the distributed rank construction exact.
     "qE2_equidepth_hist" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // the range-ledger rank construction now lives in
+      // ops/DistributedRank (round 8) so q106/qA9/q108 share it; this
+      // query's oracle is the naive global ntile, which keeps the
+      // factored helper pinned bit-exact.
       val keys = Seq(col("cents").asc, col("l_orderkey").asc,
         col("l_linenumber").asc)
-      // localCheckpoint pins the SAMPLED range boundaries: the ledger
-      // and the ranked frame must agree on pid, and exchange reuse is
-      // an optimizer courtesy, not a guarantee (column pruning can
-      // diverge the two subtrees). On a cluster this is persist() or
-      // a reliable checkpoint; the cost is one materialization of the
-      // 3-column frame.
       val li = table(s, dir, "lineitem")
         .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
           col("l_orderkey"), col("l_linenumber"))
-        .repartitionByRange(32, keys: _*)
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
-      val wp = Window.partitionBy("pid").orderBy(keys: _*)
-      val ranked = li.withColumn("rn", row_number().over(wp).cast("long"))
-      // 32-row ledger: per-range-partition counts -> exclusive prefix
-      // offsets + grand total (tiny frame; its window is 32 rows, not
-      // the data)
-      val wled = Window.orderBy(col("pid").asc)
-      val ledger = li.groupBy("pid").agg(count(lit(1)).as("pn"))
-        .withColumn("off", coalesce(sum(col("pn"))
-          .over(wled.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n_total", sum(col("pn")).over(
-          wled.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select("pid", "off", "n_total")
-      ranked.join(broadcast(ledger), Seq("pid"))
-        .withColumn("r", col("off") + col("rn"))
-        .withColumn("q", expr("n_total div 8"))
-        .withColumn("rem", expr("n_total % 8"))
-        .withColumn("bucket",
-          when(col("r") <= col("rem") * (col("q") + 1),
-            expr("(r - 1) div (q + 1)") + 1)
-            .otherwise(col("rem") + expr("(r - rem * (q + 1) - 1) div q") + 1))
+      graft.ops.DistributedRank.withNtile(li, 32, 8, keys, "bucket")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("cents").as("lo"),
           max("cents").as("hi"))

@@ -50,26 +50,35 @@ object TextQueries {
     // of ln(count) on ln(rank) over the ranked vocabulary. The
     // log-log points quantize to 1/10⁶ fixed point (LnExact is
     // correctly-rounded, matching DuckDB's glibc ln on identical
-    // integer inputs), so the five OLS moments are associative
-    // BIGINTs (safe to ~10⁴ vocab terms; past that compute the
-    // moments in double) and slope/intercept are pinned final
-    // divisions. Shape: token explode → vocab-bounded count agg →
-    // rank window and OLS over the collapsed vocabulary frame.
+    // integer inputs). Round 8: every term needs its rank (the OLS
+    // runs over ALL points, so a top-k cut can't apply) — the rank is
+    // DistributedRank's range-ledger row_number, a parallel range
+    // sort instead of the former one-task vocabulary window; and the
+    // OLS moments accumulate in decimal(38,0) (Σx·y over a 10⁷-term
+    // vocab passes 2^63 — mirrors DuckDB's HUGEINT sum()) with a
+    // BIGINT cast at the driver contract. slope/intercept are pinned
+    // final divisions. Shape: token explode → vocab-bounded count
+    // agg → distributed rank and OLS over the collapsed frame.
     "q108_zipf_slope" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wr = Window.orderBy(col("cnt").desc, col("term").asc)
-      table(s, dir, "documents")
+      val counts = table(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(wr).cast("long"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      graft.ops.DistributedRank.withGlobalRank(counts, 32,
+          Seq(col("cnt").desc, col("term").asc))
         .select(
-          floor(graft.functions.LnExact(col("rnk").cast("double")) * 1e6)
+          floor(graft.functions.LnExact(col("r").cast("double")) * 1e6)
             .cast("long").as("x"),
           floor(graft.functions.LnExact(col("cnt").cast("double")) * 1e6)
             .cast("long").as("y"))
-        .agg(count(lit(1)).as("v"), sum("x").as("s_x"), sum("y").as("s_y"),
-          sum(col("x") * col("y")).as("s_xy"),
-          sum(col("x") * col("x")).as("s_xx"))
+        .agg(count(lit(1)).as("v"), sum(dec(col("x"))).as("sxd"),
+          sum(dec(col("y"))).as("syd"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxyd"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxxd"))
+        .select(col("v"), col("sxd").cast("long").as("s_x"),
+          col("syd").cast("long").as("s_y"),
+          col("sxyd").cast("long").as("s_xy"),
+          col("sxxd").cast("long").as("s_xx"))
         .withColumn("slope", expr(
           "CAST(v * s_xy - s_x * s_y AS DOUBLE) / CAST(v * s_xx - s_x * s_x AS DOUBLE)"))
         .withColumn("intercept", expr(
@@ -100,10 +109,15 @@ object TextQueries {
           .select(col("term"), col("c2"), lit(2)))
       val counts = pairs.groupBy("center", "context", "dist")
         .agg(count(lit(1)).as("n"))
-      val wr = Window.orderBy(col("n").desc, col("center").asc,
+      // top-30 cut BEFORE the rank window (round 8): orderBy+limit is
+      // TakeOrderedAndProject — parallel partial heaps, no task ever
+      // sorts the |V|²·2 collapsed frame; the window then ranks 30
+      // rows. Same total order ⇒ identical rows and ranks.
+      val ord = Seq(col("n").desc, col("center").asc,
         col("context").asc, col("dist").asc)
-      counts.withColumn("rnk", row_number().over(wr).cast("long"))
-        .filter(col("rnk") <= 30)
+      counts.orderBy(ord: _*).limit(30)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(ord: _*)).cast("long"))
     }),
 
     // Type-token corpus-health audit (Heaps-law snapshot): per
@@ -370,21 +384,25 @@ object TextQueries {
           length(col("nfc")).as("nfc_len"))
     }),
 
-    // Curriculum binning: equal-size difficulty tiers (ntile over the
-    // quality ordering, doc_id tiebreak → total order → deterministic
-    // membership in both engines). Per-tier audit = the data-mixing
-    // table a curriculum schedule consumes. NOTE the global window is
-    // the exact-equal-bins semantics and costs a global sort; the
-    // 100 TB form swaps ntile for approx-quantile cutoffs (q92) +
-    // a narrow filter, trading exact bin sizes for no global order.
+    // Curriculum binning: equal-size difficulty tiers (exact ntile
+    // semantics over the quality ordering, doc_id tiebreak → total
+    // order → deterministic membership in both engines). Per-tier
+    // audit = the data-mixing table a curriculum schedule consumes.
+    // Exact equal bins still cost a distributed range sort; if even
+    // that is too much, the cheaper trade is approx-quantile cutoffs
+    // (q92) + a narrow filter, giving up exact bin sizes.
     "qA9_curriculum_bins" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = table(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.qualityScoreMilli(col("text")).as("quality"),
           size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
-      d.withColumn("bin",
-          ntile(8).over(Window.orderBy(col("quality").desc, col("doc_id").asc)))
+      // round 8: the global ntile window (single task holding every
+      // doc) is now DistributedRank's range-ledger ntile — parallel
+      // range sort, bit-identical buckets by the qE2-pinned remainder
+      // rule; cast back to ntile's INTEGER for the driver contract
+      graft.ops.DistributedRank.withNtile(d, 32, 8,
+          Seq(col("quality").desc, col("doc_id").asc), "binL")
+        .withColumn("bin", col("binL").cast("int")).drop("binL")
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"), max("quality").as("q_hi"),
           min("quality").as("q_lo"), sum("n_tok").as("n_tokens"))

@@ -137,6 +137,27 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(row.getAs[Long]("n_triangles") === 100L)
   }
 
+  test("HITS decimal accumulators survive hub-squared int64 overflow") {
+    import spark.implicits._
+    // dense star: one customer buying from 3 suppliers with planted
+    // auth₁ = 4e18 each ⇒ hub₁ = 1.2e19 > Long.MaxValue (9.22e18) —
+    // the Σdeg·deg growth SURVEY 8.8 names first-to-break at 1000×.
+    // A raw BIGINT sum wraps (or throws under ANSI); the
+    // decimal(38,0) path must carry the exact value through both
+    // iterations.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("c", "sup")
+    val a1 = 4000000000000000000L
+    val auth1 = Seq((10L, a1), (11L, a1), (12L, a1)).toDF("sup", "a1")
+    val rows = graft.queries.EvalQueries.hitsAuth2(e, auth1)
+      .orderBy("sup").collect()
+    assert(rows.length === 3)
+    val expect = BigDecimal("12000000000000000000")
+    rows.foreach { r =>
+      assert(BigDecimal(r.getDecimal(1)) === expect,
+        s"auth2 wrapped for sup ${r.getLong(0)}: ${r.getDecimal(1)}")
+    }
+  }
+
   test("sparse cosine: the df cap keeps a stopword dimension feasible") {
     import org.apache.spark.sql.expressions.Window
     // 50k docs that ALL share one dimension ("the"): uncapped, that
