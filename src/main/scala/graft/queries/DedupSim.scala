@@ -31,8 +31,9 @@ object DedupSim {
     * via [[graft.io.Staging.once]]; later callers scan the staged
     * copy. Bench pre-stages this (reported under `staging`, not the
     * query timer); Verify and ad-hoc callers stage inline on first
-    * use — correctness is identical either way. qC1 does NOT share
-    * this build: its edges come from the lang/quality-gated subset.
+    * use — correctness is identical either way. qC1 (round 8) rides
+    * the same build: band keys are per-doc, so its gated-subset edge
+    * list is exactly these pairs semi-joined to the subset ids.
     */
   def stagedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val path = Staging.once(s"lsh_pairs:$dir") {
@@ -56,7 +57,8 @@ object DedupSim {
     * staging). */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
     "q74_dedup_clusters" -> ((s, dir) => { stagedLshPairs(s, dir); () }),
-    "qA1_canonical_docs" -> ((s, dir) => { stagedLshPairs(s, dir); () })
+    "qA1_canonical_docs" -> ((s, dir) => { stagedLshPairs(s, dir); () }),
+    "qC1_curation_pipeline" -> ((s, dir) => { stagedLshPairs(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -693,19 +695,37 @@ object DedupSim {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
       val filtered = docs
-        .withColumn("toks", TextStats.tokens(col("text")))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_tok",
+          size(TextStats.tokens(col("text"))).cast("long"))
         .where(col("lang") === "en" && col("n_tok") >= 30)
+      // exact-text dedup as a map-side-combinable groupBy over
+      // (md5, min doc_id): duplicates share the text, hence n_tok, so
+      // min(n_tok) is THE n_tok — same keep-set as the former
+      // per-md5-partition window, but the shuffle carries 3 narrow
+      // columns instead of full text + token arrays (round 8; the
+      // staged-pair reuse below is what freed the downstream from
+      // needing toks at all)
       val exact = filtered
-        .withColumn("keep",
-          min("doc_id").over(Window.partitionBy(md5(col("text")))))
-        .where(col("doc_id") === col("keep"))
-        .localCheckpoint() // feeds LSH, components verts, survivors
-      val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashBandKeys(
-          exact.withColumn("shingles", TextStats.shingles(col("toks"), 3))
-            .select("doc_id", "shingles"),
-          "doc_id", "shingles", 8, 2), "doc_id")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), min("n_tok").as("n_tok"),
+          count(lit(1)).as("n_dups"))
+        .drop("h")
+        .localCheckpoint() // feeds components verts + survivors + audit
+      // round 8: reuse the q74/qA1 staged full-corpus candidate
+      // pairs instead of re-running shingle→minhash→band-join over
+      // the gated subset. Band keys are per-doc functions of the
+      // doc's own shingles (no corpus-dependent state in
+      // minhashBandKeys/lshCandidatePairs), so LSH-over-subset ==
+      // full-corpus pairs with BOTH endpoints in the subset — pinned
+      // by DedupSpec's subset-restriction test. Two semi-joins
+      // against the ~n_subset id list replace the whole signature
+      // build; at 100 TB this is exactly how a curation pass rides
+      // the pipeline-wide candidate-edge build.
+      val exactIds = exact.select("doc_id")
+      val pairs = stagedLshPairs(s, dir)
+        .join(exactIds.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(exactIds.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+        .select("id1", "id2") // USING joins moved the keys first
       val comp = Components.connectedComponents(
         pairs, exact.select("doc_id"), "doc_id")
       val surv = comp.where(col("cluster_id") === col("doc_id"))
@@ -716,8 +736,11 @@ object DedupSim {
       val packed = surv.withColumn("shard", col("doc_id") % 8)
         .withColumn("cum", sum("n_tok").over(w))
         .withColumn("bin", expr("(cum - n_tok) div 512"))
+      // n_filtered = Σ per-hash dup counts over the tiny checkpointed
+      // frame — the gate count rides the dedup agg instead of
+      // re-tokenizing every document a second time (round 8)
       val stats = docs.agg(count(lit(1)).as("n_input"))
-        .crossJoin(filtered.agg(count(lit(1)).as("n_filtered")))
+        .crossJoin(exact.agg(sum("n_dups").as("n_filtered")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .crossJoin(surv.agg(count(lit(1)).as("n_near")))
       packed.groupBy("shard", "bin")

@@ -87,6 +87,35 @@ class DedupSpec extends SparkSpec {
     assert(fused.count() === 60L * 4)
   }
 
+  test("LSH subset restriction: pairs-over-subset == full pairs semi-joined to subset") {
+    import org.apache.spark.sql.functions._
+    // qC1 rides the q74/qA1 staged full-corpus candidate pairs by
+    // semi-joining both endpoints to its gated subset. That is only
+    // sound because band keys are per-doc functions of the doc's own
+    // shingles (no corpus-dependent state) — this test pins the
+    // algebraic identity the reuse depends on, on a corpus with
+    // planted duplicate groups that straddle the subset boundary.
+    val docs = (0L until 80L).map { id =>
+      val grp = (id % 8).toInt // 8 near-dup families of 10 docs
+      (id, (0 until 6).map(k => s"g$grp-sh${k + (id % 2).toInt}"))
+    }.toDF("doc_id", "shingles")
+    // gated subset: ~60% of docs, cutting through every family
+    val subset = docs.filter(col("doc_id") % 5 < 3)
+    val subsetPairs = Dedup.lshCandidatePairs(
+      Dedup.minhashBandKeys(subset, "doc_id", "shingles", 8, 2), "doc_id")
+    val ids = subset.select("doc_id")
+    val restricted = Dedup.lshCandidatePairs(
+      Dedup.minhashBandKeys(docs, "doc_id", "shingles", 8, 2), "doc_id")
+      .join(ids.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+      // USING joins move the key first — restore (id1, id2) order
+      // because exceptAll compares positionally
+      .select("id1", "id2")
+    assert(subsetPairs.exceptAll(restricted).isEmpty
+      && restricted.exceptAll(subsetPairs).isEmpty)
+    assert(subsetPairs.count() > 0) // the identity must not hold vacuously
+  }
+
   test("LSH pathological bucket: AQE skew-join split fires on the candidate self-join") {
     import org.apache.spark.sql.functions._
     // Dedup.scala's scale note claims a pathological band bucket
