@@ -519,17 +519,21 @@ object EventQueries {
     // to ntile(4) by the qE2-oracle-pinned remainder rule. All
     // counts/sums exact; avg monetary is one final division.
     "q106_rfm_segmentation" -> ((s, dir) => {
+      // checkpoint the per-user agg BEFORE the anchor-max subtree, so
+      // the events scan+agg runs once (mx and every downstream branch
+      // read the checkpoint; the crossJoin+recency derivation is a
+      // narrow recompute on top of it)
       val base = table(s, dir, "events")
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
           round(col("value") * 100).cast("long").as("c"))
         .groupBy("user_id")
         .agg(max("d").as("last_d"), count(lit(1)).as("freq"),
           sum("c").as("monetary"))
+        .localCheckpoint()
       val mx = base.agg(max("last_d").as("mx_d"))
       val users = base.crossJoin(broadcast(mx))
         .withColumn("recency", col("mx_d") - col("last_d"))
         .drop("mx_d")
-        .localCheckpoint()
       def quart(metric: String, out: String) =
         graft.ops.DistributedRank.withNtile(
           users.select(col("user_id"), col(metric)), 32, 4,
@@ -658,12 +662,13 @@ object EventQueries {
     // order) and measure how far each event arrived behind the
     // running event-time high-water mark: the statistic that SIZES
     // the watermark delay for every streaming job downstream. The
-    // prefix max runs DISTRIBUTED via the two-phase split: fixed
-    // event_id buckets compute local running maxes, the ≤|buckets|
-    // ledger of bucket maxes takes a window prefix-max and
-    // broadcasts back — no global sort, no single task ever holds
-    // the log (qE2's range-ledger discipline). Lateness stays in
-    // exact µs integers.
+    // prefix max runs DISTRIBUTED via a two-LEVEL ledger: fixed
+    // event_id buckets compute local running maxes, bucket maxes
+    // prefix within 4096-bucket super-buckets (partitioned window),
+    // and only the events/4.1M-row super-bucket carry frame crosses a
+    // global window — no global sort, no single task ever holds the
+    // log or even the bucket ledger (qE2's range-ledger discipline,
+    // two deep). Lateness stays in exact µs integers.
     "q112_lateness_audit" -> ((s, dir) => {
       val e = table(s, dir, "events")
         .select(col("event_id"), col("event_type"),
@@ -672,10 +677,28 @@ object EventQueries {
       val win = Window.partitionBy("bkt")
         .orderBy(col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
+      // TWO-level ledger (round 8, q123's treatment): the bucket
+      // ledger is events/1000 rows — still data-growing, so its
+      // prefix-max runs as super-bucket carries (global window over
+      // events/4.1M rows) + a partitioned within-super prefix.
+      // max is associative ⇒ bit-identical to the flat prefix; the
+      // empty-prefix case surfaces as the SAME sentinel the
+      // downstream coalesce already uses, so first-bucket semantics
+      // are unchanged.
+      val mB = lit(-9223372036854775807L)
       val ledger = e.groupBy("bkt").agg(max("us").as("bmax"))
-      val wl = Window.orderBy(col("bkt").asc)
+        .withColumn("sbkt", expr("bkt div 4096"))
+      val wsl = Window.orderBy(col("sbkt").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val prefixed = ledger.withColumn("pmax", max("bmax").over(wl))
+      val sup = ledger.groupBy("sbkt").agg(max("bmax").as("smax"))
+        .withColumn("scarry", max("smax").over(wsl))
+      val wl = Window.partitionBy("sbkt").orderBy(col("bkt").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixed = ledger
+        .withColumn("lmax", max("bmax").over(wl))
+        .join(broadcast(sup.select("sbkt", "scarry")), Seq("sbkt"))
+        .select(col("bkt"), greatest(coalesce(col("lmax"), mB),
+          coalesce(col("scarry"), mB)).as("pmax"))
       e.join(broadcast(prefixed.select("bkt", "pmax")), Seq("bkt"))
         .withColumn("rmax", max("us").over(win))
         .withColumn("wm", greatest(
