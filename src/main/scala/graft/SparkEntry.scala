@@ -50,5 +50,6 @@ object SparkEntry {
     * queries remain self-contained for every other caller (first call
     * stages inline). */
   def staging: Map[String, (SparkSession, String) => Unit] =
-    IoQueries.staging ++ EventQueries.staging ++ DedupSim.staging
+    IoQueries.staging ++ EventQueries.staging ++ DedupSim.staging ++
+      GraphQueries.staging
 }
