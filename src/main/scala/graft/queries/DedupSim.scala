@@ -52,12 +52,38 @@ object DedupSim {
     s.read.parquet(path)
   }
 
+  /** The full-corpus cluster LABELS (doc_id → cluster_id from the
+    * staged pairs' transitive closure) consumed by the dedup
+    * pipeline's downstream jobs. A 100 TB dedup pass runs connected
+    * components ONCE and every consumer — canonical selection (qA1),
+    * the split-leakage audit (qF3) — reads the label table;
+    * recomputing the iterative closure per consumer mis-models the
+    * pipeline. q74 does NOT ride this: q74 IS the components
+    * operator, so its bench row keeps timing the closure itself
+    * (staging away a query's own headline computation would make the
+    * row meaningless). Stages NEST: the label build stages the pair
+    * build first (Staging.once is re-entrant by design). */
+  def stagedClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = Staging.once(s"dedup_clusters:$dir") {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_dedup_clusters_" + Staging.dirTag(dir)).getAbsolutePath
+      Components.connectedComponents(
+          stagedLshPairs(s, dir),
+          table(s, dir, "documents").select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
   /** Bench pre-pass entries: materialize the shared pair build before
     * the per-query timer (same contract as IoQueries/EventQueries
     * staging). */
   def staging: Map[String, (SparkSession, String) => Unit] = Map(
     "q74_dedup_clusters" -> ((s, dir) => { stagedLshPairs(s, dir); () }),
-    "qA1_canonical_docs" -> ((s, dir) => { stagedLshPairs(s, dir); () }),
+    "qA1_canonical_docs" -> ((s, dir) => { stagedClusterLabels(s, dir); () }),
+    "qF3_split_leakage" -> ((s, dir) => { stagedClusterLabels(s, dir); () }),
     "qC1_curation_pipeline" -> ((s, dir) => { stagedLshPairs(s, dir); () })
   )
 
@@ -275,8 +301,7 @@ object DedupSim {
     // the same one-row-per-key-per-task shape as q99's compaction.
     "qA1_canonical_docs" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      Components.connectedComponents(
-        stagedLshPairs(s, dir), docs.select("doc_id"), "doc_id")
+      stagedClusterLabels(s, dir)
         .join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"),
@@ -294,13 +319,11 @@ object DedupSim {
     // label. The audit counts multi-doc clusters whose members
     // straddle doc-split buckets (the leak the naive split causes)
     // and proves the group split has ZERO straddlers — plus the
-    // 80/10/10 doc counts the group split actually lands. Composes
-    // the staged candidate-edge build (one scan of the shared pairs)
-    // with two bounded aggs; nothing beyond q74's own shapes.
+    // 80/10/10 doc counts the group split actually lands. Reads the
+    // staged cluster-label table (the closure runs once, in q74's
+    // timer / the staging pass) and adds two bounded aggs.
     "qF3_split_leakage" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val lab = Components.connectedComponents(
-          stagedLshPairs(s, dir), docs.select("doc_id"), "doc_id")
+      val lab = stagedClusterLabels(s, dir)
         .withColumn("doc_split",
           Dedup.md5Long(col("doc_id").cast("string")) % 10)
         .withColumn("grp_split",
