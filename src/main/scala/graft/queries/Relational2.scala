@@ -455,9 +455,16 @@ object Relational2 {
       val items = b.groupBy("pk").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
       val pruned = b.join(broadcast(items.select("pk")), Seq("pk"), "left_semi")
-      val pairs = pruned.as("a").join(pruned.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pk1"), col("b.pk").as("pk2"))
+      // basket pairs via ONE shuffle of the pruned basket rows +
+      // in-task C(size,2) explode over the sorted basket array (≤7
+      // items/order — bounded blow-up), vs the self-join spelling
+      // that sort-merges two copies of the same stream (the q11B
+      // wedge lesson, OpBench row 1.2×); sort_array makes pk1 < pk2
+      // positional
+      val pairs = graft.ops.Pairs.explodePairs(
+          pruned.groupBy("ok").agg(sort_array(collect_list("pk")).as("pks")),
+          "pks", "pk1", "pk2")
+        .groupBy("pk1", "pk2")
         .agg(count(lit(1)).as("n_pair"))
         .filter(col("n_pair") >= 2)
       val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
