@@ -610,28 +610,35 @@ object DedupSim {
     // IR-native dual of the dense-embedding paths (q45/q46): each
     // doc is a sparse vector over 3-gram dims, candidate pairs come
     // only from shared dims (never all-pairs), and high-df dims are
-    // pruned before the join (the stopword-dimension cut — candidate
-    // work is Σ C(df,2), so the df cap bounds the quadratic term; at
-    // this corpus's vocabulary the cap never binds, but at 100 TB it
-    // is what keeps the index join linear). The window df count
-    // leaves the frame partitioned by dim, exactly the layout the
-    // self-join needs — one shuffle serves both. Exact: dot/norms
-    // are integer sums; cos is one cast + sqrt + divide.
+    // pruned before the pair build (the stopword-dimension cut —
+    // candidate work is Σ C(df,2), so the df cap bounds the quadratic
+    // term; at this corpus's vocabulary the cap never binds, but at
+    // 100 TB it is what keeps the index join linear). Exact:
+    // dot/norms are integer sums; cos is one cast + sqrt + divide.
     "qB4_sparse_cosine" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val tf = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-      val pruned = tf
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-        .where(col("df") <= 50)
+      // one shuffle gathers each dim's (doc, tf) posting list; the df
+      // cap is the list-size filter and the C(df,2) products explode
+      // IN-TASK from the doc-sorted array (doc_id is distinct per
+      // dim, so struct order == doc order) — the q11B/qDB pair-
+      // explode shape replacing the postings self-join's double
+      // sort-merge of the same stream. The cap (≤50) bounds the
+      // in-task blow-up at C(50,2) per dim regardless of corpus size.
+      val posting = tf.groupBy("g")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("dt"))
+        .where(size(col("dt")) <= 50)
+      val pruned = posting
+        .select(explode(col("dt")).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.tf").as("tf"))
       val norms = pruned.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("n2"))
-      val dots = pruned.as("a").join(pruned.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          (col("a.tf") * col("b.tf")).as("p"))
+      val dots = graft.ops.Pairs.explodePairs(posting, "dt", "x", "y")
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          (col("x.tf") * col("y.tf")).as("p"))
         .groupBy("d1", "d2").agg(sum("p").as("dot"))
       dots
         .join(norms.select(col("doc_id").as("d1"), col("n2").as("na")), "d1")
