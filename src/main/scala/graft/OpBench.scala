@@ -57,7 +57,8 @@ object OpBench {
       profileDistinctPair(spark, sfDir),
       ddsketchPair(spark, sfDir),
       md5LongPair(spark, sfDir),
-      wedgePair(spark, sfDir))
+      wedgePair(spark, sfDir),
+      postingsPair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -188,6 +189,41 @@ object OpBench {
           "vs", "p1", "p2")
         .groupBy("p1", "p2")
         .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp")).count())
+  }
+
+  /** Inverted-index dot products on qB4's real df-capped postings
+    * (3-gram dims, df ≤ 50): the postings self-join on the dim key —
+    * two sort-merge sides of the same stream — vs one groupBy(g)
+    * gathering the doc-sorted posting list and exploding the C(df,2)
+    * tf products in-task (the wedge rewrite at posting-list scale).
+    * Same (d1,d2) integer dot sums out of both arms. */
+  private def postingsPair(s: SparkSession, dir: String) = {
+    def tf = table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    lazy val t = tf
+    ("postings_selfjoin_vs_groupby_explode",
+      () => {
+        val pruned = t
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+          .where(col("df") <= 50)
+        pruned.as("a").join(pruned.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            (col("a.tf") * col("b.tf")).as("p"))
+          .groupBy("d1", "d2").agg(sum("p").as("dot")).count()
+      },
+      () => graft.ops.Pairs.explodePairs(
+          t.groupBy("g")
+            .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+              .as("dt"))
+            .where(size(col("dt")) <= 50),
+          "dt", "x", "y")
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          (col("x.tf") * col("y.tf")).as("p"))
+        .groupBy("d1", "d2").agg(sum("p").as("dot")).count())
   }
 
   /** SimHash near-pairs radius 3 at 60 bits over the whole corpus:
