@@ -138,7 +138,7 @@ object GraphQueries {
     // DuckDB oracle checks it exactly: n_edges, Σ-C(d,2) wedges,
     // triangles, and global clustering 3T/W (one division).
     "qB2_triangle_count" -> ((s, dir) =>
-      triangleCount(stagedCoorderEdges(s, dir))),
+      triangleCount(stagedCoorderEdges(s, dir), checkpointInput = false)),
 
     // k-core decomposition (peel to fixpoint, k=6) over the same part
     // co-order graph as qB2 — the dense-subgraph extractor community
@@ -154,7 +154,8 @@ object GraphQueries {
     // rounds of lineage — the Components.scala discipline. Nothing is
     // ever quadratic; the peel touches O(m) per round.
     "qE8_kcore" -> ((s, dir) => {
-      val core = kcore(stagedCoorderEdges(s, dir), KcoreK)
+      val core = kcore(stagedCoorderEdges(s, dir), KcoreK,
+        checkpointInput = false)
       core.select(col("p1").as("u")).union(core.select(col("p2").as("u")))
         .groupBy("u").agg(count(lit(1)).as("core_deg"))
     }),
@@ -231,8 +232,12 @@ object GraphQueries {
     * list, repeat until a round removes no edge (degree set stable ⇒
     * fixpoint reached). The per-round count is free in practice — the
     * localCheckpoint already materialized the round's edge list. */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
-    var e = edges.localCheckpoint()
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64,
+      checkpointInput: Boolean = true): DataFrame = {
+    // round-0 reads of an already-materialized input (staged parquet)
+    // skip the redundant checkpoint copy; every later round still
+    // checkpoints its shrunken edge list
+    var e = if (checkpointInput) edges.localCheckpoint() else edges
     var m = e.count()
     var rounds = 0
     var done = m == 0L
@@ -263,8 +268,13 @@ object GraphQueries {
     * total order stores each edge exactly once, already sorted. The
     * summary row is orientation-invariant, so an id-ordered oracle
     * checks it exactly. */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint() // built once; deg + 3 join sides
+  def triangleCount(edges: DataFrame,
+      checkpointInput: Boolean = true): DataFrame = {
+    // built once; deg + 3 join sides. Callers whose edge list is
+    // already materialized (the staged parquet copy) skip the copy —
+    // re-scanning a columnar file is cheaper than rewriting it to
+    // local checkpoint storage first.
+    val e = if (checkpointInput) edges.localCheckpoint() else edges
     val deg = e.select(col("p1").as("u")).union(e.select(col("p2")))
       .groupBy("u").agg(count(lit(1)).as("d"))
     // total order key: degree in the high bits, id breaks ties
