@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB harness host: the 274-query bench in
+  // one JVM accumulates localCheckpoint blocks + codegen classes, and
+  // an 8g heap pushed it into GC/storage-eviction thrash (measured
+  // 499 s vs 214 s for the identical binary and data, local[32])
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
