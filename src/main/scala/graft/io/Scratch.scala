@@ -25,8 +25,12 @@ package graft.io
 object Scratch {
   /** Preferred scratch root: a subdir of /dev/shm when writable,
     * else the JVM default tmpdir. Idempotent; first use re-points
-    * java.io.tmpdir (entrypoints consult it before any temp file is
-    * created). */
+    * the java.io.tmpdir SYSTEM PROPERTY for call sites that read it
+    * at staging time (`sys.props("java.io.tmpdir")`). NOTE: JDK 17
+    * caches the property at JVM start for NIO's temp-file factory
+    * (jdk.internal.util.StaticProperty), so `Files.createTempDirectory
+    * (prefix)` ignores the runtime re-point — NIO call sites must use
+    * [[tempDir]] instead. */
   lazy val root: String = {
     val shm = new java.io.File("/dev/shm")
     val base =
@@ -38,6 +42,14 @@ object Scratch {
     sys.props("java.io.tmpdir") = base
     base
   }
+
+  /** Fresh temp directory ON the scratch tier — the drop-in for
+    * `Files.createTempDirectory(prefix)`, which on JDK 17 is pinned
+    * to the boot-time tmpdir regardless of the system property. */
+  def tempDir(prefix: String): String =
+    java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(root), prefix)
+      .toString
 
   /** Apply the scratch policy to a session builder: shuffle/spill
     * and the managed-table warehouse follow the scratch root. */

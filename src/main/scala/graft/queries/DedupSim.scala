@@ -38,7 +38,7 @@ object DedupSim {
   def stagedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val path = Staging.once(s"lsh_pairs:$dir") {
       val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
+        graft.io.Scratch.root,
         "graft_lsh_pairs_" + Staging.dirTag(dir)).getAbsolutePath
       val d = table(s, dir, "documents")
         .withColumn("shingles",
@@ -66,7 +66,7 @@ object DedupSim {
   def stagedClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val path = Staging.once(s"dedup_clusters:$dir") {
       val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
+        graft.io.Scratch.root,
         "graft_dedup_clusters_" + Staging.dirTag(dir)).getAbsolutePath
       Components.connectedComponents(
           stagedLshPairs(s, dir),

@@ -31,7 +31,7 @@ object EventQueries {
                           copies: Int = 1): String =
     Staging.once(s"evsrc_$tag:$dir") {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmp = Files.createTempDirectory(s"graft_${tag}_src")
+      val tmp = Paths.get(graft.io.Scratch.tempDir(s"graft_${tag}_src"))
       (1 to copies).foreach { i =>
         Files.copy(Paths.get(s"$dir/events.parquet"),
           tmp.resolve(s"events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -61,7 +61,7 @@ object EventQueries {
     * directory the timed query re-reads. */
   private def stageQD7(s: SparkSession, dir: String): String =
     Staging.once(s"qD7_v2streamsink:$dir") {
-      val out = java.nio.file.Files.createTempDirectory("graft_qD7_sink").toString
+      val out = graft.io.Scratch.tempDir("graft_qD7_sink")
       val q = graft.streaming.EventStreams.readEventsStream(
           s, stageSource(s, dir, "qD7"))
         .select(col("user_id"), col("event_type"),

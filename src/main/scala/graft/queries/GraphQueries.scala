@@ -79,7 +79,7 @@ object GraphQueries {
   def stagedCoorderEdges(s: SparkSession, dir: String): DataFrame = {
     val path = Staging.once(s"coorder_edges:$dir") {
       val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
+        graft.io.Scratch.root,
         "graft_coorder_edges_" + Staging.dirTag(dir)).getAbsolutePath
       val li = table(s, dir, "lineitem")
         .where(col("l_orderkey") % 8 === 0)

@@ -31,7 +31,7 @@ object IoQueries {
     * re-scan + aggregate, which is what a reader of the sink pays). */
   private def stageCsv(s: SparkSession, dir: String): String =
     Staging.once(s"q57_csv:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q57_csv").toString
+      val tmp = graft.io.Scratch.tempDir("graft_q57_csv")
       val src = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_orderpriority"))
@@ -72,7 +72,7 @@ object IoQueries {
   /** Date-partitioned layout for q5C, staged once per JVM. */
   private def stagePartitioned(s: SparkSession, dir: String): String =
     Staging.once(s"q5C_part:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q5C_part").toString
+      val tmp = graft.io.Scratch.tempDir("graft_q5C_part")
       table(s, dir, "events").withColumn("d", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("d").parquet(s"$tmp/ev")
       tmp
@@ -82,7 +82,7 @@ object IoQueries {
     * corpora actually ship in, written by the distributed JSON sink. */
   private def stageJsonl(s: SparkSession, dir: String): String =
     Staging.once(s"q81_jsonl:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q81_jsonl").toString
+      val tmp = graft.io.Scratch.tempDir("graft_q81_jsonl")
       table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .write.mode("overwrite").json(s"$tmp/docs")
@@ -92,7 +92,7 @@ object IoQueries {
   /** ORC fixture for q83 (Spark's second columnar format). */
   private def stageOrc(s: SparkSession, dir: String): String =
     Staging.once(s"q83_orc:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q83_orc").toString
+      val tmp = graft.io.Scratch.tempDir("graft_q83_orc")
       table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
@@ -104,7 +104,7 @@ object IoQueries {
     * <supplier> row elements (schema inferred on read-back). */
   private def stageXml(s: SparkSession, dir: String): String =
     Staging.once(s"qB9_xml:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_qB9_xml").toString
+      val tmp = graft.io.Scratch.tempDir("graft_qB9_xml")
       table(s, dir, "supplier")
         .write.mode("overwrite").format("xml")
         .option("rowTag", "supplier").save(s"$tmp/supplier")
@@ -117,7 +117,7 @@ object IoQueries {
     * ingest accumulates. */
   private def stageEvolved(s: SparkSession, dir: String): String =
     Staging.once(s"qC3_evolve:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_qC3_evo").toString
+      val tmp = graft.io.Scratch.tempDir("graft_qC3_evo")
       val o = table(s, dir, "orders")
       o.where(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey")
@@ -150,7 +150,7 @@ object IoQueries {
     * DataSource V2 write connector (graft.io.GenSink). */
   private def stageV2Sink(s: SparkSession, dir: String): String =
     Staging.once(s"qD5_v2sink:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_qD5_sink").toString
+      val tmp = graft.io.Scratch.tempDir("graft_qD5_sink")
       table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
@@ -167,7 +167,7 @@ object IoQueries {
     * local tmp dir plays that role. */
   private def stageBinary(s: SparkSession, dir: String): String =
     Staging.once(s"qE9_bin:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_qE9_bin").toString
+      val tmp = graft.io.Scratch.tempDir("graft_qE9_bin")
       table(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
