@@ -37,10 +37,29 @@ object Scratch {
       if (shm.isDirectory && shm.canWrite) {
         val d = new java.io.File(shm, "graft_scratch")
         d.mkdirs()
+        purgeStale(d)
         d.getAbsolutePath
       } else sys.props("java.io.tmpdir")
     sys.props("java.io.tmpdir") = base
     base
+  }
+
+  /** Best-effort purge of scratch entries untouched for 6+ hours —
+    * per-JVM temp dirs are never reused, so repeated harness runs
+    * would otherwise grow the RAM tier without bound. The age guard
+    * keeps concurrently-running JVMs (bench + verify) from deleting
+    * each other's live fixtures; failures are ignored (another JVM
+    * may purge the same entry first). */
+  private def purgeStale(dir: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    try Option(dir.listFiles()).foreach(_.foreach { f =>
+      if (f.lastModified() < cutoff) rm(f)
+    })
+    catch { case _: Exception => () }
   }
 
   /** Fresh temp directory ON the scratch tier — the drop-in for
