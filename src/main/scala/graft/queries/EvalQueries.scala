@@ -339,13 +339,19 @@ object EvalQueries {
           || lag("role", 1).over(wSess) =!= col("role"), 1L).otherwise(0L))
         .withColumn("turn", sum("turn_brk").over(
           wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // DuckDB's arg_min/arg_max reject composite keys, and a bare ts
+      // key is deterministic only while (user_id, ts) stays
+      // duplicate-free — a DATA property the generator could stop
+      // providing. Zero-padded fixed-width concat makes (ts, event_id)
+      // one lexicographic key whose order both engines share on any
+      // data (non-negative µs fit 20 digits, ids 10).
+      val ordKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0"))
       val perSess = turns.groupBy("user_id", "sess")
         .agg(max("turn").as("n_turns"), count(lit(1)).as("n_events"),
-          // (user_id, ts) is unique in events, so ts alone is a total
-          // order within the session — a single-column min_by/max_by
-          // key both engines agg identically
-          min_by(col("role"), col("ts")).as("open_role"),
-          max_by(col("role"), col("ts")).as("close_role"))
+          min_by(col("role"), ordKey).as("open_role"),
+          max_by(col("role"), ordKey).as("close_role"))
       perSess
         .groupBy(least(col("n_turns"), lit(6L)).as("turns_bucket"))
         .agg(count(lit(1)).as("n_sessions"),
@@ -1079,8 +1085,10 @@ object EvalQueries {
          per AS (
            SELECT user_id, sess, max(turn) AS n_turns,
              CAST(count(*) AS BIGINT) AS n_events,
-             arg_min(role, ts) AS open_role,
-             arg_max(role, ts) AS close_role
+             arg_min(role, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open_role,
+             arg_max(role, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close_role
            FROM turned GROUP BY user_id, sess)
          SELECT least(n_turns, 6) AS turns_bucket,
            CAST(count(*) AS BIGINT) AS n_sessions,

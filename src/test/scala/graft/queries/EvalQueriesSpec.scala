@@ -72,6 +72,27 @@ class EvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q128 pick key: ties on ts resolve by event_id, not arrival order") {
+    // the open/close-role picks must stay deterministic when
+    // (user_id, ts) stops being unique — the generator property the
+    // padded (ts, event_id) key exists to not depend on
+    import org.apache.spark.sql.functions._
+    val ts0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.5")
+    val df = spark.createDataFrame(Seq(
+      (7L, 30L, ts0, "a"), // same ts, higher id — must NOT open
+      (7L, 10L, ts0, "u"), // same ts, lowest id — opens
+      (7L, 20L, ts0, "x")  // same ts, middle id — must NOT close; 30 closes
+    )).toDF("user_id", "event_id", "ts", "role")
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    val r = df.groupBy("user_id")
+      .agg(min_by(col("role"), key).as("open"),
+        max_by(col("role"), key).as("close"))
+      .collect()(0)
+    assert(r.getAs[String]("open") == "u" && r.getAs[String]("close") == "a")
+  }
+
   test("q129: the capped sample yields exactly C(102,2) slopes per group") {
     val rows = SparkEntry.queries("q129_theil_sen")(spark, dir).collect()
     assert(rows.length == 5)
