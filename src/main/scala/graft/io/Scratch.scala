@@ -35,21 +35,30 @@ object Scratch {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft_scratch")
+        val parent = new java.io.File(shm, "graft_scratch")
+        parent.mkdirs()
+        purgeStale(parent)
+        // per-JVM subtree named by pid: sibling JVMs can decide
+        // liveness from the name alone, so a long-running run's
+        // staged fixtures and shuffle dirs are NEVER purged while it
+        // is alive (an age cutoff alone deletes a >cutoff-old live
+        // run's write-once fixtures out from under it)
+        val d = new java.io.File(parent, s"pid-${ProcessHandle.current().pid()}")
         d.mkdirs()
-        purgeStale(d)
         d.getAbsolutePath
       } else sys.props("java.io.tmpdir")
     sys.props("java.io.tmpdir") = base
     base
   }
 
-  /** Best-effort purge of scratch entries untouched for 6+ hours —
-    * per-JVM temp dirs are never reused, so repeated harness runs
-    * would otherwise grow the RAM tier without bound. The age guard
-    * keeps concurrently-running JVMs (bench + verify) from deleting
-    * each other's live fixtures; failures are ignored (another JVM
-    * may purge the same entry first). */
+  /** Best-effort reclaim of sibling per-JVM subtrees — per-JVM dirs
+    * are never reused, so repeated harness runs would otherwise grow
+    * the RAM tier without bound. `pid-<n>` entries are deleted as
+    * soon as their owner process is DEAD (prompter than any age rule
+    * and safe for arbitrarily long live runs); entries without a
+    * decodable owner (legacy layouts) fall back to a 6-hour age
+    * cutoff. Failures are ignored (another JVM may purge the same
+    * entry first). */
   private def purgeStale(dir: java.io.File): Unit = {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     def rm(f: java.io.File): Unit = {
@@ -57,7 +66,13 @@ object Scratch {
       f.delete(); ()
     }
     try Option(dir.listFiles()).foreach(_.foreach { f =>
-      if (f.lastModified() < cutoff) rm(f)
+      f.getName match {
+        case s if s.startsWith("pid-") =>
+          val alive = s.stripPrefix("pid-").toLongOption
+            .exists(p => ProcessHandle.of(p).isPresent)
+          if (!alive) rm(f)
+        case _ => if (f.lastModified() < cutoff) rm(f)
+      }
     })
     catch { case _: Exception => () }
   }

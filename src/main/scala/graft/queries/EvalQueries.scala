@@ -1133,18 +1133,23 @@ object EvalQueries {
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          auth1 AS (
            SELECT sup, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY sup),
+         -- iteration sums stay HUGEINT through BOTH iterations,
+         -- mirroring Spark's decimal(38,0) accumulators (hub2 growth
+         -- wraps int64 near 1e10-degree hubs); only the top-20
+         -- authority_fp output crosses BIGINT, and both engines
+         -- loud-fail that cast identically under overflow checks
          hub1 AS (
-           SELECT e.c, CAST(sum(a.a1) AS BIGINT) AS h1
+           SELECT e.c, sum(a.a1) AS h1
            FROM e JOIN auth1 a ON e.sup = a.sup GROUP BY e.c),
          auth2 AS (
-           SELECT e.sup, CAST(sum(h.h1) AS BIGINT) AS a2
+           SELECT e.sup, sum(h.h1) AS a2
            FROM e JOIN hub1 h ON e.c = h.c GROUP BY e.sup),
          mx AS (SELECT max(a2) AS mx FROM auth2),
          top AS (
            SELECT sup, a2 FROM auth2 ORDER BY a2 DESC, sup ASC LIMIT 20)
          SELECT CAST(row_number() OVER (ORDER BY a2 DESC, sup ASC) AS BIGINT)
              AS rnk,
-           sup AS s_suppkey, a2 AS authority_fp,
+           sup AS s_suppkey, CAST(a2 AS BIGINT) AS authority_fp,
            CAST(a2 AS DOUBLE) / (SELECT mx FROM mx) AS authority_rel
          FROM top""",
 

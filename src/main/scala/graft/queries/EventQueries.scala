@@ -702,10 +702,10 @@ object EventQueries {
       e.join(broadcast(prefixed.select("bkt", "pmax")), Seq("bkt"))
         .withColumn("rmax", max("us").over(win))
         .withColumn("wm", greatest(
-          coalesce(col("rmax"), lit(-9223372036854775807L)),
-          coalesce(col("pmax"), lit(-9223372036854775807L))))
+          coalesce(col("rmax"), mB),
+          coalesce(col("pmax"), mB)))
         .withColumn("lateness",
-          when(col("wm") === -9223372036854775807L, 0L)
+          when(col("wm") === mB, 0L)
             .otherwise(greatest(col("wm") - col("us"), lit(0L))))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

@@ -75,14 +75,31 @@ object TextQueries {
           sum(dec(col("y"))).as("syd"),
           sum(dec(col("x")) * dec(col("y"))).as("sxyd"),
           sum(dec(col("x")) * dec(col("x"))).as("sxxd"))
-        .select(col("v"), col("sxd").cast("long").as("s_x"),
-          col("syd").cast("long").as("s_y"),
-          col("sxyd").cast("long").as("s_xy"),
-          col("sxxd").cast("long").as("s_xx"))
-        .withColumn("slope", expr(
-          "CAST(v * s_xy - s_x * s_y AS DOUBLE) / CAST(v * s_xx - s_x * s_x AS DOUBLE)"))
-        .withColumn("intercept", expr(
-          "(CAST(s_y AS DOUBLE) - slope * s_x) / v / 1e6"))
+        // slope numerator/denominator multiply IN decimal(38,0): the
+        // int64 products v·Σxy and Σx·Σy pass 2^63 at only a few
+        // hundred vocabulary terms (x,y ≈ 1.5e7 fixed-point), where
+        // decimal carries to ~1e9 terms (≈4e32 < 1e38); the oracle
+        // mirrors with un-cast HUGEINT products. The BIGINT contract
+        // casts below are output-only.
+        .withColumn("sloped",
+          (col("v").cast("decimal(38,0)") * col("sxyd") - col("sxd") * col("syd"))
+            .cast("double")
+          / (col("v").cast("decimal(38,0)") * col("sxxd") - col("sxd") * col("sxd"))
+            .cast("double"))
+        // TRY_CAST (paired with the oracle's TRY_CAST): the raw-sum
+        // diagnostics overflow BIGINT near 5e5 vocabulary terms —
+        // both engines then emit NULL for the sums while the
+        // decimal-computed slope stays exact
+        // intercept from the decimal sums too (the try_cast BIGINT
+        // diagnostics may be NULL at overflow scale; the fit must not)
+        .withColumn("interceptd",
+          (col("syd").cast("double") - col("sloped") * col("sxd").cast("double"))
+            / col("v") / lit(1e6))
+        .select(col("v"), expr("TRY_CAST(sxd AS BIGINT)").as("s_x"),
+          expr("TRY_CAST(syd AS BIGINT)").as("s_y"),
+          expr("TRY_CAST(sxyd AS BIGINT)").as("s_xy"),
+          expr("TRY_CAST(sxxd AS BIGINT)").as("s_xx"),
+          col("sloped").as("slope"), col("interceptd").as("intercept"))
     }),
 
     // Skipgram co-occurrence counts (the word2vec/GloVe input): for
@@ -818,18 +835,23 @@ object TextQueries {
              CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
            FROM r),
          m AS (
+           -- sums stay HUGEINT so the slope products mirror Spark's
+           -- decimal(38,0) math; BIGINT casts are output-only TRY_CASTs
            SELECT CAST(count(*) AS BIGINT) AS v,
-             CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
-             CAST(sum(x * y) AS BIGINT) AS s_xy,
-             CAST(sum(x * x) AS BIGINT) AS s_xx
+             sum(x) AS sxd, sum(y) AS syd,
+             sum(x * y) AS sxyd, sum(x * x) AS sxxd
            FROM fp),
          s AS (
-           SELECT v, s_x, s_y, s_xy, s_xx,
-             CAST(v * s_xy - s_x * s_y AS DOUBLE)
-               / CAST(v * s_xx - s_x * s_x AS DOUBLE) AS slope
+           SELECT v, sxd, syd, sxyd, sxxd,
+             CAST(v * sxyd - sxd * syd AS DOUBLE)
+               / CAST(v * sxxd - sxd * sxd AS DOUBLE) AS slope
            FROM m)
-         SELECT v, s_x, s_y, s_xy, s_xx, slope,
-           (CAST(s_y AS DOUBLE) - slope * s_x) / v / 1e6 AS intercept
+         SELECT v, TRY_CAST(sxd AS BIGINT) AS s_x,
+           TRY_CAST(syd AS BIGINT) AS s_y,
+           TRY_CAST(sxyd AS BIGINT) AS s_xy,
+           TRY_CAST(sxxd AS BIGINT) AS s_xx, slope,
+           (CAST(syd AS DOUBLE) - slope * CAST(sxd AS DOUBLE)) / v / 1e6
+             AS intercept
          FROM s""",
 
     // same forward contexts via list indexing (postings idiom: the

@@ -46,22 +46,37 @@ def jitter_events(table: pa.Table, rng: np.random.Generator) -> pa.Table:
     # timestamps, so any micros value is a legal draw
     ts = (ts // 1_000_000) * 1_000_000 + rng.integers(0, 1_000_000, len(ts))
     # force near-86400s per-user consecutive gaps whose fractional
-    # parts straddle a second boundary (the ADVICE-r7 q128 hazard)
+    # parts straddle a second boundary (the ADVICE-r7 q128 hazard).
+    # At most ONE forced pair per user, and a planted value must not
+    # leapfrog the user's next event — together these guarantee every
+    # forced gap is realized between CONSECUTIVE events (a mutation
+    # that reorders the per-user sequence would silently plant the
+    # hazard somewhere else, or nowhere).
     order = np.lexsort((ts, df["user_id"].to_numpy()))
     users = df["user_id"].to_numpy()[order]
     n_force = max(20, len(ts) // 100)
-    idx = rng.choice(len(order) - 1, size=n_force * 3, replace=False)
-    forced = 0
-    for i in idx:
+    n_avail = max(0, len(order) - 1)
+    k = min(3 * n_force, n_avail)
+    idx = rng.choice(n_avail, size=k, replace=False) if k else np.array([], int)
+    forced, used_users = 0, set()
+    for i in sorted(idx):
         if forced >= n_force:
             break
-        a, b = order[i], order[i + 1]
-        if users[i] != users[i + 1]:
+        if users[i] != users[i + 1] or users[i] in used_users:
             continue
+        a, b = order[i], order[i + 1]
         # gap drawn in [86399.0 s, 86401.0 s) with straddling micros
         gap = 86_399_000_000 + rng.integers(0, 2_000_000)
-        ts[b] = ts[a] + gap
+        new_b = ts[a] + gap
+        # adjacency guard: next same-user event must stay later
+        if i + 2 < len(order) and users[i + 2] == users[i + 1] \
+                and new_b >= ts[order[i + 2]]:
+            continue
+        ts[b] = new_b
+        used_users.add(users[i])
         forced += 1
+    if n_force and forced < n_force:
+        print(f"  (events: planted {forced}/{n_force} boundary gaps)")
     df["ts"] = ts.astype("datetime64[us]")
     # snap ~2% of values to exact .x5 cents-boundary hazards inside
     # the observed range (generator emits 2-decimal values already)
