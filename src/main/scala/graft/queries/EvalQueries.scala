@@ -263,8 +263,11 @@ object EvalQueries {
       val terms = und
         .join(p1.withColumnRenamed("k", "a").withColumnRenamed("pf", "pa"), "a")
         .join(p1.withColumnRenamed("k", "b").withColumnRenamed("pf", "pb"), "b")
+        // decimal numerator: n_ab·1e12 wraps int64 at only ~9.2e6
+        // comparisons per pair; the quotient (≤ n_ab·1e12/(pa+pb),
+        // pa+pb ≈ 2e6-scale weights) stays a BIGINT
         .withColumn("term_fp",
-          expr("n_ab * 1000000000000L div (pa + pb)"))
+          expr("CAST(n_ab AS DECIMAL(38,0)) * 1000000000000 div (pa + pb)"))
         .groupBy("a").agg(sum("term_fp").as("den_fp"))
       it1.join(terms, "a")
         .select(col("a").as("event_type"), col("w").as("n_wins"),
@@ -1019,7 +1022,8 @@ object EvalQueries {
            FROM undn GROUP BY a),
          terms AS (
            SELECT u.a,
-             CAST(sum(u.n_ab * 1000000000000 // (pa.p1_fp + pb.p1_fp))
+             CAST(sum(CAST(u.n_ab AS HUGEINT) * 1000000000000
+                 // (pa.p1_fp + pb.p1_fp))
                AS BIGINT) AS den_fp
            FROM undn u
            JOIN it1 pa ON u.a = pa.a

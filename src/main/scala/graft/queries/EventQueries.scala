@@ -939,8 +939,13 @@ object EventQueries {
           graft.functions.LnExact(expr("1.0 - 2.0 * abs(u - 0.5)")))
         .withColumn("noise_fp", expr(
           "CAST(floor(-sign(u - 0.5) * lnv * 1e6) AS BIGINT)"))
-        .withColumn("released_fp", expr("n * 1000000 + noise_fp"))
-        .withColumn("released", expr("CAST(released_fp AS DOUBLE) / 1e6"))
+        // decimal release: n·1e6 wraps int64 at ~9.2e12 events of one
+        // type (under a 100 TB event log); the BIGINT output is a
+        // paired TRY_CAST and the released double divides the decimal
+        .withColumn("released_d",
+          expr("CAST(n AS DECIMAL(38,0)) * 1000000 + noise_fp"))
+        .withColumn("released_fp", expr("TRY_CAST(released_d AS BIGINT)"))
+        .withColumn("released", expr("CAST(released_d AS DOUBLE) / 1e6"))
         .select(col("event_type"), col("n"), col("u"), col("noise_fp"),
           col("released_fp"), col("released"))
     }),
@@ -1685,9 +1690,11 @@ object EventQueries {
              AS noise_fp
            FROM l),
          r AS (
-           SELECT *, n * 1000000 + noise_fp AS released_fp FROM f)
-         SELECT event_type, n, u, noise_fp, released_fp,
-           CAST(released_fp AS DOUBLE) / 1e6 AS released
+           SELECT *, CAST(n AS HUGEINT) * 1000000 + noise_fp AS released_d
+           FROM f)
+         SELECT event_type, n, u, noise_fp,
+           TRY_CAST(released_d AS BIGINT) AS released_fp,
+           CAST(released_d AS DOUBLE) / 1e6 AS released
          FROM r""",
 
     // same 1-in-13 panel, same per-user daily cents, same ROWS-frame

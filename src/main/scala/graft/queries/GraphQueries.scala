@@ -55,10 +55,14 @@ object GraphQueries {
     val ed = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(Base).as("rank"))
     for (_ <- 1 to iters) {
+      // cs accumulates in decimal(38,0): total rank mass is n·Base, so
+      // 85·cs crosses 2^63 near 1e11 nodes where the oracle's HUGEINT
+      // sum() survives — decimal keeps both engines on one arithmetic;
+      // the per-iteration rank itself stays a BIGINT (≤ mass ≈ 1e17)
       ranks = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst")
-        .agg(sum(col("c")).as("cs"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("cs"))
         .select(col("dst").as("node"),
           (lit(Base * 15 / 100) + expr(s"($DampPct * cs) div 100")).as("rank"))
     }
@@ -292,12 +296,21 @@ object GraphQueries {
       .select(col("w1.dst").as("src"), col("w2.dst").as("dst"))
       .join(dir0, Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+    // wedge diagnostic in decimal(38,0): a single 4.3e9-degree hub's
+    // d(d-1)/2 term passes 2^63, and the Σ sooner; the BIGINT output
+    // is a paired TRY_CAST (NULL on both engines past int64) while
+    // clustering divides the exact decimal
     val summary = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+      .crossJoin(deg.agg(
+        sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1)")).as("tw")))
       .crossJoin(tri)
-    summary.select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+    summary.select(col("n_edges"),
+      // decimal /2 is exact (tw is even), and TRY_CAST stays graceful
+      // where `div`'s long result would abort under ANSI
+      expr("TRY_CAST(tw / 2 AS BIGINT)").as("n_wedges"),
+      col("n_triangles"),
       ((col("n_triangles") * 3).cast("double")
-        / col("n_wedges").cast("double")).as("clustering"))
+        / (col("tw").cast("double") / 2.0)).as("clustering"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -345,10 +358,14 @@ object GraphQueries {
            JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
          SELECT
            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           -- HUGEINT wedge sum mirrors Spark's decimal(38,0); the
+           -- BIGINT output is a paired TRY_CAST
+           (SELECT TRY_CAST(sum(CAST(d AS HUGEINT) * (d - 1)) // 2 AS BIGINT)
+            FROM deg) AS n_wedges,
            n_triangles,
            CAST(n_triangles * 3 AS DOUBLE)
-             / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+             / (CAST((SELECT sum(CAST(d AS HUGEINT) * (d - 1)) FROM deg)
+                AS DOUBLE) / 2.0)
              AS clustering
          FROM tri""",
 

@@ -260,8 +260,12 @@ object IoQueries {
         .groupBy("event_type").agg((count(lit(1)) * 16).as("est_raw"))
       exact.join(est, Seq("event_type"), "left")
         .withColumn("est_n", coalesce(col("est_raw"), lit(0L)))
+        // decimal numerator: |err|·1e6 wraps int64 once a type's count
+        // passes ~9.2e12 (a 100 TB event log); the ppm quotient is
+        // ≤ 1.5e7 (est within 16× of exact) and stays BIGINT
         .withColumn("abs_err_ppm",
-          expr("abs(est_n - exact_n) * 1000000 div exact_n"))
+          expr("CAST(abs(est_n - exact_n) AS DECIMAL(38,0)) * 1000000"
+            + " div exact_n"))
         .select("event_type", "exact_n", "est_n", "abs_err_ppm")
     }),
 
@@ -747,7 +751,8 @@ object IoQueries {
            GROUP BY 1)
          SELECT ex.event_type, ex.exact_n,
            CAST(coalesce(sm.est_raw, 0) AS BIGINT) AS est_n,
-           (abs(coalesce(sm.est_raw, 0) - ex.exact_n) * 1000000) // ex.exact_n
+           CAST((CAST(abs(coalesce(sm.est_raw, 0) - ex.exact_n) AS HUGEINT)
+               * 1000000) // ex.exact_n AS BIGINT)
              AS abs_err_ppm
          FROM ex LEFT JOIN sm USING (event_type)""",
 

@@ -1037,7 +1037,10 @@ object Relational2 {
       obs.crossJoin(broadcast(tot))
         .withColumn("exp_ppm", element_at(
           array(expPpm.map(lit): _*), col("digit")))
-        .withColumn("obs_ppm", expr("(obs * 1000000) div n"))
+        // decimal numerator: obs·1e6 wraps int64 past ~9.2e12 orders;
+        // the ppm quotient is ≤ 1e6 and stays BIGINT
+        .withColumn("obs_ppm",
+          expr("(CAST(obs AS DECIMAL(38,0)) * 1000000) div n"))
         .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
     }),
 
@@ -1752,8 +1755,9 @@ object Relational2 {
            (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
            (9, 45757))
          SELECT o.digit, obs, n, e.exp_ppm,
-           (obs * 1000000) // n AS obs_ppm,
-           (obs * 1000000) // n - e.exp_ppm AS delta_ppm
+           CAST((CAST(obs AS HUGEINT) * 1000000) // n AS BIGINT) AS obs_ppm,
+           CAST((CAST(obs AS HUGEINT) * 1000000) // n - e.exp_ppm AS BIGINT)
+             AS delta_ppm
          FROM o JOIN e ON e.digit = o.digit, t""",
 
     // the PLAIN join — the bloom probe must be invisible in the result

@@ -553,8 +553,12 @@ object TextQueries {
         .join(counts, Seq("lang", "term"), "left_outer")
         .na.fill(0L, Seq("cnt"))
         .crossJoin(broadcast(vocab))
+        // decimal numerator: a stop-word's class count reaches 1e13 at
+        // a 100 TB corpus, so cnt·1e6 wraps int64; the smoothed ppm
+        // quotient is ≤ 1e6 and stays BIGINT
         .withColumn("p_ppm",
-          expr("((cnt + 1) * 1000000) div (class_tot + vocab)"))
+          expr("(CAST(cnt + 1 AS DECIMAL(38,0)) * 1000000)"
+            + " div (class_tot + vocab)"))
         .select("lang", "term", "cnt", "class_tot", "vocab", "p_ppm")
     }),
 
@@ -1249,7 +1253,8 @@ object TextQueries {
          SELECT ct.lang, fr.term,
            CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, ct.class_tot,
            v.vocab,
-           ((coalesce(c.cnt, 0) + 1) * 1000000) // (ct.class_tot + v.vocab)
+           CAST((CAST(coalesce(c.cnt, 0) + 1 AS HUGEINT) * 1000000)
+               // (ct.class_tot + v.vocab) AS BIGINT)
              AS p_ppm
          FROM fr CROSS JOIN ct CROSS JOIN v
          LEFT JOIN c ON c.lang = ct.lang AND c.term = fr.term""",

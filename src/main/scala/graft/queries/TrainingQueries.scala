@@ -112,9 +112,14 @@ object TrainingQueries {
           sum(when(col("in_a"), 1L).otherwise(0L)).as("n1"),
           sum(when(col("in_b"), 1L).otherwise(0L)).as("n2"),
           sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("m"))
+        // decimal numerator: (n1+1)(n2+1) wraps int64 once the samples
+        // reach ~3e9 each (~3e10 keys at the 1-in-10 rate); Chapman's
+        // quotient itself is ≈ N and stays a BIGINT
         .select(col("n_true"), col("n1"), col("n2"), col("m"),
-          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_est"),
-          expr("CAST((n1 + 1) * (n2 + 1) div (m + 1) - 1 AS DOUBLE) / n_true")
+          expr("CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) div (m + 1) - 1")
+            .as("n_est"),
+          expr("""CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) div (m + 1) - 1
+              AS DOUBLE) / n_true""")
             .as("est_ratio"))
     }),
 
@@ -1099,9 +1104,10 @@ object TrainingQueries {
              CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS m
            FROM o)
          SELECT n_true, n1, n2, m,
-           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_est,
-           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS DOUBLE) / n_true
-             AS est_ratio
+           CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS n_est,
+           CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1 AS DOUBLE)
+             / n_true AS est_ratio
          FROM a""",
 
     // same count cells, same per-cell 1/10⁶ entropy-term floors,
