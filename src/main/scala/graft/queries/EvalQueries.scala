@@ -518,7 +518,11 @@ object EvalQueries {
       val s1 = nik.groupBy("doc_id").agg(sum(col("n_ik") * col("n_ik")).as("s2"))
         .agg(count(lit(1)).as("n_items"), sum(col("s2") - 3L).as("s1"))
       val sk = nik.groupBy("label").agg(sum("n_ik").as("s_k"))
-        .agg(count(lit(1)).as("n_cats"), sum(col("s_k") * col("s_k")).as("ssk"))
+        // s_k² in decimal(38,0): a category's marginal is 3·n_docs, so
+        // its square wraps int64 past ~3e9 docs; ssk is internal and
+        // p_e divides the exact decimal
+        .agg(count(lit(1)).as("n_cats"),
+          sum(col("s_k").cast("decimal(38,0)") * col("s_k")).as("ssk"))
       s1.crossJoin(broadcast(sk))
         .withColumn("p_bar", expr("CAST(s1 AS DOUBLE) / (6.0 * n_items)"))
         .withColumn("p_e", expr("CAST(ssk AS DOUBLE) / (9.0 * n_items * n_items)"))
@@ -577,9 +581,12 @@ object EvalQueries {
           expr("dcg_fp * 1000000000L div idcg_fp")).otherwise(0L))
         .withColumn("rr_ppb", when(col("first_rel").isNotNull,
           expr("1000000000L div first_rel")).otherwise(0L))
+        // ppb sums in decimal(38,0): Σ over probes approaches 2^63 at
+        // ~9e9 probe queries; both are internal to the double means
         .agg(count(lit(1)).as("n_queries"),
           sum(when(col("first_rel") <= 10, 1L).otherwise(0L)).as("n_hit10"),
-          sum("rr_ppb").as("srr"), sum("ndcg_ppb").as("sndcg"))
+          sum(col("rr_ppb").cast("decimal(38,0)")).as("srr"),
+          sum(col("ndcg_ppb").cast("decimal(38,0)")).as("sndcg"))
         .select(col("n_queries"), col("n_hit10"),
           expr("CAST(srr AS DOUBLE) / n_queries / 1e9").as("mrr"),
           expr("CAST(sndcg AS DOUBLE) / n_queries / 1e9").as("mean_ndcg10"),
@@ -1234,7 +1241,7 @@ object EvalQueries {
                  FROM nik GROUP BY doc_id) x),
          sk AS (
            SELECT CAST(count(*) AS BIGINT) AS n_cats,
-             CAST(sum(s_k * s_k) AS BIGINT) AS ssk
+             sum(CAST(s_k AS HUGEINT) * s_k) AS ssk
            FROM (SELECT label, CAST(sum(n_ik) AS BIGINT) AS s_k
                  FROM nik GROUP BY label) y)
          SELECT n_items, n_cats,

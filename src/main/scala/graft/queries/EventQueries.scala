@@ -266,11 +266,17 @@ object EventQueries {
           unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
         .filter(col("dur_us").isNotNull)
         .groupBy("user_id")
+        // decimal weight sum: a single cents·dur_us term is within 5×
+        // of 2^63 already at bench scale (year-long gaps × 1e4 cents)
+        // and far past it at a 100 TB log; the BIGINT wsum output is
+        // a paired TRY_CAST and twap divides the exact decimal
         .agg(count(lit(1)).as("n_segments"),
           sum("dur_us").as("span_us"),
-          sum(col("cents") * col("dur_us")).as("wsum"))
+          sum(col("cents").cast("decimal(38,0)") * col("dur_us")).as("wsum_d"))
+        .withColumn("wsum", expr("TRY_CAST(wsum_d AS BIGINT)"))
         .withColumn("twap_cents",
-          col("wsum").cast("double") / col("span_us").cast("double"))
+          col("wsum_d").cast("double") / col("span_us").cast("double"))
+        .drop("wsum_d")
     }),
 
     // Time-decayed engagement score per user (the feature-store
@@ -337,21 +343,29 @@ object EventQueries {
         .select(col("event_type"), (col("user_id") % 2).as("arm"),
           round(col("value") * 100).cast("long").as("c"))
       val a0 = col("arm") === 0
+      // second moments in decimal(38,0): Σc² crosses 2^63 near 1e13
+      // rows/type (a 100 TB log); the BIGINT q_a/q_b outputs are
+      // paired TRY_CASTs and t_stat divides the exact decimals
       e.groupBy("event_type")
         .agg(sum(when(a0, 1L).otherwise(0L)).as("n_a"),
           sum(when(!a0, 1L).otherwise(0L)).as("n_b"),
           sum(when(a0, col("c")).otherwise(0L)).as("s_a"),
           sum(when(!a0, col("c")).otherwise(0L)).as("s_b"),
-          sum(when(a0, col("c") * col("c")).otherwise(0L)).as("q_a"),
-          sum(when(!a0, col("c") * col("c")).otherwise(0L)).as("q_b"))
+          sum(when(a0, (col("c") * col("c")).cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_a_d"),
+          sum(when(!a0, (col("c") * col("c")).cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_b_d"))
+        .withColumn("q_a", expr("TRY_CAST(q_a_d AS BIGINT)"))
+        .withColumn("q_b", expr("TRY_CAST(q_b_d AS BIGINT)"))
         .withColumn("t_stat", expr(
           """(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-             / sqrt((CAST(q_a AS DOUBLE) / n_a
+             / sqrt((CAST(q_a_d AS DOUBLE) / n_a
                      - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
                       / (n_a - 1)
-                  + (CAST(q_b AS DOUBLE) / n_b
+                  + (CAST(q_b_d AS DOUBLE) / n_b
                      - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
                       / (n_b - 1))"""))
+        .drop("q_a_d", "q_b_d")
     }),
 
     // Inter-arrival burst audit — the bot / ingestion-anomaly gate:
@@ -619,15 +633,21 @@ object EventQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wr = Window.partitionBy("event_type")
         .orderBy(abs(col("cusum")).desc, col("d").asc)
+      // dev/cusum in decimal(38,0): n_days·daily_cents crosses 2^63
+      // near 1e13-cent days × 1e4 days, and the running cusum sooner;
+      // decimal ordering for the argmax is numeric like BIGINT, and
+      // the cusum_at output is a paired TRY_CAST
       daily
         .withColumn("dd", count(lit(1)).over(wt))
-        .withColumn("ss", sum("cents").over(wt))
-        .withColumn("dev", col("dd") * col("cents") - col("ss"))
+        .withColumn("ss", sum(col("cents").cast("decimal(38,0)")).over(wt))
+        .withColumn("dev",
+          col("dd").cast("decimal(38,0)") * col("cents") - col("ss"))
         .withColumn("cusum", sum("dev").over(wc))
         .withColumn("rn", row_number().over(wr))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("d").as("change_day"),
-          col("cusum").as("cusum_at"), col("dd").as("n_days"))
+          expr("TRY_CAST(cusum AS BIGINT)").as("cusum_at"),
+          col("dd").as("n_days"))
     }),
 
     // Join-fanout audit — the guard a planner runs BEFORE a
@@ -645,7 +665,13 @@ object EventQueries {
           .groupBy("user_id").agg(count(lit(1)).as(nm))
       val per = side("purchase", "na").join(side("click", "nb"), Seq("user_id"))
         .withColumn("prod", col("na") * col("nb"))
-      val tot = per.agg(sum("prod").as("total_pairs"))
+      // total in decimal(38,0): the Σ na·nb join cardinality passes
+      // 2^63 near 1e9 users × 1e4-event histories; the BIGINT output
+      // is a paired TRY_CAST (per-key prod stays BIGINT — a single
+      // key crossing int64 means a 4e9-event user)
+      val tot = per.agg(
+        expr("TRY_CAST(sum(CAST(prod AS DECIMAL(38,0))) AS BIGINT)")
+          .as("total_pairs"))
       // top-10 cut BEFORE the rank window (round 8): TakeOrdered
       // partial heaps instead of a one-task window over every joined
       // user; the window then ranks 10 rows. Same total order ⇒
@@ -1355,15 +1381,16 @@ object EventQueries {
              CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
              CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
              CAST(sum(CASE WHEN arm <> 0 THEN c ELSE 0 END) AS BIGINT) AS s_b,
-             CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
-             CAST(sum(CASE WHEN arm <> 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+             sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS q_a_h,
+             sum(CASE WHEN arm <> 0 THEN c * c ELSE 0 END) AS q_b_h
            FROM e GROUP BY event_type)
-         SELECT event_type, n_a, n_b, s_a, s_b, q_a, q_b,
+         SELECT event_type, n_a, n_b, s_a, s_b,
+           TRY_CAST(q_a_h AS BIGINT) AS q_a, TRY_CAST(q_b_h AS BIGINT) AS q_b,
            (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-             / sqrt((CAST(q_a AS DOUBLE) / n_a
+             / sqrt((CAST(q_a_h AS DOUBLE) / n_a
                      - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
                       / (n_a - 1)
-                  + (CAST(q_b AS DOUBLE) / n_b
+                  + (CAST(q_b_h AS DOUBLE) / n_b
                      - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
                       / (n_b - 1)) AS t_stat
          FROM a""",
@@ -1410,21 +1437,23 @@ object EventQueries {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM events GROUP BY 1, 2),
          t AS (
+           -- dev/cusum in HUGEINT, mirroring Spark's decimal(38,0)
            SELECT event_type, d, cents,
              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS dd,
-             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+             sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY event_type) AS ss
            FROM daily),
          c AS (
            SELECT event_type, d, dd,
-             CAST(sum(dd * cents - ss) OVER (PARTITION BY event_type
+             sum(CAST(dd AS HUGEINT) * cents - ss) OVER (PARTITION BY event_type
                ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cusum
+               AS cusum
            FROM t),
          r AS (
            SELECT *, row_number() OVER (PARTITION BY event_type
              ORDER BY abs(cusum) DESC, d ASC) AS rn
            FROM c)
-         SELECT event_type, d AS change_day, cusum AS cusum_at,
+         SELECT event_type, d AS change_day,
+           TRY_CAST(cusum AS BIGINT) AS cusum_at,
            dd AS n_days
          FROM r WHERE rn = 1""",
 
@@ -1439,7 +1468,8 @@ object EventQueries {
          per AS (
            SELECT a.user_id, na, nb, na * nb AS prod
            FROM a JOIN b USING (user_id)),
-         t AS (SELECT CAST(sum(prod) AS BIGINT) AS total_pairs FROM per),
+         t AS (SELECT TRY_CAST(sum(CAST(prod AS HUGEINT)) AS BIGINT)
+               AS total_pairs FROM per),
          r AS (
            SELECT *, CAST(row_number() OVER (
              ORDER BY prod DESC, user_id ASC) AS BIGINT) AS rnk
@@ -2035,8 +2065,9 @@ object EventQueries {
            FROM o WHERE next_us IS NOT NULL)
          SELECT user_id, count(*) AS n_segments,
            CAST(sum(dur_us) AS BIGINT) AS span_us,
-           CAST(sum(cents * dur_us) AS BIGINT) AS wsum,
-           CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+           TRY_CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS BIGINT) AS wsum,
+           CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+             / CAST(sum(dur_us) AS DOUBLE)
              AS twap_cents
          FROM seg GROUP BY user_id""",
 

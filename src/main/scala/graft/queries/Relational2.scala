@@ -291,8 +291,11 @@ object Relational2 {
         .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
         .withColumn("sum_c", sum("cents").over(w))
         .withColumn("n_c", count(lit(1)).over(w))
-        // cents > 1.5·mean  ⇔  2·cents·n > 3·sum (integer-exact)
-        .filter(col("cents") * 2 * col("n_c") > col("sum_c") * 3)
+        // cents > 1.5·mean  ⇔  2·cents·n > 3·sum (integer-exact);
+        // both sides in decimal(38,0): cents·n crosses 2^63 near
+        // 5e11 orders per class, and 3·Σcents sooner
+        .filter(col("cents").cast("decimal(38,0)") * 2 * col("n_c")
+          > col("sum_c").cast("decimal(38,0)") * 3)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_pricey"), max("o_orderkey").as("max_key"))
     }),
@@ -1304,8 +1307,8 @@ object Relational2 {
                     FROM orders)
          SELECT o_orderpriority, count(*) AS n_pricey, max(o_orderkey) AS max_key
          FROM o a
-         WHERE a.cents * 2 * (SELECT count(*) FROM o b WHERE b.o_orderpriority = a.o_orderpriority)
-               > (SELECT sum(cents) FROM o b WHERE b.o_orderpriority = a.o_orderpriority) * 3
+         WHERE CAST(a.cents AS HUGEINT) * 2 * (SELECT count(*) FROM o b WHERE b.o_orderpriority = a.o_orderpriority)
+               > (SELECT sum(CAST(cents AS HUGEINT)) FROM o b WHERE b.o_orderpriority = a.o_orderpriority) * 3
          GROUP BY o_orderpriority""",
 
     "q1C_percentiles" ->

@@ -46,13 +46,18 @@ object TrainingQueries {
         .select("source", "doc_id", "n_chars")
         .withColumn("i", row_number().over(w).cast("long"))
         .groupBy("source")
+        // rank mass in decimal(38,0): Σ i·n_chars grows ~n²·chars and
+        // crosses 2^63 near 3e7 docs per source; both Gini operands
+        // stay decimal until the one final IEEE division
         .agg(count(lit(1)).as("n"),
           sum("n_chars").as("total_chars"),
-          sum(col("i") * col("n_chars")).as("rank_mass"))
+          sum(col("i").cast("decimal(38,0)") * col("n_chars")).as("rank_mass"))
         .select(col("source"), col("n"), col("total_chars"),
-          ((lit(2L) * col("rank_mass") - (col("n") + 1) * col("total_chars"))
+          ((lit(2L) * col("rank_mass")
+              - (col("n") + 1).cast("decimal(38,0)") * col("total_chars"))
             .cast("double")
-            / (col("n") * col("total_chars")).cast("double")).as("gini"))
+            / (col("n").cast("decimal(38,0)") * col("total_chars"))
+              .cast("double")).as("gini"))
     }),
 
     // Neyman optimal allocation — survey sampling's answer to "how
@@ -70,21 +75,27 @@ object TrainingQueries {
       val strata = table(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_linestatus").as("status"),
-          // floor dollars, not cents: keeps Σc² under 2⁶³ to ~10⁸
-          // rows per stratum (qFE's discipline)
+          // floor dollars, not cents (qFE's discipline) — and the
+          // second moment in decimal(38,0): Σc² still crosses 2^63
+          // near 1e8 rows per stratum, 1e4× under a 100 TB lineitem
           floor(col("l_extendedprice")).cast("long").as("c"))
         .groupBy("flag", "status")
         .agg(count(lit(1)).as("n"), sum("c").as("sc"),
-          sum(col("c") * col("c")).as("qc"))
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("qc"))
         .withColumn("w_fp", floor(expr(
           """CAST(n AS DOUBLE)
              * sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc) / n
              * 100""")).cast("long"))
-      val tot = strata.agg(sum("w_fp").as("t"))
+      // t and the w_fp·1000 remainder arithmetic in decimal: Σw_fp
+      // approaches 2^63 itself at trillion-row strata, and ×1000
+      // crosses it long before
+      val tot = strata.agg(sum(col("w_fp").cast("decimal(38,0)")).as("t"))
       val wr = Window.orderBy(
-        (col("w_fp") * 1000 % col("t")).desc, col("flag").asc, col("status").asc)
+        (col("w_fp").cast("decimal(38,0)") * 1000 % col("t")).desc,
+        col("flag").asc, col("status").asc)
       val shares = strata.crossJoin(broadcast(tot))
-        .withColumn("base", expr("w_fp * 1000 div t"))
+        .withColumn("base",
+          expr("CAST(w_fp AS DECIMAL(38,0)) * 1000 div t"))
         .withColumn("rnk", row_number().over(wr).cast("long"))
       val short = shares.agg((lit(1000L) - sum("base")).as("short"))
       shares.crossJoin(broadcast(short))
@@ -1050,13 +1061,14 @@ object TrainingQueries {
                                      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS i
            FROM documents),
          a AS (
+           -- rank mass in HUGEINT, mirroring Spark's decimal(38,0)
            SELECT source, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             CAST(sum(i * n_chars) AS BIGINT) AS rank_mass
+             sum(CAST(i AS HUGEINT) * n_chars) AS rank_mass
            FROM r GROUP BY source)
          SELECT source, n, total_chars,
-           CAST(2 * rank_mass - (n + 1) * total_chars AS DOUBLE)
-             / CAST(n * total_chars AS DOUBLE) AS gini
+           CAST(2 * rank_mass - CAST(n + 1 AS HUGEINT) * total_chars AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * total_chars AS DOUBLE) AS gini
          FROM a""",
 
     // same dollar moments, same 1/10² weight floors, same integer
@@ -1066,8 +1078,10 @@ object TrainingQueries {
            SELECT l_returnflag AS flag, l_linestatus AS status,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sc,
-             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
-                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS qc
+             -- qc / t / x1000 remainder arithmetic in HUGEINT,
+             -- mirroring Spark's decimal(38,0)
+             sum(CAST(floor(l_extendedprice) AS HUGEINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS qc
            FROM lineitem GROUP BY 1, 2),
          w AS (
            SELECT flag, status, n,
@@ -1075,11 +1089,12 @@ object TrainingQueries {
                * sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc) / n
                * 100) AS BIGINT) AS w_fp
            FROM m),
-         t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS t FROM w),
+         t AS (SELECT sum(CAST(w_fp AS HUGEINT)) AS t FROM w),
          sh AS (
            SELECT flag, status, n, w_fp,
-             w_fp * 1000 // t AS base,
-             CAST(row_number() OVER (ORDER BY (w_fp * 1000 % t) DESC,
+             CAST(CAST(w_fp AS HUGEINT) * 1000 // t AS BIGINT) AS base,
+             CAST(row_number() OVER (
+               ORDER BY (CAST(w_fp AS HUGEINT) * 1000 % t) DESC,
                flag ASC, status ASC) AS BIGINT) AS rnk
            FROM w, t),
          sht AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS short FROM sh)
