@@ -41,9 +41,21 @@ object Dedup {
     * `conv(substring(md5(c), 1, 15), 16, 10)` (DedupSpec pins it). */
   def md5Long(c: Column): Column = graft.functions.Md5Long(c)
 
-  /** h_k(s) = (a_k·(H(s) mod P) + b_k) mod P. */
-  def hashK(c: Column, k: Int): Column =
-    (lit(HashA(k)) * (md5Long(c) % P) + lit(HashB(k))) % P
+  /** Wide per-key minhash minima m0..m{n-1} over exploded shingles —
+    * the ONE place the hash family h_k(s) = (a_k·(H(s) mod P) + b_k)
+    * mod P is applied: each shingle is md5-hashed ONCE and all k
+    * minima ride a single aggregation pass (k agg expressions, no k×
+    * row fanout). Shared by [[minhashSignaturesBy]] (stack unpivot)
+    * and [[minhashBandKeys]] (fused band combine). */
+  private def minhashWide(df: DataFrame, keyCols: Seq[String],
+                          shinglesCol: String, numHashes: Int): DataFrame = {
+    val sh = df.select(keyCols.map(col) :+ explode(col(shinglesCol)).as("shingle"): _*)
+      .withColumn("H", md5Long(col("shingle")) % P)
+    val aggs = (0 until numHashes).map { k =>
+      min((lit(HashA(k)) * col("H") + lit(HashB(k))) % P).as(s"m$k")
+    }
+    sh.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Exact duplicate groups over a canonical key: returns one row per
     * key with the surviving (minimum) id and the duplicate count. */
@@ -72,16 +84,8 @@ object Dedup {
     // NOTE: rows with EMPTY shingle arrays produce no signature (and
     // so can never be LSH candidates) — a <n-token doc has no n-gram
     // identity; pair minhash with exact/fingerprint dedup for those.
-    // hash each shingle ONCE (md5 is the expensive part), then take
-    // all k minima in a single aggregation pass — k agg expressions
-    // over the shingle rows instead of a k× row fanout — and unpivot
-    // the k columns with stack(). One shuffle of one row per key.
-    val sh = df.select(keyCols.map(col) :+ explode(col(shinglesCol)).as("shingle"): _*)
-      .withColumn("H", md5Long(col("shingle")) % P)
-    val aggs = (0 until numHashes).map { k =>
-      min((lit(HashA(k)) * col("H") + lit(HashB(k))) % P).as(s"m$k")
-    }
-    val wide = sh.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // one [[minhashWide]] pass, then unpivot the k columns with stack()
+    val wide = minhashWide(df, keyCols, shinglesCol, numHashes)
     val stackArgs = (0 until numHashes).map(k => s"$k, m$k").mkString(", ")
     wide.selectExpr(keyCols :+ s"stack($numHashes, $stackArgs) AS (k, minhash)": _*)
   }
@@ -112,12 +116,7 @@ object Dedup {
       s"numHashes must be in [1, ${HashA.length}] (available hash family size)")
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
-    val sh = df.select(col(idCol), explode(col(shinglesCol)).as("shingle"))
-      .withColumn("H", md5Long(col("shingle")) % P)
-    val aggs = (0 until numHashes).map { k =>
-      min((lit(HashA(k)) * col("H") + lit(HashB(k))) % P).as(s"m$k")
-    }
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val wide = minhashWide(df, Seq(idCol), shinglesCol, numHashes)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       // same order-sensitive combine as lshBandKeys: Σ (r+1)·m_{b·w+r}
       val key = (0 until rowsPerBand)
@@ -278,12 +277,29 @@ object Dedup {
     * threshold 0 degenerates to the full join. */
   def jaccardPairs(df: DataFrame, idCol: String, tokenSetCol: String,
                    bucketCol: String, threshold: Double): DataFrame = {
+    // Prune bounds in EXACT integer arithmetic on the rational
+    // threshold P/B, with P = ⌊threshold·B⌋ ≤ threshold: float forms
+    // (ceil(t·sz), t/(1+t)·(sz1+sz2)) round UP by an ulp at pairs
+    // whose Jaccard sits exactly ON the threshold (t=0.8, 28-token
+    // set inside 35: 0.8/1.8·63 floats to 28.000…004, ceil 29 > the
+    // true α 28) and silently drop true pairs. Rounding the
+    // threshold DOWN keeps every bound a valid relaxation — the
+    // candidate set is a superset and the exact verify still decides
+    // membership with the caller's double threshold.
+    val B = 1000000000L
+    val P = math.floor(threshold * B).toLong
     // hashed token set sorted by hash = the global prefix order, and
-    // the cheaper join/intersect representation (no string compares)
+    // the cheaper join/intersect representation (no string compares).
+    // Checkpointed: pref, f1 and f2 all read it, and exchange reuse
+    // is an optimizer courtesy, not a guarantee — without it the
+    // per-token md5 + sort (the hottest expression here) runs 3×.
     val base = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
       size(col(tokenSetCol)).as("sz"),
       array_sort(transform(col(tokenSetCol), t => md5Long(t))).as("hs"))
-    val plen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+      .localCheckpoint()
+    // prefix length sz − ⌈(P/B)·sz⌉ + 1 ≥ the true sz − ⌈t·sz⌉ + 1
+    val plen = (col("sz")
+      - expr(s"(${P}L * CAST(sz AS BIGINT) + ${B - 1}L) div ${B}L") + 1).cast("int")
     val pref = base.select(col("bkt"), col("id"), col("sz"),
       posexplode(slice(col("hs"), lit(1), greatest(plen, lit(0)))).as(Seq("p", "t")))
     val a = pref.select(col("bkt"), col("t"), col("id").as("id1"),
@@ -291,17 +307,18 @@ object Dedup {
     val b = pref.select(col("bkt"), col("t"), col("id").as("id2"),
       col("sz").as("sz2"), col("p").as("p2"))
     // PPJoin-style exact pruning BEFORE the distinct shuffle:
-    //  - length: J ≥ t forces t·|s| ≤ |r| ≤ |s|/t;
+    //  - length: J ≥ t forces t·|s| ≤ |r| ≤ |s|/t (as B·|r| ≥ P·|s|);
     //  - position: a match at (0-based) prefix positions p1/p2 bounds
     //    the overlap by min(remaining tokens) — must still reach the
-    //    required α = ⌈t/(1+t)·(|r|+|s|)⌉.
+    //    required α = ⌈t/(1+t)·(|r|+|s|)⌉, relaxed to P/(P+B).
     // shuffled-hash beats sort-merge here: residual high-multiplicity
     // keys make the sort phase pure overhead
-    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("sz1") + col("sz2")))
+    val alpha = expr(
+      s"(${P}L * (CAST(sz1 AS BIGINT) + sz2) + ${P + B - 1}L) div ${P + B}L")
     val cand = a.join(b.hint("shuffle_hash"), Seq("bkt", "t"))
       .filter(col("id1") < col("id2"))
-      .filter(col("sz1") >= lit(threshold) * col("sz2") &&
-        col("sz2") >= lit(threshold) * col("sz1"))
+      .filter(col("sz1") * B >= col("sz2") * P &&
+        col("sz2") * B >= col("sz1") * P)
       .filter(least(col("sz1") - col("p1"), col("sz2") - col("p2")) >= alpha)
       .select("bkt", "id1", "id2").distinct()
     // verify pass: 1:1 joins on id (no explosion), exact set intersect

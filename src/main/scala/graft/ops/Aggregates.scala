@@ -58,9 +58,13 @@ object Aggregates {
     * pre-pass; SURVEY.md §3 E3) and zero fill. `max` is the
     * reference's no-op reducer: ≤1 value per cell by construction. */
   def monthPivot(df: DataFrame, keys: Seq[String], monthCol: String,
-                 values: Seq[String], valueCol: String): DataFrame =
-    df.groupBy(keys.map(col): _*)
+                 values: Seq[String], valueCol: String): DataFrame = {
+    // zero-fill ONLY the pivoted cells: a bare na.fill(0) would also
+    // rewrite a null in a numeric KEY column, conflating a null-keyed
+    // group with a genuine key-0 group
+    val pivoted = df.groupBy(keys.map(col): _*)
       .pivot(monthCol, values)
       .max(valueCol)
-      .na.fill(0)
+    pivoted.na.fill(0, pivoted.columns.filterNot(keys.contains))
+  }
 }

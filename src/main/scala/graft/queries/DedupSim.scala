@@ -1331,9 +1331,12 @@ object DedupSim {
          WHERE rn = 1""",
 
     "q46_cosine_topk" ->
-      """WITH e AS (
+      """WITH e0 AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
+         -- zero-norm guard mirrors the engine: NaN cosines must not rank
+         e AS (SELECT * FROM e0
+               WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          SELECT e.vec_id,
            list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) /
@@ -1367,14 +1370,19 @@ object DedupSim {
          WHERE rn <= 5""",
 
     "q48_ivf_ann" ->
-      """WITH e AS (
+      """WITH e0 AS (
            SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
+         -- zero-norm guard BEFORE centroid init, mirroring the engine
+         e AS (SELECT * FROM e0
+               WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
          en AS (
            SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
          c AS (
+           -- first-k-by-id of the guarded set (the engine's
+           -- orderBy+limit init, not a dense-id assumption)
            SELECT id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cc
-           FROM e WHERE id < 16),
+           FROM e ORDER BY id ASC LIMIT 16),
          asg AS (
            SELECT id, v, nrm, cid AS cell FROM (
              SELECT en.id, en.v, en.nrm, c.cid,

@@ -45,6 +45,9 @@ object Similarity {
                          queryId: Long, k: Int): DataFrame = {
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
+      // zero-norm vectors make cos NaN (Spark sorts NaN ABOVE all
+      // numbers, so they'd fill the top-k) — same guard as ivfNNAll
+      .filter(col("nrm") > 0)
     val q = e.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("nrm").as("qn"))
     e.filter(col(idCol) =!= queryId)
@@ -126,6 +129,9 @@ object Similarity {
               topK: Int = 10, trainIters: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
+      // zero-norm guard BEFORE training/assignment (same as ivfNNAll):
+      // a zero vector in a probed cell would rank NaN-first in top-k
+      .filter(col("nrm") > 0)
     val cents = quantizer(e, kCentroids, trainIters)
     // cell assignment: argmin_c (|c|² − 2·v·c)  (|v|² constant per v)
     // via min_by partial aggregation — map-side combine, no window
@@ -203,7 +209,8 @@ object Similarity {
 
   /** Int8 scalar quantization + integer-dot ANN — the embedding-store
     * COMPRESSION path: one global symmetric scale M = max |x| over the
-    * corpus, code_i = floor(x_i·127/M) ∈ [-128, 127], similarity =
+    * corpus, code_i = floor(x_i·127/M + 0.5) ∈ [-127, 127]
+    * (round-to-nearest — see the inline note), similarity =
     * the exact INTEGER dot of code vectors (≈ dot(x,y)·(127/M)², a
     * monotone-enough proxy — SimilaritySpec pins recall@k vs the
     * exact-double-dot ranking). Every arithmetic step is either an
@@ -220,6 +227,9 @@ object Similarity {
     * candidates can first be cut by any of the LSH/IVF paths — the
     * quantizer composes with them, it replaces only the re-rank
     * arithmetic). */
+  /** NOTE: the probe set is `id < nQueries` — a DENSE 0-based id
+    * contract (the embeddings table's), unlike quantizer's
+    * orderBy+limit; callers with sparse/offset ids must re-key. */
   def int8TopK(corpus: DataFrame, idCol: String, vecCol: String,
                nQueries: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -163,4 +163,18 @@ class DedupSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("jaccardPairs keeps pairs whose Jaccard sits EXACTLY on the threshold") {
+    // 28-token set fully inside a 35-token set: J = 28/35 = 0.8. The
+    // former float prune bounds (ceil(0.8/1.8·63) = ceil of
+    // 28.000…004 = 29 > the true α = 28) silently dropped this pair;
+    // the integer rational bounds must keep it.
+    val small = (1 to 28).map(i => s"tok$i")
+    val big = (1 to 35).map(i => s"tok$i")
+    val df = Seq((1L, "b", small), (2L, "b", big)).toDF("id", "bkt", "toks")
+    val pairs = Dedup.jaccardPairs(df, "id", "toks", "bkt", 0.8)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0.8)))
+  }
 }
