@@ -36,17 +36,14 @@ object BloomFilter {
 
   val NumHashes = 4
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  // per-thread digest shared with Md5Long — one definition repo-wide
 
   /** The k=4 bit positions for a value: big-endian 32-bit words of the
     * md5 digest, mod mBits (== `conv(substr(md5(x),1+8i,8),16,10) % m`
     * on the hex spelling — hex chars [1+8i, 8i+8] are digest bytes
     * [4i, 4i+3]). */
   def positions(bytes: Array[Byte], mBits: Int): Array[Int] = {
-    val d = md5.get().digest(bytes)
+    val d = Md5Long.digests.get().digest(bytes)
     val out = new Array[Int](NumHashes)
     var i = 0
     while (i < NumHashes) {

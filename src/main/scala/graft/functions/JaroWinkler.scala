@@ -98,6 +98,10 @@ object JaroWinkler {
     * asserts equality on random inputs. */
   def sim(s1: String, s2: String): Double = {
     val l1 = s1.length; val l2 = s2.length
+    // empty-vs-anything — INCLUDING empty-vs-empty — scores 0.0:
+    // this is DuckDB jaro_winkler_similarity's convention (verified
+    // on 1.0: ('','') → 0.0), which the oracle parity depends on;
+    // RapidFuzz-family libraries return 1.0 there instead
     if (l1 == 0 || l2 == 0) return 0.0
     if (s1 == s2) return 1.0
     val window = math.max(math.max(l1, l2) / 2 - 1, 0)

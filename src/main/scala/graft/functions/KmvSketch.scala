@@ -153,7 +153,11 @@ object KmvSketch {
     * both-sides fraction estimates |A∩B|/|A∪B|). Exact below k. */
   def jaccard(a: Column, b: Column, k: Int): Column = {
     val u = unionK(a, b, k)
-    size(array_intersect(array_intersect(u, a), b)).cast("double") /
-      size(u).cast("double")
+    // empty-union guard (two empty sketches, e.g. all-null key
+    // groups): 0/0 would be NaN — J(∅,∅) is defined as 0 here
+    when(size(u) > 0,
+      size(array_intersect(array_intersect(u, a), b)).cast("double") /
+        size(u).cast("double"))
+      .otherwise(lit(0.0))
   }
 }

@@ -37,7 +37,10 @@ case class Md5Long(child: Expression) extends UnaryExpression {
 
 object Md5Long {
 
-  private val digests = new ThreadLocal[MessageDigest] {
+  /** Shared per-thread MD5 instance for every native hash expression
+    * (this one and BloomFilter) — one definition so the digest
+    * plumbing can't drift between them. */
+  private[functions] val digests = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
@@ -45,9 +48,9 @@ object Md5Long {
   /** First 60 bits of md5(s) as a non-negative long (== the first 15
     * hex digits of the canonical lowercase digest read base-16). */
   def hash60(s: UTF8String): Long = {
-    val d = digests.get()
-    d.reset()
-    val h = d.digest(s.getBytes)
+    // digest() below resets the instance itself — no explicit reset
+    // on the repo's hottest expression
+    val h = digests.get().digest(s.getBytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }

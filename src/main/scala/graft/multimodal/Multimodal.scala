@@ -125,11 +125,15 @@ object Multimodal {
       }
       require(i < payload.length && payload(i) >= '0' && payload(i) <= '9',
         "netpbm: expected header integer")
-      var v = 0
+      // accumulate in Long with a bound: Int arithmetic would WRAP on
+      // an adversarial 10+-digit header and sneak past the sanity
+      // requires below (fail-loudly contract)
+      var v = 0L
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
         v = v * 10 + (payload(i) - '0'); i += 1
+        require(v <= Int.MaxValue, "netpbm: header integer overflow")
       }
-      v
+      v.toInt
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval == 255, s"netpbm: unsupported maxval $maxval")
@@ -137,8 +141,11 @@ object Multimodal {
       "netpbm: missing raster separator")
     i += 1 // spec: EXACTLY one whitespace byte, then the raster
     val channels = if (color) 3 else 1
-    val n = w * h * channels
-    require(n > 0 && payload.length - i >= n, "netpbm: truncated raster")
+    // w·h·channels in Long: the Int product wraps at ~2^31 pixels and
+    // a wrapped small n would ACCEPT a corrupt huge-dimension header
+    val nL = w.toLong * h * channels
+    require(nL > 0 && payload.length - i >= nL, "netpbm: truncated raster")
+    val n = nL.toInt // bounded by payload length after the require
     var sum = 0L; var mn = 255; var mx = 0
     val first = payload(i) & 0xff
     val last = payload(i + n - 1) & 0xff
@@ -267,6 +274,10 @@ object Multimodal {
         case "data" =>
           require(channels > 0, "wav: data chunk before fmt")
           require(size % 2 == 0, "wav: odd PCM16 data size")
+          // fail loudly on a second data chunk: silently continuing
+          // would accumulate sums across chunks while nSamples kept
+          // only the last chunk's count — garbage per-sample stats
+          require(nSamples == -1, "wav: multiple data chunks")
           nSamples = size / 2
           require(nSamples > 0, "wav: empty data chunk")
           var k = 0

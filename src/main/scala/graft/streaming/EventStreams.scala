@@ -32,9 +32,11 @@ object EventStreams {
     // peek at the batch-read schema (footer only) to decide whether
     // this directory actually carries nanos-as-long — a µs-timestamp
     // directory must pass through untouched, like Sources.table
+    // no catch: a failed peek must propagate, not silently default —
+    // defaulting to nanos against a µs directory would declare ts as
+    // LongType and shift every event time 1000× (or fail per-batch)
     val tsIsNanoLong =
-      try spark.read.parquet(dir).schema("ts").dataType == LongType
-      catch { case _: Throwable => true }
+      spark.read.parquet(dir).schema("ts").dataType == LongType
     if (tsIsNanoLong) {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -74,7 +76,14 @@ object EventStreams {
           // floor(x*100 + 0.5): identical fixed-pointing on both
           // engines (DuckDB round() is half-away-from-zero, Java
           // Math.round is half-up — floor(+0.5) sidesteps both)
-          batch.foreach { e => n += 1; c += math.floor(e.value * 100 + 0.5).toLong }
+          batch.foreach { e =>
+            // loud on non-finite: NaN would fix-point to 0 cents and
+            // Infinity to Long.MaxValue, silently corrupting the
+            // running sum where the batch-SQL twin aborts on the cast
+            require(java.lang.Double.isFinite(e.value),
+              s"non-finite event value ${e.value}")
+            n += 1; c += math.floor(e.value * 100 + 0.5).toLong
+          }
           val next = UserTotals(user, n, c)
           state.update(next)
           Iterator.single(next)
@@ -115,7 +124,11 @@ object EventStreams {
       val prev = if (totals.exists()) totals.get() else UserTotals(user, 0L, 0L)
       var n = prev.n_events
       var c = prev.sum_cents
-      rows.foreach { e => n += 1; c += math.floor(e.value * 100 + 0.5).toLong }
+      rows.foreach { e =>
+        require(java.lang.Double.isFinite(e.value), // same guard as above
+          s"non-finite event value ${e.value}")
+        n += 1; c += math.floor(e.value * 100 + 0.5).toLong
+      }
       val next = UserTotals(user, n, c)
       totals.update(next)
       Iterator.single(next)

@@ -134,7 +134,11 @@ object EntityRuler {
   /** The original registered-UDF form (kept for API parity with the
     * survey's ladder; same results as [[nerColumn]]). */
   def nerColumnUdf(matcher: Matcher)(text: Column): Column = {
-    val f = udf((s: String) => matcher.extract(s))
+    // null in → null out, matching NerExtract's UnaryExpression
+    // short-circuit (a bare extract(null) would tokenize to empty and
+    // emit the ["empty"] sentinel — a different row than the
+    // expression form, breaking the documented parity)
+    val f = udf((s: String) => Option(s).map(matcher.extract).orNull)
     f(text)
   }
 
@@ -151,8 +155,11 @@ object EntityRuler {
     try {
       src.getLines().flatMap { line =>
         val node = mapper.readTree(line)
-        val label = Option(node.get("label")).map(_.asText).getOrElse("")
-        val id = Option(node.get("id")).map(_.asText)
+        // isTextual also on label/id: a JSON null would otherwise
+        // stringify to the literal "null" via NullNode.asText
+        val label = Option(node.get("label")).filter(_.isTextual)
+          .map(_.asText).getOrElse("")
+        val id = Option(node.get("id")).filter(_.isTextual).map(_.asText)
         Option(node.get("pattern")).toSeq.flatMap { patNode =>
           val toks: Seq[Option[TokPat]] =
             (0 until patNode.size()).map { i =>

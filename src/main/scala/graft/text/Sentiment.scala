@@ -115,7 +115,7 @@ object Sentiment {
     val intMap = typedLit(intensifiers)
     val negArr = array(negators.toSeq.sorted.map(lit): _*)
     val low = transform(tokens, t => lower(t))
-    val prev = concat(array(lit("")), slice(low, lit(1), greatest(size(low) - 1, lit(0))))
+    val prev = TextStats.prevShift(low)
     val adj = zip_with(low, prev, (t, p) =>
       try_element_at(polMap, t).cast("long") *
         when(array_contains(negArr, p), lit(-500L))

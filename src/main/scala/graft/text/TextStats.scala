@@ -107,10 +107,17 @@ object TextStats {
     * '' sentinel (same convention as the sentiment scorer's prev-token
     * shift), so a leading empty token — only possible from leading/
     * doubled separators — is dropped. */
-  def dedupConsecutive(toks: Column): Column = {
-    val prev = concat(array(lit("")),
+  /** Predecessor-shifted copy of a token array: element i is
+    * toks[i-1], with the '' sentinel at position 0. The ONE shift
+    * convention shared by [[dedupConsecutive]] and the sentiment
+    * scorer's negator/intensifier lookback. */
+  private[text] def prevShift(toks: Column): Column =
+    concat(array(lit("")),
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
-    val zipped = zip_with(toks, prev, (t, p) => struct(t.as("t"), p.as("p")))
+
+  def dedupConsecutive(toks: Column): Column = {
+    val zipped = zip_with(toks, prevShift(toks),
+      (t, p) => struct(t.as("t"), p.as("p")))
     transform(filter(zipped, z => z.getField("t") =!= z.getField("p")),
       z => z.getField("t"))
   }
