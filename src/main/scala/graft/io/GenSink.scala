@@ -74,7 +74,8 @@ private[io] class GenSinkWriteBuilder(schema: StructType, path: String)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GenSinkBatchWrite(schema, path, doTruncate)
-    override def toStreaming: StreamingWrite = new GenSinkStreamingWrite(schema, path)
+    override def toStreaming: StreamingWrite =
+      new GenSinkStreamingWrite(schema, path, doTruncate)
   }
 }
 
@@ -89,7 +90,8 @@ private[io] class GenSinkWriteBuilder(schema: StructType, path: String)
   * — idempotent re-execution, which for a file sink IS the
   * exactly-once contract. Epoch commit/abort arrive on the driver
   * per micro-batch, same protocol shape as the batch path. */
-private[io] class GenSinkStreamingWrite(schema: StructType, path: String)
+private[io] class GenSinkStreamingWrite(schema: StructType, path: String,
+                                        truncate: Boolean)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -109,7 +111,16 @@ private[io] class GenSinkStreamingWrite(schema: StructType, path: String)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val keep = messages.collect { case GenSinkFile(f) => new File(f).getName }.toSet
-    epochFiles(epochId).filterNot(f => keep(f.getName)).foreach(_.delete())
+    // Complete-mode (truncate) epochs re-emit the FULL result: after
+    // this epoch commits, every earlier epoch's files must go too, or
+    // a re-read of the directory double-counts each group. The
+    // builder's truncate flag arrives here via build().toStreaming.
+    val doomed =
+      if (truncate)
+        Option(new File(path).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.contains("part-e"))
+      else epochFiles(epochId)
+    doomed.filterNot(f => keep(f.getName)).foreach(_.delete())
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -180,26 +191,45 @@ private[io] class GenSinkWriter(schema: StructType, tmpFile: String, file: Strin
     sb.toString
   }
 
-  override def write(row: InternalRow): Unit = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val v =
-        if (row.isNullAt(i)) "null"
-        else f.dataType match {
-          case LongType => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
-          case DoubleType =>
-            // JSON has no NaN/Infinity literal — emit null rather
-            // than a token that corrupts the whole record on re-read
-            val d = row.getDouble(i)
-            if (java.lang.Double.isFinite(d)) d.toString else "null"
-          case BooleanType => row.getBoolean(i).toString
-          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
-          case dt => throw new IllegalArgumentException(
-            s"graftsink supports long/int/double/string/boolean, got $dt for ${f.name}")
-        }
-      "\"" + jsonEscape(f.name) + "\":" + v
+  // per-SCHEMA precompute (this is the per-row hot path): escaped
+  // "name": prefixes and an unsupported-type check up front, so
+  // write() does no constant-string escaping or array allocation
+  private val namePrefixes: Array[String] =
+    schema.fields.map(f => "\"" + jsonEscape(f.name) + "\":")
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType | StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"graftsink supports long/int/double/string/boolean, got $dt for ${f.name}")
     }
-    out.write(fields.mkString("{", ",", "}"))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var i = 0
+    while (i < namePrefixes.length) {
+      if (i > 0) sb.append(',')
+      sb.append(namePrefixes(i))
+      if (row.isNullAt(i)) sb.append("null")
+      else schema.fields(i).dataType match {
+        case LongType => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType =>
+          // JSON has no NaN/Infinity literal — emit null rather
+          // than a token that corrupts the whole record on re-read
+          val d = row.getDouble(i)
+          if (java.lang.Double.isFinite(d)) sb.append(d) else sb.append("null")
+        case BooleanType => sb.append(row.getBoolean(i))
+        case StringType =>
+          sb.append('"').append(jsonEscape(row.getUTF8String(i).toString))
+            .append('"')
+        case _ => () // unreachable: checked at construction
+      }
+      i += 1
+    }
+    sb.append('}')
+    out.write(sb.toString)
     out.newLine()
   }
 

@@ -78,13 +78,23 @@ private[io] class GenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   private var required: StructType = GenSource.schema
   private var pushed: Array[Filter] = Array.empty
 
-  /** A filter is absorbable iff it tightens the [lo, hi) id bound. */
+  /** A filter is absorbable iff it tightens the [lo, hi) id bound.
+    * The +1 conversions to half-open bounds saturate instead of
+    * wrapping: `id <= Long.MaxValue` must absorb as the full range,
+    * not overflow to an empty one (and `id > Long.MaxValue` as the
+    * empty range, not the full one) — a pushed filter is REMOVED from
+    * Spark's residual set, so a wrong bound is a silent wrong answer. */
+  private def inc(x: Long): Long =
+    if (x == Long.MaxValue) Long.MaxValue else x + 1
   private def bound(f: Filter): Option[(Long, Long)] = f match {
-    case EqualTo("id", x: Long) => Some((x, x + 1))
-    case GreaterThan("id", x: Long) => Some((x + 1, Long.MaxValue))
+    case EqualTo("id", x: Long) =>
+      Some((x, inc(x))) // degenerate-empty only at MaxValue, matching ==
+    case GreaterThan("id", x: Long) =>
+      if (x == Long.MaxValue) Some((Long.MaxValue, Long.MaxValue)) // empty
+      else Some((x + 1, Long.MaxValue))
     case GreaterThanOrEqual("id", x: Long) => Some((x, Long.MaxValue))
     case LessThan("id", x: Long) => Some((Long.MinValue, x))
-    case LessThanOrEqual("id", x: Long) => Some((Long.MinValue, x + 1))
+    case LessThanOrEqual("id", x: Long) => Some((Long.MinValue, inc(x)))
     case _ => None
   }
 

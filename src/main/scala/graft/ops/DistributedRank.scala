@@ -31,21 +31,28 @@ object DistributedRank {
     * cluster this is persist() or a reliable checkpoint.
     */
   def withGlobalRank(df: DataFrame, parts: Int, keys: Seq[Column]): DataFrame = {
+    // "__"-prefixed working columns (the withNtile convention) plus a
+    // collision require: unprefixed pid/rn/off would silently replace
+    // and then drop a caller's same-named columns
+    require(!df.columns.exists(Set("__pid", "__rn", "__off", "r", "n_total")
+        .contains),
+      "input already carries a __pid/__rn/__off working column or an " +
+        "r/n_total output column; rename it first")
     val part = df.repartitionByRange(parts, keys: _*)
-      .withColumn("pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val wp = Window.partitionBy("pid").orderBy(keys: _*)
-    val ranked = part.withColumn("rn", row_number().over(wp).cast("long"))
-    val wled = Window.orderBy(col("pid").asc)
-    val ledger = part.groupBy("pid").agg(count(lit(1)).as("pn"))
-      .withColumn("off", coalesce(sum(col("pn"))
+    val wp = Window.partitionBy("__pid").orderBy(keys: _*)
+    val ranked = part.withColumn("__rn", row_number().over(wp).cast("long"))
+    val wled = Window.orderBy(col("__pid").asc)
+    val ledger = part.groupBy("__pid").agg(count(lit(1)).as("pn"))
+      .withColumn("__off", coalesce(sum(col("pn"))
         .over(wled.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_total", sum(col("pn")).over(
         wled.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("pid", "off", "n_total")
-    ranked.join(broadcast(ledger), Seq("pid"))
-      .withColumn("r", col("off") + col("rn"))
-      .drop("pid", "rn", "off")
+      .select("__pid", "__off", "n_total")
+    ranked.join(broadcast(ledger), Seq("__pid"))
+      .withColumn("r", col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
   }
 
   /** Appends `out` = exact ntile(n) bucket (BIGINT, 1-based) over

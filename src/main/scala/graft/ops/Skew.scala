@@ -24,6 +24,8 @@ object Skew {
   def saltedSum(df: DataFrame, keys: Seq[String], saltFrom: Column,
                 salts: Int, sums: (String, String)*): DataFrame = {
     require(sums.nonEmpty, "saltedSum needs at least one (column, alias) sum")
+    require(salts >= 1, // pmod(_, 0) is a mid-job ANSI divide-by-zero
+      s"saltedSum needs salts >= 1, got $salts")
     require(!df.columns.contains("__salt"),
       "input already has a __salt column; rename it before salting")
     val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(salts)))

@@ -44,16 +44,21 @@ object TweetPipeline {
     * partition layout AND expressible in any engine, which is what
     * lets the pipeline oracles stay exact at scale factors where the
     * limit actually bites (rand(seed) output depends on partition
-    * index; its sample cannot be mirrored in SQL). Rows tied on the
-    * hash are identical in every column the pipeline reads, so
-    * either engine's tie-break yields the same downstream result. */
+    * index; its sample cannot be mirrored in SQL). The key is the
+    * md5 of FIXED-WIDTH per-field md5 blocks (nulls as an explicit
+    * '-'): no separator ambiguity, so hash-tied rows are genuinely
+    * identical in every column the pipeline reads and either
+    * engine's tie-break yields the same downstream result — a
+    * '|'-joined concat_ws would let a Text containing '|' alias
+    * with the adjacent fields (and silently skip nulls). */
   def enrich(raw: DataFrame, matcher: EntityRuler.Matcher,
              seed: Long = 42L, sampleN: Int = 500,
              hashSample: Boolean = false): DataFrame = {
     val ner = EntityRuler.nerColumn(matcher) _
+    def blk(c: String) = coalesce(md5(col(c)), lit("-"))
     val sampleKey =
-      if (hashSample) md5(concat_ws("|", col("Timestamp"), col("Text"),
-        col("Page_URL"), col("Comments"), col("Likes"), col("Retweets")))
+      if (hashSample) md5(concat(blk("Timestamp"), blk("Text"),
+        blk("Page_URL"), blk("Comments"), blk("Likes"), blk("Retweets")))
       else rand(seed)
     raw
       .filter(col("Timestamp").isNotNull)                       // ref demo.py:58

@@ -71,7 +71,7 @@ case class GroupedTopKExec(
     k: Int,
     partial: Boolean,
     child: SparkPlan,
-    maxKeysInFlight: Int = GroupedTopKExec.DefaultMaxKeysInFlight)
+    maxRowsInFlight: Int = GroupedTopKExec.DefaultMaxRowsInFlight)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -88,7 +88,9 @@ case class GroupedTopKExec(
     val orderLocal = order
     val childOutput = child.output
     val isPartial = partial
-    val flushAt = maxKeysInFlight
+    // the flush budget is ROWS (keys×k), not keys: 1M keys at k=100
+    // would hold ~100M copied rows (many GiB) before the first flush
+    val flushAt = math.max(1, maxRowsInFlight / math.max(1, k))
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = RowOrdering.create(orderLocal, childOutput)
@@ -126,7 +128,7 @@ case class GroupedTopKExec(
             // Map-side memory guard: the PARTIAL phase may flush its
             // current per-key winners downstream and start over — the
             // final phase re-reduces, so a superset is correct and
-            // memory stays bounded by maxKeysInFlight·k rows. The
+            // memory stays bounded by ~maxRowsInFlight rows. The
             // FINAL phase must hold each key's full candidate set to
             // emit exactly k, so its memory is k·keys-per-partition —
             // the size of its own output, the same contract as
@@ -154,10 +156,11 @@ case class GroupedTopKExec(
 }
 
 object GroupedTopKExec {
-  /** 1M keys in flight × k rows each before a partial-phase flush —
-    * generous for 128 GiB executors, small enough to never OOM a
-    * 4 GiB one at k ≤ 100. */
-  val DefaultMaxKeysInFlight: Int = 1 << 20
+  /** ~1M ROWS in flight before a partial-phase flush (the exec
+    * divides by k, so at k=100 that is ~10k keys at a time) —
+    * generous for 128 GiB executors, and genuinely small enough to
+    * never OOM a 4 GiB one regardless of k. */
+  val DefaultMaxRowsInFlight: Int = 1 << 20
 }
 
 /** Plans [[GroupedTopKPlan]] as the partial→final exec pair. */

@@ -86,22 +86,25 @@ object PipelineQueries {
       .mkString(" ")
     // Mirror of [[TweetPipeline.enrich]]'s hashSample: rebuild the six
     // tweet-frame strings from documents (the round-trips in
-    // [[tweetFrame]] are exact), md5 the same '|'-joined row, take the
-    // 500 smallest. concat_ws skips NULL args in both engines, so a
-    // NULL text canonicalizes identically.
+    // [[tweetFrame]] are exact), md5 the same fixed-width per-field
+    // md5 blocks (nulls as '-'; no separator ambiguity), take the
+    // 500 smallest.
     s"""samp AS MATERIALIZED (
           SELECT doc_id, text, n_chars FROM (
             SELECT doc_id, text, n_chars,
-              md5(concat_ws('|',
+              md5(coalesce(md5(
                 strftime(make_date(2019, CAST(n_chars % 12 AS INT) + 1,
-                                   CAST(n_chars % 27 AS INT) + 1), '%b %d, %Y'),
-                text,
+                                   CAST(n_chars % 27 AS INT) + 1), '%b %d, %Y')), '-')
+                || coalesce(md5(text), '-')
+                || coalesce(md5(
                 'https://twitter.com/search?q=' ||
                   replace(CASE CAST(doc_id % 7 AS INT) $kwArms END, ' ', '%20') ||
-                  '%20lang%3Aen%20until%3A2020-01-01',
-                CAST(CAST(n_chars % 5 AS INT) AS VARCHAR),
-                CAST(CAST(n_chars % 9 AS INT) AS VARCHAR) || 'K',
-                CAST(CAST(n_chars % 200 AS INT) AS VARCHAR))) AS h
+                  '%20lang%3Aen%20until%3A2020-01-01'), '-')
+                || coalesce(md5(CAST(CAST(n_chars % 5 AS INT) AS VARCHAR)), '-')
+                || coalesce(md5(
+                CAST(CAST(n_chars % 9 AS INT) AS VARCHAR) || 'K'), '-')
+                || coalesce(md5(
+                CAST(CAST(n_chars % 200 AS INT) AS VARCHAR)), '-')) AS h
             FROM documents)
           ORDER BY h LIMIT 500),
         ${TextQueries.nerWalkSqlFrom("samp")},

@@ -76,7 +76,7 @@ class GenSinkSpec extends SparkSpec {
     val stale = touch("part-e7-p3-t55.jsonl")    // prior replay, more partitions
     val tmp = touch(".part-e7-p1-t102.jsonl.tmp") // crashed attempt's temp
     val otherEpoch = touch("part-e6-p0-t9.jsonl") // untouched: different epoch
-    val w = new GenSinkStreamingWrite(new org.apache.spark.sql.types.StructType(), dir)
+    val w = new GenSinkStreamingWrite(new org.apache.spark.sql.types.StructType(), dir, truncate = false)
     w.commit(7L, Array(GenSinkFile(committed.getPath)))
     assert(committed.exists())
     assert(!loser.exists() && !stale.exists() && !tmp.exists())

@@ -149,17 +149,20 @@ class TweetPipelineSpec extends SparkSpec {
 
   test("hashSample: selects the sampleN-smallest md5 rows, layout-invariant") {
     // 20 valid rows, sample 8: the selected multiset must equal a
-    // driver-side MessageDigest fold of the same '|'-joined row — the
-    // property that lets the DuckDB pipeline oracles mirror the
-    // sample exactly at scale factors where the limit bites
+    // driver-side MessageDigest fold of the same fixed-width
+    // per-field md5 blocks — the property that lets the DuckDB
+    // pipeline oracles mirror the sample exactly at scale factors
+    // where the limit bites (blocks, not a '|' join: a Text
+    // containing '|' must not alias with the adjacent fields)
     val rows = (1 to 20).map { i =>
       (f"Jan $i%02d, 2019", s"coke number $i", url("coke"),
         (i % 5).toString, (i % 9).toString, (i % 200).toString)
     }
     def jvmMd5(t: (String, String, String, String, String, String)): String = {
-      val joined = Seq(t._1, t._2, t._3, t._4, t._5, t._6).mkString("|")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def m(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      m(Seq(t._1, t._2, t._3, t._4, t._5, t._6).map(m).mkString)
     }
     val expected = rows.sortBy(jvmMd5).take(8).map(_._2).toSet
     val df = rows.toDF("Timestamp", "Text", "Page_URL", "Comments", "Likes", "Retweets")

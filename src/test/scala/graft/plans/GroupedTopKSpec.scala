@@ -54,7 +54,7 @@ class GroupedTopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("partial-phase flush (tiny maxKeysInFlight) loses no winners") {
+  test("partial-phase flush (tiny maxRowsInFlight) loses no winners") {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -66,7 +66,7 @@ class GroupedTopKSpec extends SparkSpec {
       // flush every 2 keys (6 keys interleave → flushes constantly):
       // supersets stream out mid-partition, no winner may be lost
       val flushy = GroupedTopKExec(Seq(attr("key")), order, 3,
-        partial = true, child, maxKeysInFlight = 2)
+        partial = true, child, maxRowsInFlight = 2)
         .executeCollect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
       assert(winners.subsetOf(flushy), s"flush dropped winners: ${winners -- flushy}")
       // no flush: the partial phase retains ≤ 3 rows per key per
