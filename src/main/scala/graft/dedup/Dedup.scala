@@ -95,11 +95,21 @@ object Dedup {
     * sharing any (band, key) are candidates. Returns (band, band_key,
     * id) — self-join upstream of this gives candidate pairs. */
   def lshBandKeys(sigs: DataFrame, idCol: String,
-                  rowsPerBand: Int = 2): DataFrame =
+                  rowsPerBand: Int = 2): DataFrame = {
+    // band key: INJECTIVE base-P packing m₀·P + m₁ (< P² ≈ 1.02e18,
+    // fits BIGINT) — the former additive combine Σ(r+1)·m mod P let
+    // signatures that agree on NOTHING collide at ~1/P per pair-band
+    // ((10,20) and (12,19) both keyed 50), and spurious candidate
+    // edges feed q74/qA1/qC1's connected components where they merge
+    // unrelated docs transitively. Injectivity restores the real LSH
+    // contract: same key ⟺ same band signature.
+    require(rowsPerBand == 2,
+      s"injective band packing is defined for rowsPerBand=2, got $rowsPerBand")
     sigs.withColumn("band", (col("k") / rowsPerBand).cast("int"))
       .groupBy(idCol, "band")
-      // band key: order-sensitive combine of the band's minhashes
-      .agg(((sum((col("k") % rowsPerBand + 1) * col("minhash"))) % P).as("band_key"))
+      .agg(sum(col("minhash")
+        * when(col("k") % 2 === 0, lit(P)).otherwise(lit(1L))).as("band_key"))
+  }
 
   /** Band keys fused with the signature aggregation — the production
     * minhash→LSH path: computes each band's key directly from the
@@ -116,12 +126,12 @@ object Dedup {
       s"numHashes must be in [1, ${HashA.length}] (available hash family size)")
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(rowsPerBand == 2,
+      s"injective band packing is defined for rowsPerBand=2, got $rowsPerBand")
     val wide = minhashWide(df, Seq(idCol), shinglesCol, numHashes)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
-      // same order-sensitive combine as lshBandKeys: Σ (r+1)·m_{b·w+r}
-      val key = (0 until rowsPerBand)
-        .map(r => lit(r + 1) * col(s"m${b * rowsPerBand + r}"))
-        .reduce(_ + _) % P
+      // same injective base-P packing as lshBandKeys: m_even·P + m_odd
+      val key = col(s"m${b * 2}") * P + col(s"m${b * 2 + 1}")
       struct(lit(b).as("band"), key.as("band_key"))
     }
     wide.select(col(idCol), explode(array(bands: _*)).as("bk"))

@@ -133,7 +133,12 @@ object DedupSim {
           Similarity.dot(Similarity.asDouble(col("embedding")), col("probe"))
             .as("dot"))
         .filter(col("doc_id") =!= 0)
-      val h1 = cand.orderBy(col("tf").desc, col("doc_id").asc).limit(100)
+      // tf > 0: a real lexical retriever returns only docs MATCHING
+      // the term — without the filter, rank slots 21..100 would go to
+      // non-matching docs by lowest id, handing them RRF mass (both
+      // engines agreed on that wrong fusion, so only review caught it)
+      val h1 = cand.filter(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id").asc).limit(100)
         .withColumn("r1", row_number()
           .over(Window.orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
         .select(col("doc_id"), col("tf"), col("r1"))
@@ -215,7 +220,11 @@ object DedupSim {
         .filter(col("sim") >= 0.95)
       hits
         .groupBy("brand")
-        .agg(count(lit(1)).as("n_pairs"),
+        // n_matches, not n_pairs: this counts sim ≥ 0.95 HITS, while
+        // the sibling linkage queries (qFB, q93) use n_pairs for ALL
+        // compared candidates — the old name read as a comparison
+        // count ~4× larger than what it measured
+        .agg(count(lit(1)).as("n_matches"),
           sum(when(col("sim") === 1.0, 1L).otherwise(0L)).as("n_exact"),
           sum(round(col("sim") * 1e6).cast("long")).as("sim_micro"))
     }),
@@ -295,7 +304,7 @@ object DedupSim {
     // q74 carried one step further — the actual keep/drop decision a
     // dedup pass ships: per duplicate cluster, keep the longest doc
     // (ties → lowest id) and report what survives. The representative
-    // is picked by max_by over an exact BIGINT score (length
+    // is picked by max_by over an exact decimal(38,0) score (length
     // dominates, id breaks ties); a window row_number would re-sort
     // every cluster member, while max_by is a map-side-partial agg —
     // the same one-row-per-key-per-task shape as q99's compaction.
@@ -305,8 +314,14 @@ object DedupSim {
         .join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"),
+          // packed score in decimal(38,0) with a 1e18 length factor:
+          // the old n_chars·1e7−doc_id int64 packing let a doc_id gap
+          // over 1e7·Δchars override the length ordering (keeping the
+          // SHORTER doc at billion-scale ids) — and the oracle packed
+          // identically, so the gate was blind to it
           max_by(col("doc_id"),
-            col("n_chars") * lit(10000000L) - col("doc_id")).as("keep_id"),
+            col("n_chars").cast("decimal(38,0)")
+              * lit(1000000000000000000L) - col("doc_id")).as("keep_id"),
           max(col("n_chars")).as("max_chars"),
           sum(col("n_chars")).as("total_chars"))
     }),
@@ -431,6 +446,11 @@ object DedupSim {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", Similarity.norm2(col("v")))
+        // zero-norm guard (the house rule every sibling cosine query
+        // applies): a zero vector's NaN cosine would sort first and
+        // become EVERY vector's reported nearest neighbor — on both
+        // engines, so the oracle gate could never catch it
+        .filter(col("nrm") > 0)
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       val pairs = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
@@ -644,8 +664,14 @@ object DedupSim {
         .join(norms.select(col("doc_id").as("d1"), col("n2").as("na")), "d1")
         .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb")), "d2")
         .select(col("d1"), col("d2"), col("dot"),
+          // norm product in decimal(38,0): na·nb wraps int64 once the
+          // squared norms reach ~3e9 each (a degenerate 55k-token
+          // one-gram doc) — wrapped-negative sqrt is NaN and the pair
+          // silently vanishes; decimal equals the int64 value exactly
+          // on today's range, so hashes are unchanged
           (col("dot").cast("double")
-            / sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+            / sqrt((col("na").cast("decimal(38,0)") * col("nb"))
+              .cast("double"))).as("cos"))
         .where(col("cos") >= 0.5)
     }),
 
@@ -841,13 +867,21 @@ object DedupSim {
     }),
 
     // Near-dup threshold calibration (round 7): precision/recall of
-    // the 8-perm minhash Jaccard ESTIMATE against exact shingle
-    // Jaccard, swept over thresholds 0.3–0.7 — how a curation
-    // pipeline picks its banding threshold before a 100 TB run.
-    // Rides q98's LSH-bounded candidate set (never all-pairs); every
-    // threshold compare is an exact integer cross-multiply
-    // (10·match ≥ 8·t10; 10·inter ≥ t10·union), so the sweep adds one
-    // ×5 explode and one 5-row agg to q98's chain.
+    // the LSH pipeline (banding + 8-perm minhash estimate) against
+    // exact shingle Jaccard, swept over thresholds 0.3–0.7 — how a
+    // curation pipeline picks its banding threshold before a 100 TB
+    // run. The TRUTH side is the FULL inverted-index shingle join
+    // (a pair sharing no shingle has inter=0 and can never be true,
+    // so sharing pairs ARE the complete truth set): truly-similar
+    // pairs the banding never surfaced count as FALSE NEGATIVES —
+    // restricting truth to the candidate set (the round-7 form)
+    // systematically overestimated recall exactly where banding
+    // misses concentrate, which defeats a threshold-calibration
+    // query. Run on a sample at 100 TB (calibration is sampling);
+    // the truth join is df-bounded by shingle multiplicity, the
+    // candidate side stays LSH-bounded. Threshold compares stay
+    // exact integer cross-multiplies (10·match ≥ 8·t10;
+    // 10·inter ≥ t10·union).
     "q132_dedup_threshold_pr" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("shingles",
@@ -863,13 +897,17 @@ object DedupSim {
         .agg(sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("n_match"))
       val shd = d.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
       val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // ALL sharing pairs, not just LSH candidates
+      val interAll = shd.select(col("doc_id").as("id1"), col("sh"))
+        .join(shd.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
       val scored = agree
-        .join(cand
-          .join(shd.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
-          .join(shd.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
-          .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n")),
-          Seq("id1", "id2"), "left")
-        .na.fill(0L, Seq("inter_n"))
+        .join(interAll, Seq("id1", "id2"), "full_outer")
+        // a non-candidate pair has no minhash row: n_match = -1 keeps
+        // pred false at every threshold; a candidate pair sharing no
+        // shingle has inter_n = 0 (truth false at every threshold)
+        .na.fill(-1L, Seq("n_match")).na.fill(0L, Seq("inter_n"))
         .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
         .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
         .withColumn("union_n", col("n1") + col("n2") - col("inter_n"))
@@ -921,7 +959,7 @@ object DedupSim {
     s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
           bands AS (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
+              sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -961,11 +999,12 @@ object DedupSim {
            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id, probe
            WHERE d.doc_id <> 0),
          h1 AS (
+           -- tf > 0: only matching docs enter the lexical ranking
            SELECT doc_id, tf, r1 FROM (
              SELECT doc_id, tf,
                CAST(row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS BIGINT)
                  AS r1
-             FROM cand) WHERE r1 <= 100),
+             FROM cand WHERE tf > 0) WHERE r1 <= 100),
          h2 AS (
            SELECT doc_id, dot, r2 FROM (
              SELECT doc_id, dot,
@@ -1043,7 +1082,7 @@ object DedupSim {
            SELECT brand, jaro_winkler_similarity(name, prev4)
            FROM o WHERE prev4 IS NOT NULL),
          hits AS (SELECT brand, sim FROM pairs WHERE sim >= 0.95)
-         SELECT brand, count(*) AS n_pairs,
+         SELECT brand, count(*) AS n_matches,
            CAST(sum(CASE WHEN sim = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
            CAST(sum(CAST(round(sim * 1e6) AS BIGINT)) AS BIGINT) AS sim_micro
          FROM hits GROUP BY brand""",
@@ -1089,7 +1128,7 @@ object DedupSim {
       s"""$sigsSql,
           bands AS (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
+              sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT))
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -1143,7 +1182,9 @@ object DedupSim {
               d.n_chars
             FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
           SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
-            arg_max(doc_id, n_chars * 10000000 - doc_id) AS keep_id,
+            arg_max(doc_id,
+              CAST(n_chars AS HUGEINT) * 1000000000000000000 - doc_id)
+              AS keep_id,
             max(n_chars) AS max_chars,
             CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM lab GROUP BY cluster_id""",
@@ -1274,9 +1315,12 @@ object DedupSim {
          SELECT bkt, id1, id2, cos FROM p WHERE cos >= 0.35""",
 
     "q45_embedding_nn" ->
-      """WITH e AS (
+      """WITH e0 AS (
            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
+         -- zero-norm guard mirrors the engine
+         e AS (SELECT * FROM e0
+               WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
          pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
@@ -1503,7 +1547,7 @@ object DedupSim {
       s"""$sigsSql,
           bands AS (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
+              sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -1545,7 +1589,7 @@ object DedupSim {
       s"""$sigsSql,
           bands AS (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
+              sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -1565,19 +1609,23 @@ object DedupSim {
                  unnest(shingles) AS s(shingle)),
           sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
           inter AS (
-            SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS inter_n
-            FROM cand c
-            JOIN shd x ON x.doc_id = c.id1
-            JOIN shd y ON y.doc_id = c.id2 AND x.shingle = y.shingle
-            GROUP BY c.id1, c.id2),
+            -- ALL sharing pairs (the complete truth set), not just
+            -- LSH candidates: banding misses must count as fn
+            SELECT x.doc_id AS id1, y.doc_id AS id2,
+              CAST(count(*) AS BIGINT) AS inter_n
+            FROM shd x
+            JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id),
           scored AS (
-            SELECT a.id1, a.id2, a.n_match,
+            SELECT COALESCE(a.id1, i.id1) AS id1,
+              COALESCE(a.id2, i.id2) AS id2,
+              COALESCE(a.n_match, -1) AS n_match,
               COALESCE(i.inter_n, 0) AS inter_n,
               s1.n + s2.n - COALESCE(i.inter_n, 0) AS union_n
             FROM agree a
-            LEFT JOIN inter i ON i.id1 = a.id1 AND i.id2 = a.id2
-            JOIN sz s1 ON s1.doc_id = a.id1
-            JOIN sz s2 ON s2.doc_id = a.id2),
+            FULL OUTER JOIN inter i ON i.id1 = a.id1 AND i.id2 = a.id2
+            JOIN sz s1 ON s1.doc_id = COALESCE(a.id1, i.id1)
+            JOIN sz s2 ON s2.doc_id = COALESCE(a.id2, i.id2)),
           sweep AS (
             SELECT s.*, CAST(t.t10 AS BIGINT) AS t10,
               s.n_match * 10 >= t.t10 * 8 AS pred,
@@ -1601,7 +1649,7 @@ object DedupSim {
       s"""$sigsSql,
           bands AS (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
+              sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
           lab AS (SELECT doc_id, source FROM documents),
           ev AS (
@@ -1642,7 +1690,8 @@ object DedupSim {
              ON a.g = b.g AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT d1, d2, dot,
-           CAST(dot AS DOUBLE) / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cos
+           CAST(dot AS DOUBLE)
+             / sqrt(CAST(CAST(x.n2 AS HUGEINT) * y.n2 AS DOUBLE)) AS cos
          FROM dots
          JOIN norms x ON x.doc_id = d1
          JOIN norms y ON y.doc_id = d2
@@ -1695,7 +1744,7 @@ object DedupSim {
             GROUP BY doc_id, g.k),
           bands AS (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              sum((k % 2 + 1) * minhash) % $P AS band_key
+              sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

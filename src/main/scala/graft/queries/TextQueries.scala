@@ -1024,16 +1024,19 @@ object TextQueries {
          FROM documents GROUP BY 1""",
 
     "q36_rolling_hash" -> {
-      val powers = (0 until 64).map(i => math.pow(31.0, (i % 8).toDouble).toLong)
-        .mkString("[", ", ", "]")
+      // same content hash: (i+1)·(md5₆₀ mod 2³¹−1), md5₆₀ as the
+      // established first-15-hex-digits mirror of Md5Long
+      val weights = (1 to 64).map(_.toString).mkString("[", ", ", "]")
       s"""WITH t AS (
             SELECT doc_id,
-              list_zip((string_split(text, ' '))[:64], $powers) AS z
+              list_zip((string_split(text, ' '))[:64], $weights) AS z
             FROM documents)
           SELECT doc_id,
             CAST(coalesce(list_sum(list_transform(z,
               p -> CASE WHEN p[1] IS NULL THEN 0
-                        ELSE len(p[1]) * p[2] END)), 0) % 2147483647 AS BIGINT) AS rhash
+                        ELSE (CAST(('0x' || substr(md5(p[1]), 1, 15)) AS BIGINT)
+                              % 2147483647) * p[2] END)), 0)
+              % 2147483647 AS BIGINT) AS rhash
           FROM t"""
     },
 

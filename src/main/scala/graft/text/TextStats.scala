@@ -72,15 +72,22 @@ object TextStats {
 
   /** Polynomial rolling hash over the first `cap` tokens
     * (order-sensitive, unlike [[fingerprint]]):
-    * h = (Σ len(tok_i)·31^(i mod 8)) mod 2^31-1 — integer-exact, no
-    * overflow at cap=64, single mod at the end so the stepwise order
-    * can't matter. The cap bounds per-row work at scale. */
+    * h = (Σ (i+1)·(md5₆₀(tok_i) mod 2³¹−1)) mod 2³¹−1 — hashes token
+    * CONTENT with a distinct per-position weight, so swapping any two
+    * unequal tokens changes the hash (the former len(tok)·31^(i mod 8)
+    * form was blind to content entirely — 'cat dog', 'dog cat' and
+    * 'the fox' all collided — and its weights repeated every 8
+    * positions). Integer-exact: each term ≤ 64·(2³¹−1) ≈ 1.4e11, the
+    * capped sum ≤ 9e12, single mod at the end so stepwise order can't
+    * matter. The cap bounds per-row work at scale. */
   def rollingHash(text: Column, cap: Int = 64): Column = {
+    val M = 2147483647L
     val toks = slice(tokens(text), 1, cap)
-    val powers = array((0 until cap).map(i => lit(math.pow(31.0, (i % 8).toDouble).toLong)): _*)
-    val terms = zip_with(toks, powers, (t, p) =>
-      when(t.isNull, lit(0L)).otherwise(length(t).cast("long") * p))
-    aggregate(terms, lit(0L), (acc, x) => acc + x) % 2147483647L
+    val weights = array((1 to cap).map(i => lit(i.toLong)): _*)
+    val terms = zip_with(toks, weights, (t, w) =>
+      when(t.isNull, lit(0L))
+        .otherwise((graft.dedup.Dedup.md5Long(t) % M) * w))
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % M
   }
 
   /** Word n-gram shingles of the token array (native expression —
