@@ -274,8 +274,10 @@ object EventQueries {
           sum("dur_us").as("span_us"),
           sum(col("cents").cast("decimal(38,0)") * col("dur_us")).as("wsum_d"))
         .withColumn("wsum", expr("TRY_CAST(wsum_d AS BIGINT)"))
-        .withColumn("twap_cents",
-          col("wsum_d").cast("double") / col("span_us").cast("double"))
+        // span > 0 guard: ns→µs truncation can collapse a user's only
+        // segment to zero duration — 0/0 NaN must not ship as a TWAP
+        .withColumn("twap_cents", when(col("span_us") > 0,
+          col("wsum_d").cast("double") / col("span_us").cast("double")))
         .drop("wsum_d")
     }),
 
@@ -357,14 +359,17 @@ object EventQueries {
             .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_b_d"))
         .withColumn("q_a", expr("TRY_CAST(q_a_d AS BIGINT)"))
         .withColumn("q_b", expr("TRY_CAST(q_b_d AS BIGINT)"))
-        .withColumn("t_stat", expr(
+        // degenerate-arm guard: an event type whose parity split
+        // leaves an arm with <2 rows has no Welch variance — NULL,
+        // not a NaN/Infinity readout
+        .withColumn("t_stat", when(col("n_a") > 1 && col("n_b") > 1, expr(
           """(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
              / sqrt((CAST(q_a_d AS DOUBLE) / n_a
                      - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
                       / (n_a - 1)
                   + (CAST(q_b_d AS DOUBLE) / n_b
                      - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
-                      / (n_b - 1))"""))
+                      / (n_b - 1))""")))
         .drop("q_a_d", "q_b_d")
     }),
 
@@ -913,10 +918,15 @@ object EventQueries {
     // drifting" check monitoring stacks run on daily series (no
     // normality assumption, robust to outliers): S = Σ sign(x_j−x_i)
     // over ordered day pairs, normal approximation with continuity
-    // correction. The day self-join is quadratic ONLY in the number
-    // of days per type (calendar-bounded — 30 here, 365 at any
-    // scale), never in events; S and the variance numerator are
-    // exact integers; z is two pinned ops (IEEE sqrt + division).
+    // correction AND the standard tie correction
+    // Var(S)·18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) over tied
+    // value groups (tied pairs contribute 0 to S but, uncorrected,
+    // still inflate the variance and attenuate z — a real trend
+    // could read 'none' on BOTH engines, so the oracle gate could
+    // never catch the omission). The day self-join is quadratic ONLY
+    // in the number of days per type (calendar-bounded — 30 here,
+    // 365 at any scale), never in events; S and the variance
+    // numerator are exact integers; z is two pinned ops.
     "q11C_mann_kendall" -> ((s, dir) => {
       val daily = table(s, dir, "events")
         .select(col("event_type"),
@@ -930,9 +940,14 @@ object EventQueries {
           expr("CAST(sign(b.v - a.v) AS BIGINT)").as("sgn"))
         .groupBy("event_type").agg(sum("sgn").as("s_stat"))
       val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
-      nd.join(s_, "event_type")
+      val ties = daily.groupBy("event_type", "v")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+      nd.join(s_, "event_type").join(ties, "event_type")
         .withColumn("var18_num", expr(
-          "n_days * (n_days - 1) * (2 * n_days + 5)"))
+          "n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+        .drop("tie18")
         .withColumn("z", expr(
           """CASE WHEN s_stat > 0
                THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18_num AS DOUBLE) / 18)
@@ -1077,7 +1092,13 @@ object EventQueries {
         .withColumn("tnum", sum("num").over(w))
         .withColumn("tden", sum("den").over(w))
         .withColumn("theta", expr("CAST(tnum AS DOUBLE) / tden"))
-        .withColumn("r_i", expr("CAST(tnum - num AS DOUBLE) / (tden - den)"))
+        // degenerate-bucket guard: a bucket holding EVERY click has
+        // tden = den — its leave-one-out ratio is undefined (NULL),
+        // and the null dev_fp drops out of both engines' sums
+        // identically instead of poisoning var_jk with ±Inf
+        .withColumn("r_i", expr(
+          """CASE WHEN tden > den
+             THEN CAST(tnum - num AS DOUBLE) / (tden - den) END"""))
         .withColumn("dev_fp", expr(
           "CAST(floor((r_i - theta) * 1e3) AS BIGINT)"))
         .withColumn("s_dev", sum("dev_fp").over(w))
@@ -1386,13 +1407,14 @@ object EventQueries {
            FROM e GROUP BY event_type)
          SELECT event_type, n_a, n_b, s_a, s_b,
            TRY_CAST(q_a_h AS BIGINT) AS q_a, TRY_CAST(q_b_h AS BIGINT) AS q_b,
-           (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-             / sqrt((CAST(q_a_h AS DOUBLE) / n_a
-                     - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
-                      / (n_a - 1)
-                  + (CAST(q_b_h AS DOUBLE) / n_b
-                     - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
-                      / (n_b - 1)) AS t_stat
+           CASE WHEN n_a > 1 AND n_b > 1 THEN
+             (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / sqrt((CAST(q_a_h AS DOUBLE) / n_a
+                       - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a))
+                        / (n_a - 1)
+                    + (CAST(q_b_h AS DOUBLE) / n_b
+                       - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))
+                        / (n_b - 1)) END AS t_stat
          FROM a""",
 
     // same (ts, event_id) per-user ordering, same µs gaps and 60 s
@@ -1684,10 +1706,20 @@ object EventQueries {
          nd AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
            FROM daily GROUP BY event_type),
+         -- standard tie correction: tied pairs add 0 to S, so they
+         -- must come OUT of the variance too
+         ties AS (
+           SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+           FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+                 FROM daily GROUP BY event_type, v)
+           GROUP BY event_type),
          t AS (
            SELECT nd.event_type, n_days, s_stat,
-             n_days * (n_days - 1) * (2 * n_days + 5) AS var18_num
-           FROM nd JOIN p ON p.event_type = nd.event_type),
+             n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18_num
+           FROM nd
+           JOIN p ON p.event_type = nd.event_type
+           JOIN ties ON ties.event_type = nd.event_type),
          z AS (
            SELECT *,
              CASE WHEN s_stat > 0
@@ -1808,7 +1840,8 @@ object EventQueries {
            FROM per),
          r AS (
            SELECT *, CAST(tnum AS DOUBLE) / tden AS theta,
-             CAST(tnum - num AS DOUBLE) / (tden - den) AS r_i
+             CASE WHEN tden > den
+               THEN CAST(tnum - num AS DOUBLE) / (tden - den) END AS r_i
            FROM t),
          d AS (
            SELECT *, CAST(floor((r_i - theta) * 1e3) AS BIGINT) AS dev_fp
@@ -2066,8 +2099,9 @@ object EventQueries {
          SELECT user_id, count(*) AS n_segments,
            CAST(sum(dur_us) AS BIGINT) AS span_us,
            TRY_CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS BIGINT) AS wsum,
-           CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
-             / CAST(sum(dur_us) AS DOUBLE)
+           CASE WHEN sum(dur_us) > 0 THEN
+             CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+               / CAST(sum(dur_us) AS DOUBLE) END
              AS twap_cents
          FROM seg GROUP BY user_id""",
 

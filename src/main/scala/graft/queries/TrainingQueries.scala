@@ -490,8 +490,11 @@ object TrainingQueries {
           (sum(when(col("pos") === 1L, col("r2")).otherwise(0L))
             - sum(col("pos")) * (sum(col("pos")) + 1L)).as("u2"))
         .select(col("status"), col("n_pos"), col("n_neg"), col("u2"),
-          (col("u2").cast("double")
-            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+          // single-class guard: a status with no positives (or no
+          // negatives) has no rank-sum AUC — NULL, not 0/0 NaN
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("u2").cast("double")
+              / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
     }),
 
     // Overlapping token-window chunking: one output row per training
@@ -655,7 +658,8 @@ object TrainingQueries {
     // Σ_k cntA(k)·cntB(k), the equi-join cardinality) — the
     // OPTIMIZER-STATISTICS use of the sketch family: a planner
     // choosing broadcast vs shuffle for a 100 TB join can't afford
-    // to count the true join size, but two one-pass 32 KB sketches
+    // to count the true join size, but two one-pass 2 MB sketches
+    // (4 × 65536 BIGINT counters each)
     // built map-side give a never-under estimate of it. Both
     // sketches, the per-row inner products, the min-over-rows
     // estimate, AND the exact join size are integer-exact and
@@ -1404,7 +1408,8 @@ object TrainingQueries {
                - sum(pos) * (sum(pos) + 1) AS BIGINT) AS u2
            FROM r GROUP BY status)
          SELECT status, n_pos, n_neg, u2,
-           CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
          FROM a""",
 
     // constant series + bound filter (DuckDB 1.0 cannot correlate
