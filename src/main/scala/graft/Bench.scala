@@ -55,12 +55,19 @@ object Bench {
     // characterized in BASELINE v18). The round-7 judge's rule is
     // "adjudicate by re-running, never by trusting one run" — so any
     // row slower than the threshold is re-run ONCE in the same
-    // process and the row reports min(first, retry), with BOTH
-    // measurements emitted under "retried" so nothing is hidden. A
-    // transient spike collapses to the true cost; sustained
-    // contention (retry also slow) stays visible in the min.
+    // process, with BOTH measurements emitted under "retried" so
+    // nothing is hidden. The row adopts the retry value ONLY when the
+    // two runs diverge beyond a stall-sized ratio (>2x, the round-9
+    // advisor rule): an unconditional min(first, retry) was
+    // systematically best-of-two-biased for heavy queries because the
+    // retry always runs second in a warmed JVM/page cache. Within the
+    // 2x band the FIRST measurement stands (comparable to
+    // single-measurement baselines); beyond it, the faster run is the
+    // unstalled one regardless of order.
     val retryThreshold =
       sys.env.getOrElse("SPARK_GRAFT_RETRY_S", "2.5").toDouble
+    val stallRatio =
+      sys.env.getOrElse("SPARK_GRAFT_STALL_RATIO", "2.0").toDouble
     val adjudicated = results.map { case (name, t, st) =>
       if (t >= retryThreshold) {
         val t0 = System.nanoTime()
@@ -73,7 +80,8 @@ object Bench {
         // copy of the first) so it can't read as a confirming re-run
         if (ok) {
           val t2 = (System.nanoTime() - t0) / 1e9
-          (name, math.min(t, t2), st, Some((t, t2)))
+          val adj = if (t > stallRatio * t2) t2 else t
+          (name, adj, st, Some((t, t2)))
         } else (name, t, st, Some((t, -1.0)))
       } else (name, t, st, None)
     }
@@ -89,7 +97,22 @@ object Bench {
     // total:-1 on any failure: a broken heavy query must not shrink
     // the reported total and slip under a vs-baseline envelope
     val reported = if (failed.nonEmpty) -1.0 else total
-    println(s"""{"metric":"total","value":$reported,"unit":"sec","queries":$qs,"staging":$stages,"retried":$retriedFull,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$reported,"unit":"sec","queries":$qs,"staging":$stages,"retried":$retriedFull,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(fullLine)
+    // the COMPLETE per-query record also goes to a file: the driver's
+    // stdout capture window truncates the full line (BENCH_r08 kept
+    // only fragments), so cross-round per-query diffs need an
+    // artifact that does not depend on capture limits. Committed per
+    // round as BENCH_FULL.json.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (fullLine + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query record written to $outFile")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     // compact summary printed LAST: the full per-query line above is
     // larger than the driver's capture window, so rounds were being
     // compared on whatever 2-query overlap survived truncation. A

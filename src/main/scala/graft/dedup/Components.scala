@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.io.CheckpointStrategy
+
 /** Connected components over an undirected candidate-pair edge list —
   * the step that turns near-dup PAIRS (LSH q42, SimHash q54, Jaccard
   * q44) into dedup CLUSTERS with one canonical representative each,
@@ -31,8 +33,10 @@ import org.apache.spark.sql.functions._
   * decreasing until fixed point — comparing one scalar per round
   * (computed on the round's own checkpointed output) replaces
   * carrying a prev column and scanning for changed rows. Lineage is
-  * cut per round with an eager localCheckpoint (which doubles as the
-  * cache: each round reads the previous labels twice).
+  * cut per round through the caller's [[graft.io.CheckpointStrategy]]
+  * (default EagerLocal, which doubles as the cache: each round reads
+  * the previous labels twice; Reliable/Staged for clusters that must
+  * survive executor loss mid-iteration).
   *
   * Scale shape: each round is two shuffles over the EDGE list — never
   * an all-pairs product. The iteration touches only edge ENDPOINTS;
@@ -52,8 +56,10 @@ object Components {
       pairs: DataFrame,
       vertices: DataFrame,
       idCol: String,
-      maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(pairs, vertices, idCol, maxIter)._1
+      maxIter: Int = 25,
+      ckpt: CheckpointStrategy = CheckpointStrategy.EagerLocal): DataFrame =
+    connectedComponentsWithRounds(pairs, vertices, idCol, maxIter,
+      ckpt = ckpt)._1
 
   /** As [[connectedComponents]], also returning the number of label
     * rounds executed (the fixed-point round included) — the handle
@@ -66,7 +72,12 @@ object Components {
       vertices: DataFrame,
       idCol: String,
       maxIter: Int = 25,
-      jumpAfter: Int = 2): (DataFrame, Int) = {
+      jumpAfter: Int = 2,
+      ckpt: CheckpointStrategy = CheckpointStrategy.EagerLocal): (DataFrame, Int) = {
+    // per-round materialization via the caller's checkpoint strategy:
+    // EagerLocal for single-JVM speed (default), Reliable/Staged for
+    // executor-loss survival at cluster scale (see CheckpointStrategy)
+    val mat = ckpt.session("components")
     val sym = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
@@ -85,8 +96,8 @@ object Components {
       (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
 
     // symmetric edge list → src alone covers every endpoint
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var labels = mat.step(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     // prevSum starts null (= sum over zero endpoints): a non-empty
     // graph always changes labels in round 1, and an empty one
     // converges right there — no separate init-sum or isEmpty job
@@ -118,7 +129,7 @@ object Components {
               .select(col("src").as("id"),
                 least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
           }
-        val step = hopped.localCheckpoint()
+        val step = mat.step(hopped)
         val sumNow = labelSum(step)
         converged = sumsEqual(sumNow, prevSum)
         prevSum = sumNow

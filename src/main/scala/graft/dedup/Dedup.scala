@@ -286,30 +286,37 @@ object Dedup {
     * of enumerating every shared token. Exact for any threshold ≥ t;
     * threshold 0 degenerates to the full join. */
   def jaccardPairs(df: DataFrame, idCol: String, tokenSetCol: String,
-                   bucketCol: String, threshold: Double): DataFrame = {
+                   bucketCol: String, threshold: Double,
+                   ckpt: graft.io.CheckpointStrategy =
+                     graft.io.CheckpointStrategy.EagerLocal): DataFrame = {
+    val mat = ckpt.session("jaccard")
     // Prune bounds in EXACT integer arithmetic on the rational
-    // threshold P/B, with P = ⌊threshold·B⌋ ≤ threshold: float forms
-    // (ceil(t·sz), t/(1+t)·(sz1+sz2)) round UP by an ulp at pairs
-    // whose Jaccard sits exactly ON the threshold (t=0.8, 28-token
-    // set inside 35: 0.8/1.8·63 floats to 28.000…004, ceil 29 > the
-    // true α 28) and silently drop true pairs. Rounding the
-    // threshold DOWN keeps every bound a valid relaxation — the
-    // candidate set is a superset and the exact verify still decides
-    // membership with the caller's double threshold.
-    val B = 1000000000L
-    val P = math.floor(threshold * B).toLong
+    // threshold thrNum/thrDen, with thrNum = ⌊threshold·thrDen⌋ ≤
+    // threshold: float forms (ceil(t·sz), t/(1+t)·(sz1+sz2)) round UP
+    // by an ulp at pairs whose Jaccard sits exactly ON the threshold
+    // (t=0.8, 28-token set inside 35: 0.8/1.8·63 floats to
+    // 28.000…004, ceil 29 > the true α 28) and silently drop true
+    // pairs. Rounding the threshold DOWN keeps every bound a valid
+    // relaxation — the candidate set is a superset and the exact
+    // verify still decides membership with the caller's double
+    // threshold. (Deliberately NOT named P/B: Dedup.P is the minhash
+    // prime used elsewhere in this file.)
+    val thrDen = 1000000000L
+    val thrNum = math.floor(threshold * thrDen).toLong
     // hashed token set sorted by hash = the global prefix order, and
     // the cheaper join/intersect representation (no string compares).
-    // Checkpointed: pref, f1 and f2 all read it, and exchange reuse
-    // is an optimizer courtesy, not a guarantee — without it the
-    // per-token md5 + sort (the hottest expression here) runs 3×.
-    val base = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+    // Materialized (pinned via the caller's checkpoint strategy):
+    // pref, f1 and f2 all read it, and exchange reuse is an optimizer
+    // courtesy, not a guarantee — without it the per-token md5 + sort
+    // (the hottest expression here) runs 3×.
+    val base = mat.pin(df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
       size(col(tokenSetCol)).as("sz"),
-      array_sort(transform(col(tokenSetCol), t => md5Long(t))).as("hs"))
-      .localCheckpoint()
-    // prefix length sz − ⌈(P/B)·sz⌉ + 1 ≥ the true sz − ⌈t·sz⌉ + 1
+      array_sort(transform(col(tokenSetCol), t => md5Long(t))).as("hs")))
+    // prefix length sz − ⌈(thrNum/thrDen)·sz⌉ + 1 ≥ the true
+    // sz − ⌈t·sz⌉ + 1
     val plen = (col("sz")
-      - expr(s"(${P}L * CAST(sz AS BIGINT) + ${B - 1}L) div ${B}L") + 1).cast("int")
+      - expr(s"(${thrNum}L * CAST(sz AS BIGINT) + ${thrDen - 1}L) div ${thrDen}L")
+      + 1).cast("int")
     val pref = base.select(col("bkt"), col("id"), col("sz"),
       posexplode(slice(col("hs"), lit(1), greatest(plen, lit(0)))).as(Seq("p", "t")))
     val a = pref.select(col("bkt"), col("t"), col("id").as("id1"),
@@ -317,18 +324,21 @@ object Dedup {
     val b = pref.select(col("bkt"), col("t"), col("id").as("id2"),
       col("sz").as("sz2"), col("p").as("p2"))
     // PPJoin-style exact pruning BEFORE the distinct shuffle:
-    //  - length: J ≥ t forces t·|s| ≤ |r| ≤ |s|/t (as B·|r| ≥ P·|s|);
+    //  - length: J ≥ t forces t·|s| ≤ |r| ≤ |s|/t (as
+    //    thrDen·|r| ≥ thrNum·|s|);
     //  - position: a match at (0-based) prefix positions p1/p2 bounds
     //    the overlap by min(remaining tokens) — must still reach the
-    //    required α = ⌈t/(1+t)·(|r|+|s|)⌉, relaxed to P/(P+B).
+    //    required α = ⌈t/(1+t)·(|r|+|s|)⌉, relaxed to
+    //    thrNum/(thrNum+thrDen).
     // shuffled-hash beats sort-merge here: residual high-multiplicity
     // keys make the sort phase pure overhead
     val alpha = expr(
-      s"(${P}L * (CAST(sz1 AS BIGINT) + sz2) + ${P + B - 1}L) div ${P + B}L")
+      s"(${thrNum}L * (CAST(sz1 AS BIGINT) + sz2) + ${thrNum + thrDen - 1}L)" +
+        s" div ${thrNum + thrDen}L")
     val cand = a.join(b.hint("shuffle_hash"), Seq("bkt", "t"))
       .filter(col("id1") < col("id2"))
-      .filter(col("sz1") * B >= col("sz2") * P &&
-        col("sz2") * B >= col("sz1") * P)
+      .filter(col("sz1") * thrDen >= col("sz2") * thrNum &&
+        col("sz2") * thrDen >= col("sz1") * thrNum)
       .filter(least(col("sz1") - col("p1"), col("sz2") - col("p2")) >= alpha)
       .select("bkt", "id1", "id2").distinct()
     // verify pass: 1:1 joins on id (no explosion), exact set intersect

@@ -115,10 +115,16 @@ private[io] class GenSinkStreamingWrite(schema: StructType, path: String,
     // this epoch commits, every earlier epoch's files must go too, or
     // a re-read of the directory double-counts each group. The
     // builder's truncate flag arrives here via build().toStreaming.
+    // Only COMMITTED final files (the sink's own ^part-e<n>- naming)
+    // are swept — a bare contains("part-e") also matched same-epoch
+    // in-flight ".part-e*.tmp" attempt files (breaking a straggling
+    // speculative writer's post-commit rename) and any unrelated
+    // file whose name happens to contain the substring; tmp files
+    // stay owned by the abort/attempt cleanup path.
     val doomed =
       if (truncate)
         Option(new File(path).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.contains("part-e"))
+          .filter(f => f.getName.matches("part-e\\d+-.*\\.jsonl"))
       else epochFiles(epochId)
     doomed.filterNot(f => keep(f.getName)).foreach(_.delete())
   }

@@ -38,12 +38,20 @@ object Scratch {
         val parent = new java.io.File(shm, "graft_scratch")
         parent.mkdirs()
         purgeStale(parent)
-        // per-JVM subtree named by pid: sibling JVMs can decide
-        // liveness from the name alone, so a long-running run's
-        // staged fixtures and shuffle dirs are NEVER purged while it
-        // is alive (an age cutoff alone deletes a >cutoff-old live
-        // run's write-once fixtures out from under it)
-        val d = new java.io.File(parent, s"pid-${ProcessHandle.current().pid()}")
+        // per-JVM subtree named by pid + process START TIME: sibling
+        // JVMs can decide liveness from the name alone, so a
+        // long-running run's staged fixtures and shuffle dirs are
+        // NEVER purged while it is alive (an age cutoff alone deletes
+        // a >cutoff-old live run's write-once fixtures out from under
+        // it). The start-time suffix disambiguates a RECYCLED pid: an
+        // unrelated live process that happens to reuse a dead run's
+        // pid no longer keeps that run's subtree alive forever — the
+        // purge compares the recorded start instant against the live
+        // process's actual one.
+        val self = ProcessHandle.current()
+        val started = self.info().startInstant()
+          .map[java.lang.Long](_.toEpochMilli).orElse(-1L)
+        val d = new java.io.File(parent, s"pid-${self.pid()}-$started")
         d.mkdirs()
         d.getAbsolutePath
       } else sys.props("java.io.tmpdir")
@@ -53,11 +61,16 @@ object Scratch {
 
   /** Best-effort reclaim of sibling per-JVM subtrees — per-JVM dirs
     * are never reused, so repeated harness runs would otherwise grow
-    * the RAM tier without bound. `pid-<n>` entries are deleted as
-    * soon as their owner process is DEAD (prompter than any age rule
-    * and safe for arbitrarily long live runs); entries without a
-    * decodable owner (legacy layouts) fall back to a 6-hour age
-    * cutoff. Failures are ignored (another JVM may purge the same
+    * the RAM tier without bound. `pid-<n>-<startMillis>` entries are
+    * deleted as soon as their owner process is DEAD — where "owner"
+    * means a live process with BOTH that pid and that start instant
+    * (±2 s for clock-source rounding): a recycled pid whose new
+    * occupant started at a different time does not keep a dead run's
+    * subtree alive. Entries whose ownership cannot be decided from
+    * the name (legacy `pid-<n>` layouts, `-1` start sentinel) fall
+    * back to liveness-by-pid PLUS a 6-hour age cutoff, so an
+    * unverifiable owner bounds the leak instead of pinning it
+    * forever. Failures are ignored (another JVM may purge the same
     * entry first). */
   private def purgeStale(dir: java.io.File): Unit = {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
@@ -65,12 +78,32 @@ object Scratch {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
+    def liveStart(pid: Long): Option[Long] = {
+      val h = ProcessHandle.of(pid)
+      if (!h.isPresent) None
+      else Some(h.get().info().startInstant()
+        .map[java.lang.Long](_.toEpochMilli).orElse(-1L).longValue())
+    }
     try Option(dir.listFiles()).foreach(_.foreach { f =>
       f.getName match {
         case s if s.startsWith("pid-") =>
-          val alive = s.stripPrefix("pid-").toLongOption
-            .exists(p => ProcessHandle.of(p).isPresent)
-          if (!alive) rm(f)
+          val parts = s.stripPrefix("pid-").split("-", 2)
+          val pid = parts(0).toLongOption
+          val recorded =
+            if (parts.length == 2) parts(1).toLongOption else None
+          val keep = pid.exists { p =>
+            (liveStart(p), recorded) match {
+              case (None, _) => false // owner pid dead → purge
+              case (Some(actual), Some(rec)) if rec >= 0 && actual >= 0 =>
+                math.abs(actual - rec) <= 2000 // same process → keep
+              case _ =>
+                // live pid but identity unverifiable (legacy name or
+                // missing start instant): keep only within the age
+                // cutoff — bounds the recycled-pid RAM leak
+                f.lastModified() >= cutoff
+            }
+          }
+          if (!keep) rm(f)
         case _ => if (f.lastModified() < cutoff) rm(f)
       }
     })

@@ -49,10 +49,13 @@ object GraphQueries {
     * is r' = 0.15·Base + ⌊0.85 · Σ ⌊r/deg⌋⌋ in exact integer ops, so
     * the distributed Σ is partition-invariant (ScaleSmokeSpec pins
     * the closed form on a ring graph). */
-  def pageRank(directedEdges: DataFrame, iters: Int = Iters): DataFrame = {
-    val edges = directedEdges.localCheckpoint()
+  def pageRank(directedEdges: DataFrame, iters: Int = Iters,
+      ckpt: graft.io.CheckpointStrategy =
+        graft.io.CheckpointStrategy.EagerLocal): DataFrame = {
+    val mat = ckpt.session("pagerank")
+    val edges = mat.pin(directedEdges)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").localCheckpoint()
+    val ed = mat.pin(edges.join(deg, "src"))
     var ranks = deg.select(col("src").as("node"), lit(Base).as("rank"))
     for (_ <- 1 to iters) {
       // cs accumulates in decimal(38,0): total rank mass is n·Base, so
@@ -237,11 +240,14 @@ object GraphQueries {
     * fixpoint reached). The per-round count is free in practice — the
     * localCheckpoint already materialized the round's edge list. */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64,
-      checkpointInput: Boolean = true): DataFrame = {
+      checkpointInput: Boolean = true,
+      ckpt: graft.io.CheckpointStrategy =
+        graft.io.CheckpointStrategy.EagerLocal): DataFrame = {
+    val mat = ckpt.session("kcore")
     // round-0 reads of an already-materialized input (staged parquet)
     // skip the redundant checkpoint copy; every later round still
     // checkpoints its shrunken edge list
-    var e = if (checkpointInput) edges.localCheckpoint() else edges
+    var e = if (checkpointInput) mat.pin(edges) else edges
     var m = e.count()
     var rounds = 0
     var done = m == 0L
@@ -250,10 +256,9 @@ object GraphQueries {
           e.select(col("p2").as("u")))
         .groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
-      val next = e
+      val next = mat.step(e
         .join(keep.select(col("u").as("p1")), Seq("p1"), "left_semi")
-        .join(keep.select(col("u").as("p2")), Seq("p2"), "left_semi")
-        .localCheckpoint()
+        .join(keep.select(col("u").as("p2")), Seq("p2"), "left_semi"))
       val m2 = next.count()
       done = m2 == m || m2 == 0L
       e = next; m = m2; rounds += 1
@@ -273,24 +278,27 @@ object GraphQueries {
     * summary row is orientation-invariant, so an id-ordered oracle
     * checks it exactly. */
   def triangleCount(edges: DataFrame,
-      checkpointInput: Boolean = true): DataFrame = {
+      checkpointInput: Boolean = true,
+      ckpt: graft.io.CheckpointStrategy =
+        graft.io.CheckpointStrategy.EagerLocal): DataFrame = {
+    val mat = ckpt.session("triangles")
     // built once; deg + 3 join sides. Callers whose edge list is
     // already materialized (the staged parquet copy) skip the copy —
     // re-scanning a columnar file is cheaper than rewriting it to
     // local checkpoint storage first.
-    val e = if (checkpointInput) edges.localCheckpoint() else edges
+    val e = if (checkpointInput) mat.pin(edges) else edges
     val deg = e.select(col("p1").as("u")).union(e.select(col("p2")))
       .groupBy("u").agg(count(lit(1)).as("d"))
     // total order key: degree in the high bits, id breaks ties
     val key = (col("d") * lit(4294967296L) + col("u")).as("okey")
     val dk = deg.select(col("u"), key)
-    val dir0 = e
+    // pinned: feeds both wedge sides + the closing semi join
+    val dir0 = mat.pin(e
       .join(dk.select(col("u").as("p1"), col("okey").as("k1")), "p1")
       .join(dk.select(col("u").as("p2"), col("okey").as("k2")), "p2")
       .select(
         when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src"),
-        when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst"))
-      .localCheckpoint() // feeds both wedge sides + the closing semi join
+        when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst")))
     val tri = dir0.as("w1").join(dir0.as("w2"),
         col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
       .select(col("w1.dst").as("src"), col("w2.dst").as("dst"))

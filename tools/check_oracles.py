@@ -17,6 +17,22 @@ import sys, json, glob, os, math, hashlib
 
 import duckdb
 
+# The oracle SQL encodes THIS DuckDB version's behavior (HUGEINT
+# typing of integer aggregates, list_reduce's no-init fold, the
+# "exp never crosses the boundary" rule, generate_series constraints
+# — see .claude/skills/verify/SKILL.md). A silent image upgrade
+# would surface as dozens of mysterious hash drifts; fail loudly
+# instead. Recorded in BASELINE.md ("Oracle environment pin");
+# override via GRAFT_DUCKDB_EXPECTED only after re-certifying.
+EXPECTED_DUCKDB = os.environ.get("GRAFT_DUCKDB_EXPECTED", "1.0.0")
+if duckdb.__version__ != EXPECTED_DUCKDB:
+    sys.exit(
+        f"check_oracles: DuckDB {duckdb.__version__} != pinned "
+        f"{EXPECTED_DUCKDB}. The oracle rules are version-calibrated; "
+        "re-certify (Verify + full check at sf0.01 and sf0.1), then "
+        "update the pin here and in BASELINE.md, or set "
+        "GRAFT_DUCKDB_EXPECTED to bypass for a one-off run.")
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -82,8 +82,11 @@ def jitter_events(table: pa.Table, rng: np.random.Generator) -> pa.Table:
     # the observed range (generator emits 2-decimal values already)
     v = df["value"].to_numpy()
     mask = rng.random(len(v)) < 0.02
+    # clamp after the .05 snap: the rounding+offset can overshoot the
+    # observed max by up to ~0.15, which would contradict the
+    # "within the observed range" contract range-asserting queries use
     hazard = np.round(rng.uniform(v.min(), v.max(), mask.sum()) * 10) / 10 + 0.05
-    v[mask] = np.round(hazard, 2)
+    v[mask] = np.clip(np.round(hazard, 2), v.min(), v.max())
     df["value"] = v
     return pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
 
@@ -95,7 +98,7 @@ def jitter_money(table: pa.Table, rng: np.random.Generator, cols) -> pa.Table:
         v = df[c].to_numpy(dtype="float64")
         mask = rng.random(len(v)) < 0.02
         hazard = np.round(rng.uniform(v.min(), v.max(), mask.sum()) * 10) / 10 + 0.05
-        v[mask] = np.round(hazard, 2)
+        v[mask] = np.clip(np.round(hazard, 2), v.min(), v.max())
         df[c] = v
     return pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
 
