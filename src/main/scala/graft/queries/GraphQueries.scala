@@ -21,11 +21,21 @@ import graft.io.Staging
   *    partition-layout-invariant.
   *  - **Scale shape.** Per iteration: one join (edges ⋈ ranks on src —
   *    ranks is the small, shrinking side only at toy scale; at 100 TB
-  *    both sides shuffle on src, which AQE plans) and one groupBy(dst)
-  *    with map-side partial sums. Degrees are joined ONCE outside the
-  *    loop and the (src, dst, deg) edge view is localCheckpoint'd —
-  *    the loop re-reads a materialized edge list, not the
-  *    orders⋈lineitem lineage, mirroring [[graft.dedup.Components]].
+  *    both sides shuffle on src) and one groupBy(dst) with map-side
+  *    partial sums. Degrees are joined ONCE outside the loop and the
+  *    (src, dst, deg) edge view is localCheckpoint'd — the loop
+  *    re-reads a materialized edge list, not the orders⋈lineitem
+  *    lineage, mirroring [[graft.dedup.Components]].
+  *  - **Hub skew.** AQE's skew-join split does NOT cover this join
+  *    (the ranks side is aggregate-fed, and the checkpointed edge
+  *    view co-locates each hub's rows into one mapper — both shapes
+  *    defeat OptimizeSkewedJoin; GraphSkewSpec pins them). The
+  *    mitigation is the `salts` parameter: [[graft.ops.Skew.saltedJoin]]
+  *    spreads a power-law hub over `salts` reducers with bit-identical
+  *    ranks. Off by default — at bench scale the hubs fit one reducer
+  *    comfortably and the replicated ranks side costs more than the
+  *    skew; turn it on where one supplier touches a visible fraction
+  *    of all customers.
   *  - **Convergence is bounded, not detected**: a fixed 3 iterations
   *    (unrolled in the oracle as chained CTEs). Production PageRank
   *    iterates to an L1 threshold; a fixed budget keeps the plan
@@ -51,7 +61,8 @@ object GraphQueries {
     * the closed form on a ring graph). */
   def pageRank(directedEdges: DataFrame, iters: Int = Iters,
       ckpt: graft.io.CheckpointStrategy =
-        graft.io.CheckpointStrategy.EagerLocal): DataFrame = {
+        graft.io.CheckpointStrategy.EagerLocal,
+      salts: Int = 0): DataFrame = {
     val mat = ckpt.session("pagerank")
     val edges = mat.pin(directedEdges)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -62,7 +73,14 @@ object GraphQueries {
       // 85·cs crosses 2^63 near 1e11 nodes where the oracle's HUGEINT
       // sum() survives — decimal keeps both engines on one arithmetic;
       // the per-iteration rank itself stays a BIGINT (≤ mass ≈ 1e17)
-      ranks = ed.join(ranks, ed("src") === ranks("node"))
+      val contrib =
+        if (salts > 0)
+          // hub mitigation (see the Hub-skew note above): salt the
+          // edge side by dst, replicate the slim ranks side ×salts
+          graft.ops.Skew.saltedJoin(ed,
+            ranks.withColumnRenamed("node", "src"), "src", col("dst"), salts)
+        else ed.join(ranks, ed("src") === ranks("node"))
+      ranks = contrib
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c").cast("decimal(38,0)")).as("cs"))

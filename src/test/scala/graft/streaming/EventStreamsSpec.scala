@@ -195,4 +195,78 @@ class EventStreamsSpec extends SparkSpec {
         (2L, ts("2024-01-01 00:03:00"), 1L)))
     } finally q.stop()
   }
+
+  test("append session windows drop late rows, evict closed state, and match the batch twin") {
+    // The full production contract for SURVEY §8.5's unbounded mode,
+    // asserted with the engine's own metrics:
+    //  1. a row older than the watermark is DROPPED (the bounded-state
+    //     guarantee — its session can never re-open);
+    //  2. closed-session state is EVICTED: at end of stream the state
+    //     store holds only the still-open sessions, not every session
+    //     ever seen;
+    //  3. everything emitted equals the BATCH session aggregation over
+    //     the accepted events, restricted to sessions the final
+    //     watermark closed — streaming adds timing semantics, never
+    //     different math.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_append_prod")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val accepted = Seq(
+        Event(ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 00:02:00"), 1, "view", 1.0),
+        Event(ts("2024-01-01 00:03:00"), 2, "click", 1.0))
+      mem.addData(accepted: _*)
+      q.processAllAvailable()
+      // watermark advances to 00:50
+      val wmAdvance = Event(ts("2024-01-01 01:00:00"), 3, "click", 1.0)
+      mem.addData(wmAdvance)
+      q.processAllAvailable()
+      // LATE: 00:20 < watermark 00:50 → dropped, user 4 never appears
+      mem.addData(Event(ts("2024-01-01 00:20:00"), 4, "click", 1.0))
+      q.processAllAvailable()
+      // close user 3's session (watermark → 01:50 > 01:05); user 5's
+      // own session stays OPEN at end of test
+      val openTail = Event(ts("2024-01-01 02:00:00"), 5, "click", 1.0)
+      mem.addData(openTail)
+      q.processAllAvailable()
+
+      // (1) the late row was dropped by the watermark, per the
+      // engine's own state-operator metrics
+      val progs = q.recentProgress.flatMap(_.stateOperators)
+      assert(progs.map(_.numRowsDroppedByWatermark).max >= 1L,
+        "late row was not dropped by the watermark")
+      val emitted = spark.table("sess_append_prod")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(!emitted.exists(_._1 == 4L), "late row leaked into a session")
+
+      // (2) state is bounded: only user 5's open session remains in
+      // the store (closed sessions were emitted AND evicted)
+      val lastState = q.lastProgress.stateOperators
+      assert(lastState.nonEmpty && lastState.map(_.numRowsTotal).sum === 1L,
+        s"state not evicted: ${lastState.map(_.numRowsTotal).mkString(",")}")
+
+      // (3) batch twin: same session aggregation over the ACCEPTED
+      // events, restricted to sessions closed by the final watermark
+      // (02:00 − 10 min = 01:50)
+      val finalWatermark = ts("2024-01-01 01:50:00")
+      val batchTwin = (accepted :+ wmAdvance :+ openTail).toDF()
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .where(col("w.end") <= lit(finalWatermark))
+        .select(col("user_id"), col("w.start"), col("n_events"))
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(emitted === batchTwin,
+        s"stream emitted $emitted but batch twin closed $batchTwin")
+      assert(emitted.size === 3) // u1, u2, u3 — non-degenerate
+    } finally q.stop()
+  }
 }
