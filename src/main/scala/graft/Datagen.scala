@@ -130,10 +130,26 @@ object Datagen {
       .drop("__r"), "events")
 
     // documents: replica 0 verbatim; 5% of docs stay near-dups (one
-    // appended token); the rest mutate ~1/3 of tokens (suffix chosen
-    // by (murmur3(token) + replica) % 3 — deterministic, and two
-    // replicas of one doc share only the ~4/9 of tokens neither
-    // mutated, Jaccard ≈ 0.3 < every planted threshold)
+    // appended token); the rest SUFFIX ~1/3 of their token types with
+    // a replica tag ((murmur3(token) + replica) % 3 == 0 → "<t>x<r>").
+    // Suffixing — not a shared substitution pool — is load-bearing:
+    // replica vocabularies are DISJOINT from each other, so
+    // cross-replica and cross-doc similarity stays at or below the
+    // original corpus's and every pair-generating family (LSH,
+    // SimHash, token-set Jaccard) was MEASURED to scale ≈ linearly
+    // with factor (q42 107k, q44 1.9M, q54 3.0M at factor 10 ≈ 10×
+    // the sf0.1 counts). The rejected alternative — a fixed 16-word
+    // substitution pool — kept global vocabulary flat but made the
+    // pool words corpus-universal: every mutated doc shared half its
+    // tokens with every other, inflating q44 4× and q54 5×
+    // super-linearly. The suffix cost is bounded vocabulary growth
+    // (×⌈factor/3⌉ token variants, 31 → 133 at factor 10), which the
+    // vocabulary-shaped operators absorb (q7C's heavy-hitters
+    // capacity covers the bigram space through factor 10; its comment
+    // documents the knob for larger factors).
+    // Jaccard numbers on this scheme: original-vs-replica ≈ 0.41,
+    // cross-parity replicas ≈ 0.14 — below the planted 0.5 dedup
+    // thresholds; the pinned 5% near-dups sit at ≈ 0.96.
     val docs = replicate(read("documents"))
       .withColumn("text",
         when(col("__r") === 0, col("text"))

@@ -58,7 +58,10 @@ object OpBench {
       ddsketchPair(spark, sfDir),
       md5LongPair(spark, sfDir),
       wedgePair(spark, sfDir),
-      postingsPair(spark, sfDir))
+      postingsPair(spark, sfDir),
+      ckptStagedPair(spark, sfDir),
+      ckptReliablePair(spark, sfDir),
+      saltedPageRankPair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -331,6 +334,66 @@ object OpBench {
       () => { val (p, v) = fixtures; naive(p, v) },
       () => { val (p, v) = fixtures
         Components.connectedComponents(p, v, "doc_id").count() })
+  }
+
+  /** Price of durable per-round materialization (round-9 checkpoint
+    * strategies): connected components over q74's real LSH edge list
+    * under the Staged strategy (parquet round-trip per round — the
+    * executor-loss-survivable tier) vs the default EagerLocal
+    * (localCheckpoint). "speedup" reads as staged_cost/eager_cost:
+    * >1 means the local default is the right single-JVM choice and
+    * quantifies what a cluster pays per round for fault tolerance.
+    * Result-identity across strategies is CheckpointStrategySpec's
+    * job; this row prices it. */
+  private def ckptStagedPair(s: SparkSession, dir: String) = {
+    ckptPair(s, dir, "components_ckpt_staged_vs_eagerlocal",
+      graft.io.CheckpointStrategy.Staged())
+  }
+
+  /** Same comparison for the Reliable strategy (Dataset.checkpoint
+    * into the checkpoint dir — HDFS/S3 on a cluster, scratch-tier
+    * here, so this measures the code path not real replication). */
+  private def ckptReliablePair(s: SparkSession, dir: String) = {
+    ckptPair(s, dir, "components_ckpt_reliable_vs_eagerlocal",
+      graft.io.CheckpointStrategy.Reliable)
+  }
+
+  private def ckptPair(s: SparkSession, dir: String, name: String,
+      durable: graft.io.CheckpointStrategy) = {
+    def fixtures = {
+      val docs = table(s, dir, "documents")
+      val d = docs
+        .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
+        .select("doc_id", "shingles")
+      (Dedup.lshCandidatePairs(
+          Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id"),
+        docs.select("doc_id"))
+    }
+    (name,
+      () => { val (p, v) = fixtures
+        Components.connectedComponents(p, v, "doc_id", ckpt = durable).count() },
+      () => { val (p, v) = fixtures
+        Components.connectedComponents(p, v, "doc_id").count() })
+  }
+
+  /** Hub-salted vs plain PageRank iteration join on a planted
+    * 20k-spoke star (the shape AQE cannot skew-split —
+    * GraphSkewSpec): salting spreads the hub across 16 reducers at
+    * the price of replicating the ranks side ×16. At local[32] scale
+    * the plain join usually wins (the hub fits one reducer) — which
+    * is exactly why `salts` defaults to 0; the row keeps the
+    * trade-off measured rather than asserted. */
+  private def saltedPageRankPair(s: SparkSession, dir: String) = {
+    def edges = {
+      val out = s.range(2, 20002)
+        .select(lit(1L).as("src"), col("id").as("dst"))
+      out.union(out.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(32)
+    }
+    ("pagerank_salted_vs_plain",
+      () => graft.queries.GraphQueries.pageRank(edges, iters = 3, salts = 16)
+        .count(),
+      () => graft.queries.GraphQueries.pageRank(edges, iters = 3).count())
   }
 
   /** Grouped p50/p95/p99 over exact cents (qCD's task): the exact

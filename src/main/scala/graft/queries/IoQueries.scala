@@ -445,6 +445,13 @@ object IoQueries {
     // heavy_hitters as a grouped aggregate (exact regime at this
     // vocabulary). Chunks per shard feed the sketch, so one query
     // exercises generator → explode-free fan-out → custom aggregate.
+    // Capacity 8192 keeps the sketch in its EXACT regime through the
+    // sf1 certification fixture (5,820 distinct bigram chunks/shard
+    // measured there; 948 at sf0.1 — round 9 raised it from 4096,
+    // which sf1's suffix-mutated replicas exceeded). Past the exact
+    // regime the Misra-Gries counts go approximate and the exact
+    // DuckDB oracle fails the hash — the documented scale knob, not a
+    // silent divergence.
     "q7C_sql_generator_agg" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
       table(s, dir, "documents").createOrReplaceTempView("documents")
@@ -453,7 +460,7 @@ object IoQueries {
         FROM (
           SELECT shard, explode(hh) AS h
           FROM (
-            SELECT shard, heavy_hitters(c.chunk, 3, 4096) AS hh
+            SELECT shard, heavy_hitters(c.chunk, 3, 8192) AS hh
             FROM (SELECT doc_id % 8 AS shard, text FROM documents) d,
                  LATERAL chunk_text(d.text, 2, 2) AS c
             GROUP BY shard))""")

@@ -846,9 +846,16 @@ object TextQueries {
              sum(x * y) AS sxyd, sum(x * x) AS sxxd
            FROM fp),
          s AS (
+           -- the HUGEINT->DOUBLE route goes through VARCHAR: DuckDB
+           -- 1.0's direct hugeint cast composes upper*2^64 + lower in
+           -- float math and is off by an ulp for NEGATIVE values even
+           -- inside int64 range (sf1 certification caught it: num
+           -- -1.7e16 drifted to ...0694 vs the correctly-rounded
+           -- ...06943 Spark's decimal cast produces); the string
+           -- parser is correctly rounded at any magnitude
            SELECT v, sxd, syd, sxyd, sxxd,
-             CAST(v * sxyd - sxd * syd AS DOUBLE)
-               / CAST(v * sxxd - sxd * sxd AS DOUBLE) AS slope
+             CAST(CAST(v * sxyd - sxd * syd AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(v * sxxd - sxd * sxd AS VARCHAR) AS DOUBLE) AS slope
            FROM m)
          SELECT v, TRY_CAST(sxd AS BIGINT) AS s_x,
            TRY_CAST(syd AS BIGINT) AS s_y,
