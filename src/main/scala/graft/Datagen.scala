@@ -71,6 +71,14 @@ object Datagen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  /** The generation itself, callable against an existing session
+    * (DatagenSpec pins the invariants through this entry). */
+  def run(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
     new File(dst).mkdirs()
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -176,7 +184,5 @@ object Datagen {
       .withColumn("vec_id", shift("vec_id", VecStride))
       .drop("__r")
     write(emb, "embeddings")
-
-    spark.stop()
   }
 }

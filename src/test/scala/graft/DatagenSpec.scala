@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-up fixture generator is certification INFRASTRUCTURE —
+  * the sf1 sweep's meaning rests on its invariants, so they get the
+  * same spec treatment as any operator. Runs Datagen's column
+  * programs at factor 3 over sf0.001 (fast) and pins:
+  *
+  *  - referential integrity per replica (no orphan lineitem/orders);
+  *  - the mod-8 residue preservation (co-order graph scales exactly
+  *    by `factor`);
+  *  - document mutation structure: replica-0 verbatim, pinned 5%
+  *    near-dups, bounded vocabulary growth, sub-threshold
+  *    cross-replica token-set Jaccard, n_chars == len(text);
+  *  - embedding jitter: replicas are distinct points but within the
+  *    ±0.01 envelope of the original, labels untouched;
+  *  - determinism: two runs produce identical bytes (hash-compared).
+  */
+class DatagenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val out1 = {
+    val d = graft.io.Scratch.tempDir("datagen_spec_a")
+    runDatagen(d); d
+  }
+
+  private def runDatagen(dst: String): Unit =
+    Datagen.run(spark, src, dst, 3)
+
+  private def tbl(dir: String, t: String) =
+    spark.read.parquet(s"$dir/$t.parquet")
+
+  test("referential integrity holds per replica") {
+    val li = tbl(out1, "lineitem")
+    val o = tbl(out1, "orders")
+    val c = tbl(out1, "customer")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .count() === 0L)
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .count() === 0L)
+    assert(li.count() === 3L * tbl(src, "lineitem").count())
+  }
+
+  test("orderkey mod-8 residues are preserved (co-order graph scales exactly)") {
+    val orig = tbl(src, "lineitem").where(col("l_orderkey") % 8 === 0).count()
+    val scaled = tbl(out1, "lineitem").where(col("l_orderkey") % 8 === 0).count()
+    assert(scaled === 3L * orig)
+  }
+
+  test("document mutation: replica 0 verbatim, near-dups pinned, vocab bounded") {
+    val d0 = tbl(src, "documents")
+    val d1 = tbl(out1, "documents")
+    // replica 0 is byte-identical
+    val origTexts = d0.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val rep0 = d1.where(col("doc_id") < 100000L)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rep0 === origTexts)
+    // near-dup docs (doc_id % 20 == 0) append exactly one token
+    val nd = d1.where(col("doc_id") === 100000L)
+      .select("text").as[String].head()
+    assert(nd === origTexts(0L) + " dup1")
+    // n_chars recomputed everywhere
+    assert(d1.where(col("n_chars") =!= length(col("text"))).count() === 0L)
+    // vocabulary growth bounded: suffix variants cap at
+    // orig × (1 + ceil(factor/3)-ish) + dup tags, far below orig × factor
+    val vocab = (df: org.apache.spark.sql.DataFrame) => df
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t")).as[Long].head()
+    val v0 = vocab(d0)
+    val v1 = vocab(d1)
+    assert(v1 < v0 * 3, s"vocabulary exploded: $v0 -> $v1 at factor 3")
+  }
+
+  test("mutated replicas stay below the planted dedup thresholds vs their original") {
+    // the pair-generating families use two similarity spaces: token
+    // SETS (q44 PPJoin, threshold 0.8) and 3-gram SHINGLE sets (the
+    // minhash/LSH family, threshold 0.5) — assert each mutation stays
+    // under ITS family's planted threshold
+    val d1 = tbl(out1, "documents")
+    val j = d1.where(col("doc_id") % 20 =!= 0) // skip pinned near-dups
+      .select((col("doc_id") % 100000L).as("orig"),
+        floor(col("doc_id") / 100000L).as("r"),
+        array_distinct(split(col("text"), " ")).as("s"),
+        array_distinct(graft.text.TextStats.shingles(
+          split(col("text"), " "), 3)).as("sh"))
+    def jac(ac: String, bc: String) =
+      size(array_intersect(col(ac), col(bc))).cast("double") /
+        size(array_union(col(ac), col(bc)))
+    val a = j.where(col("r") === 0)
+      .select(col("orig"), col("s").as("sa"), col("sh").as("sha"))
+    val b = j.where(col("r") === 1)
+      .select(col("orig"), col("s").as("sb"), col("sh").as("shb"))
+    // RATE bounds, not max: mutation picks ~1/3 of token TYPES, so a
+    // SHORT doc can mutate only 1–2 types and its replica lands above
+    // a threshold by chance — what the fixture must guarantee is that
+    // such pairs stay a SMALL MINORITY (pair families then scale
+    // ≈ linearly, as the sf1 counts confirmed: q44 1.88M ≈ 10×sf0.1)
+    val rates = a.join(b, "orig")
+      .select(jac("sa", "sb").as("jt"), jac("sha", "shb").as("js"))
+      .agg(avg((col("jt") >= 0.8).cast("double")),
+        avg((col("js") >= 0.5).cast("double")),
+        count(lit(1))).as[(Double, Double, Long)].head()
+    assert(rates._3 > 30) // non-degenerate sample
+    assert(rates._1 < 0.15,
+      f"${rates._1}%.2f of replicas reach q44's token-set threshold 0.8")
+    assert(rates._2 < 0.15,
+      f"${rates._2}%.2f of replicas reach the LSH shingle threshold 0.5")
+  }
+
+  test("embedding jitter: distinct points inside the ±0.01 envelope, labels kept") {
+    val e0 = tbl(src, "embeddings")
+      .select(col("vec_id").as("orig"), col("embedding").as("v0"),
+        col("label").as("l0"))
+    val e1 = tbl(out1, "embeddings")
+      .where(col("vec_id") >= 100000L && col("vec_id") < 200000L)
+      .select((col("vec_id") - 100000L).as("orig"),
+        col("embedding").as("v1"), col("label").as("l1"))
+    val joined = e0.join(e1, "orig")
+    assert(joined.where(col("l0") =!= col("l1")).count() === 0L)
+    val dev = joined.select(
+      aggregate(zip_with(col("v0"), col("v1"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("maxdev"))
+    val stats = dev.agg(max("maxdev"), min("maxdev")).as[(Double, Double)].head()
+    assert(stats._1 <= 0.0101, s"jitter exceeds envelope: ${stats._1}")
+    assert(stats._2 > 0.0, "replica vectors identical to originals")
+  }
+
+  test("generation is deterministic (two runs, identical table hashes)") {
+    val out2 = graft.io.Scratch.tempDir("datagen_spec_b")
+    runDatagen(out2)
+    for (t <- Seq("lineitem", "documents", "embeddings", "events")) {
+      val h1 = spark.read.parquet(s"$out1/$t.parquet")
+        .orderBy(col(spark.read.parquet(s"$out1/$t.parquet").columns.head))
+        .select(md5(to_json(struct(col("*")))).as("h"))
+        .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long"))).as[Long].head()
+      val h2 = spark.read.parquet(s"$out2/$t.parquet")
+        .orderBy(col(spark.read.parquet(s"$out2/$t.parquet").columns.head))
+        .select(md5(to_json(struct(col("*")))).as("h"))
+        .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long"))).as[Long].head()
+      assert(h1 === h2, s"$t differs between runs")
+    }
+  }
+}
