@@ -897,10 +897,21 @@ object DedupSim {
         .agg(sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("n_match"))
       val shd = d.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
       val sz = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // ALL sharing pairs, not just LSH candidates
-      val interAll = shd.select(col("doc_id").as("id1"), col("sh"))
-        .join(shd.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
-        .filter(col("id1") < col("id2"))
+      // ALL sharing pairs, not just LSH candidates. Emitted via ONE
+      // groupBy(shingle) + in-task C(df,2) explode over the sorted
+      // posting list (Pairs G1) instead of the shd⋈shd self-join —
+      // identical pairs/counts (sorted array ⇒ id1 < id2), but the
+      // same Σ df² rows come out of one shuffle instead of two
+      // sort-merged df-sized streams per key (the q11B/qDB wedge
+      // rewrite at posting-list scale; measured 37.0 → 18.0 s
+      // first-run / 9.0 s warm at sf1, ~2.26 s at sf0.1 — the decade
+      // ratio drops 12.7× → ~4×; BASELINE v20). A hub shingle emits from one task in
+      // EITHER spelling (a self-join co-locates the key's rows the
+      // same way), so this changes constant factors, not the bound.
+      val interAll = graft.ops.Pairs.explodePairs(
+          shd.groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds"))
+            .where(size(col("ds")) >= 2),
+          "ds", "id1", "id2")
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
       val scored = agree
         .join(interAll, Seq("id1", "id2"), "full_outer")
