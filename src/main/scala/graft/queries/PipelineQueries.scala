@@ -77,7 +77,7 @@ object PipelineQueries {
     * nothing on this frame). */
   private lazy val enrSql: String = {
     val pol = TextQueries.lexiconCaseSql("lower(p[1])")
-    val mod = TextQueries.modifierCaseSql("lower(p[2])")
+    val mod = TextQueries.modifierCaseSql("lower(p[2])", "lower(p[3])")
     val catArms = graft.ops.Cleanse.categoryTable.zipWithIndex
       .map { case ((_, cat), i) => s"WHEN $i THEN ${TextQueries.sq(cat)}" }
       .mkString(" ")
@@ -114,7 +114,9 @@ object PipelineQueries {
                  ELSE (CAST(list_sum(a) AS DOUBLE) / len(a)) / 1000000.0 END AS sentiment
           FROM (
             SELECT doc_id,
-              list_filter(list_transform(list_zip(w, list_prepend('', w[:len(w) - 1])),
+              list_filter(list_transform(
+                list_zip(w, list_prepend('', w[:len(w) - 1]),
+                         list_prepend('', list_prepend('', w[:greatest(len(w) - 2, 0)]))),
                 p -> CAST(($pol) AS BIGINT) * ($mod)), x -> x IS NOT NULL) AS a
             FROM doc)),
         enr AS (

@@ -616,11 +616,19 @@ object TextQueries {
     "CASE " + tokExpr + " " + Sentiment.lexicon.toSeq.sortBy(_._1)
       .map { case (w, p) => s"WHEN ${sq(w)} THEN $p" }.mkString(" ") + " ELSE NULL END"
 
-  private[queries] def modifierCaseSql(prevExpr: String): String = {
+  /** Window-2 modifier (mirror of Sentiment.scoreParts): negator at
+    * i−1, or at i−2 through an intensifier, flips ×−0.5; otherwise
+    * the i−1 intensifier multiplier applies. */
+  private[queries] def modifierCaseSql(prevExpr: String,
+      prev2Expr: String): String = {
     val negs = Sentiment.negators.toSeq.sorted.map(sq).mkString(", ")
+    val intWords = Sentiment.intensifiers.keysIterator.toSeq.sorted
+      .map(sq).mkString(", ")
     val ints = Sentiment.intensifiers.toSeq.sortBy(_._1)
       .map { case (w, m) => s"WHEN $prevExpr = ${sq(w)} THEN $m" }.mkString(" ")
-    s"CASE WHEN $prevExpr IN ($negs) THEN -500 $ints ELSE 1000 END"
+    s"CASE WHEN $prevExpr IN ($negs) THEN -500 " +
+      s"WHEN $prevExpr IN ($intWords) AND $prev2Expr IN ($negs) THEN -500 " +
+      s"$ints ELSE 1000 END"
   }
 
   /** DuckDB mirror of the EntityRuler longest-match walk over
@@ -782,14 +790,20 @@ object TextQueries {
 
   private lazy val sentimentOracleSql: String = {
     val pol = lexiconCaseSql("lower(p[1])")
-    val mod = modifierCaseSql("lower(p[2])")
+    val mod = modifierCaseSql("lower(p[2])", "lower(p[3])")
+    // prev2 slice bound needs greatest(..., 0): a negative DuckDB
+    // slice bound wraps from the END (w[:-1] on a 1-token list is
+    // the whole list, not empty)
     s"""WITH d AS (
             SELECT doc_id, coalesce(text, '') AS text FROM documents),
+          w0 AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM d),
           z AS (
             SELECT doc_id,
-              list_zip(string_split(text, ' '),
-                       list_prepend('', (string_split(text, ' '))[:len(string_split(text, ' ')) - 1])) AS pairs
-            FROM d),
+              list_zip(w,
+                       list_prepend('', w[:len(w) - 1]),
+                       list_prepend('', list_prepend('', w[:greatest(len(w) - 2, 0)]))) AS pairs
+            FROM w0),
           adj AS (
             SELECT doc_id,
               list_filter(list_transform(pairs,

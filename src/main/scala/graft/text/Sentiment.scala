@@ -365,7 +365,13 @@ object Sentiment {
     "slightly" -> 700, "somewhat" -> 800, "barely" -> 600)
 
   /** Integer core: Σ adjusted per-mille² and hit count. Final score =
-    * sumAdj / (n * 1e6). */
+    * sumAdj / (n * 1e6).
+    *
+    * Negation window is 2 with intensifier passthrough (the
+    * pattern-library rule SURVEY §2.8 documents, ref demo.py:162):
+    * a negator directly before the hit, OR two before it with an
+    * intensifier in between ("not very good"), flips ×−0.5. Any other
+    * i−1 token blocks the window — "not the good" is NOT negated. */
   def scoreParts(tokens: Seq[String]): (Long, Int) = {
     var sum = 0L
     var n = 0
@@ -378,6 +384,8 @@ object Sentiment {
       lexicon.get(lower(i)).foreach { pol =>
         val mod =
           if (i > 0 && negators(lower(i - 1))) -500
+          else if (i > 1 && intensifiers.contains(lower(i - 1)) &&
+            negators(lower(i - 2))) -500
           else if (i > 0) intensifiers.getOrElse(lower(i - 1), 1000)
           else 1000
         sum += pol.toLong * mod
@@ -415,11 +423,13 @@ object Sentiment {
 
   /** Pure-Column scorer over a token ARRAY column — zero UDFs, zero
     * joins: map-literal lexicon lookups + zip_with against the
-    * shifted-by-one token array for the preceding-token modifier,
-    * exactly the `list_zip(w, list_prepend('', w[:-1]))` shape the
-    * DuckDB oracles use. try_element_at (not element_at): under
-    * Spark 4 ANSI mode element_at THROWS on a missing map key,
-    * while a non-lexicon token must simply score null. */
+    * shifted-by-one and shifted-by-two token arrays for the
+    * window-2 modifier (negator at i−1, or at i−2 through an
+    * intensifier), exactly the 3-way
+    * `list_zip(w, prev, prev2)` shape the DuckDB oracles use.
+    * try_element_at (not element_at): under Spark 4 ANSI mode
+    * element_at THROWS on a missing map key, while a non-lexicon
+    * token must simply score null. */
   def scoreTokensColumn(tokens: Column): Column = {
     import org.apache.spark.sql.functions._
     val polMap = typedLit(lexicon)
@@ -427,10 +437,16 @@ object Sentiment {
     val negArr = array(negators.toSeq.sorted.map(lit): _*)
     val low = transform(tokens, t => lower(t))
     val prev = TextStats.prevShift(low)
-    val adj = zip_with(low, prev, (t, p) =>
-      try_element_at(polMap, t).cast("long") *
-        when(array_contains(negArr, p), lit(-500L))
-          .otherwise(coalesce(try_element_at(intMap, p), lit(1000)).cast("long")))
+    val prev2 = TextStats.prevShift(prev)
+    // per-position modifier from (prev, prev2); zipped with the token
+    // polarity in a second pass because zip_with is binary
+    val mods = zip_with(prev, prev2, (p, p2) =>
+      when(array_contains(negArr, p), lit(-500L))
+        .when(try_element_at(intMap, p).isNotNull &&
+          array_contains(negArr, p2), lit(-500L))
+        .otherwise(coalesce(try_element_at(intMap, p), lit(1000)).cast("long")))
+    val adj = zip_with(low, mods, (t, m) =>
+      try_element_at(polMap, t).cast("long") * m)
     val hits = filter(adj, x => x.isNotNull)
     when(size(hits) === 0, lit(0.0))
       .otherwise((aggregate(hits, lit(0L), (acc, x) => acc + x).cast("double")
@@ -468,12 +484,16 @@ object Sentiment {
       .withColumn("tok", lower(col("tok")))
       .withColumn("prev", lag(col("tok"), 1, null)
         .over(Window.partitionBy(idCol).orderBy("pos")))
+      .withColumn("prev2", lag(col("tok"), 2, null)
+        .over(Window.partitionBy(idCol).orderBy("pos")))
     val intLex = broadcast(intensifiers.toSeq.toDF("iword", "imult"))
     val scored = toks
       .join(lex, toks("tok") === lex("word"), "inner")
       .join(intLex, col("prev") === col("iword"), "left")
       .withColumn("mod",
         when(array_contains(negArr, col("prev")), lit(-500))
+          .when(col("imult").isNotNull &&
+            array_contains(negArr, col("prev2")), lit(-500))
           .otherwise(coalesce(col("imult"), lit(1000))))
       .withColumn("adj", col("pol").cast("long") * col("mod"))
     val perDoc = scored.groupBy(idCol)

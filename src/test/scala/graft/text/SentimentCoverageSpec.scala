@@ -102,6 +102,8 @@ class SentimentCoverageSpec extends AnyFunSuite {
   test("new entries score through the full modifier pipeline") {
     assert(Sentiment.score(Seq("superb")) === 1.0)
     assert(Sentiment.score(Seq("not", "superb")) === -0.5)
+    // window-2 rule (round-10): negation reaches through an intensifier
+    assert(Sentiment.score(Seq("not", "very", "good")) < 0)
     assert(Sentiment.score(Seq("very", "shoddy")) === -0.78)
     assert(Sentiment.score(Seq("barely", "annoying")) === -0.36)
   }

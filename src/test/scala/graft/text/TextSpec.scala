@@ -101,6 +101,14 @@ class SentimentSpec extends AnyFunSuite {
   test("intensifier scales") {
     assert(Sentiment.score(Seq("very", "good")) === 0.91)
   }
+  test("negation window 2: negator passes through an intensifier") {
+    // "not very good": negator at i−2 through the intensifier → ×−0.5
+    assert(Sentiment.score(Seq("not", "very", "good")) === -0.35)
+    // a non-intensifier token BLOCKS the window
+    assert(Sentiment.score(Seq("not", "the", "good")) === 0.7)
+    // window is exactly 2 — three back does not negate
+    assert(Sentiment.score(Seq("not", "very", "very", "good")) === 0.91)
+  }
   test("case-insensitive lookup") {
     assert(Sentiment.score(Seq("GOOD")) === 0.7)
   }
@@ -141,6 +149,8 @@ class SentimentNativeSpec extends graft.SparkSpec {
     "NOT GOOD",                    // case-insensitive negation
     "so   many    spaces",
     "don't like it",               // contraction negator
+    "not very good at all",        // window-2 negation through intensifier
+    "never really bad, honestly",  // window-2 with punctuation tokens
     "",                            // empty
     "@user #coke is awesome",      // structural tokens
     "barely sweet but extremely bitter",
