@@ -100,12 +100,18 @@ object Multimodal {
     out
   }
 
-  /** REAL pure-JVM netpbm decoder: parses the P6/P5 magic, header
-    * integers with whitespace and `#`-comment skipping, validates
-    * maxval and raster length, then walks every raster byte for
-    * sum/min/max/first/last statistics. Rejects malformed payloads
-    * loudly — a corrupt header must not decode to garbage stats. */
-  def decodeNetpbm(payload: Array[Byte]): (String, Int, Int, Int, Int, Int, Long, Int, Int, Int, Int) = {
+  /** Parsed netpbm header: magic/dimensions/maxval plus the raster
+    * byte offset — shared by the stats decoder, the grayscale
+    * decoder, and the jitter twin below. */
+  private[multimodal] case class NetpbmHeader(color: Boolean, w: Int,
+      h: Int, maxval: Int, rasterOffset: Int) {
+    def channels: Int = if (color) 3 else 1
+  }
+
+  /** Header parse with whitespace and `#`-comment skipping, maxval
+    * validation, and a raster-length check. Rejects malformed
+    * payloads loudly — a corrupt header must not decode to garbage. */
+  private[multimodal] def parseNetpbmHeader(payload: Array[Byte]): NetpbmHeader = {
     require(payload.length >= 2 && payload(0) == 'P',
       "netpbm: bad magic")
     val color = payload(1) match {
@@ -140,12 +146,20 @@ object Multimodal {
     require(i < payload.length && isWs(payload(i)),
       "netpbm: missing raster separator")
     i += 1 // spec: EXACTLY one whitespace byte, then the raster
-    val channels = if (color) 3 else 1
     // w·h·channels in Long: the Int product wraps at ~2^31 pixels and
     // a wrapped small n would ACCEPT a corrupt huge-dimension header
-    val nL = w.toLong * h * channels
+    val nL = w.toLong * h * (if (color) 3 else 1)
     require(nL > 0 && payload.length - i >= nL, "netpbm: truncated raster")
-    val n = nL.toInt // bounded by payload length after the require
+    NetpbmHeader(color, w, h, maxval, i)
+  }
+
+  /** REAL pure-JVM netpbm decoder: parses the header via
+    * [[parseNetpbmHeader]], then walks every raster byte for
+    * sum/min/max/first/last statistics. */
+  def decodeNetpbm(payload: Array[Byte]): (String, Int, Int, Int, Int, Int, Long, Int, Int, Int, Int) = {
+    val hd = parseNetpbmHeader(payload)
+    val i = hd.rasterOffset
+    val n = hd.w * hd.h * hd.channels
     var sum = 0L; var mn = 255; var mx = 0
     val first = payload(i) & 0xff
     val last = payload(i + n - 1) & 0xff
@@ -157,7 +171,110 @@ object Multimodal {
       if (b > mx) mx = b
       j += 1
     }
-    (if (color) "ppm" else "pgm", w, h, maxval, channels, n, sum, mn, mx, first, last)
+    (if (hd.color) "ppm" else "pgm", hd.w, hd.h, hd.maxval, hd.channels,
+      n, sum, mn, mx, first, last)
+  }
+
+  /** Grayscale luma plane from a netpbm payload: P5 rasters verbatim,
+    * P6 via the integer ITU-601 luma (299·R + 587·G + 114·B) / 1000
+    * with floor division — exact integers, so the DuckDB pHash oracle
+    * reconstructs the identical plane from the fixture's text. */
+  def decodeNetpbmGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val hd = parseNetpbmHeader(payload)
+    val base = hd.rasterOffset
+    val gray = new Array[Int](hd.w * hd.h)
+    var p = 0
+    while (p < gray.length) {
+      gray(p) =
+        if (hd.color) {
+          val r = payload(base + 3 * p) & 0xff
+          val g = payload(base + 3 * p + 1) & 0xff
+          val b = payload(base + 3 * p + 2) & 0xff
+          (299 * r + 587 * g + 114 * b) / 1000
+        } else payload(base + p) & 0xff
+      p += 1
+    }
+    (hd.w, hd.h, gray)
+  }
+
+  /** 8×8 DCT-II basis, fixed-point 2^14: T(u)(x) = round(2^14 ·
+    * cos(π·(2x+1)·u / 16)). Generated ONCE here and inlined as
+    * integer literals into the DuckDB oracle (MultimodalQueries
+    * .dctTableSql), so the perceptual-hash pipeline is exact-integer
+    * on both engines — no cross-engine cosine evaluation anywhere. */
+  lazy val DctTable: Array[Array[Long]] = Array.tabulate(8, 8)((u, x) =>
+    Math.round(16384.0 * Math.cos(Math.PI * (2 * x + 1) * u / 16.0)))
+
+  /** 63-bit perceptual hash (the classic DCT pHash, integer-exact):
+    * nearest-neighbor-sample the luma plane onto an 8×8 grid
+    * (g8(i)(j) = gray at x = ⌊i·w/8⌋, y = ⌊j·h/8⌋ — handles both the
+    * fixture's tiny rasters and real down-scales uniformly), run a
+    * separable integer 8×8 DCT-II through [[DctTable]], drop the DC
+    * coefficient, and set bit (u·8 + v − 1) when coefficient (u,v)
+    * exceeds the MEAN of the 63 AC coefficients — compared exactly as
+    * 63·c > Σ, no division. Mean (not median) is load-bearing for
+    * stability: structured rasters tie many coefficients at the
+    * median ELEMENT, so a ±1 jitter that moves the 32nd-smallest
+    * value flips every tied bit at once, while the mean moves
+    * continuously and only near-mean bits can flip (measured: planted
+    * twins ≤ 2 bits vs up to 14 under the median). Magnitudes stay
+    * < 2^49 (255·2^14·8 per stage-1 term, ×2^14·8 stage 2, ×63 for
+    * the mean compare), so every value fits a BIGINT oracle-side. */
+  def phash64(payload: Array[Byte]): Long = {
+    val (w, h, gray) = decodeNetpbmGray(payload)
+    val g8 = Array.tabulate(8, 8)((i, j) => gray((j * h / 8) * w + i * w / 8).toLong)
+    // separable DCT: stage 1 over x (r(u)(j)), stage 2 over y
+    val r = Array.tabulate(8, 8) { (u, j) =>
+      var s = 0L; var x = 0
+      while (x < 8) { s += g8(x)(j) * DctTable(u)(x); x += 1 }
+      s
+    }
+    val coef = Array.tabulate(8, 8) { (u, v) =>
+      var s = 0L; var y = 0
+      while (y < 8) { s += r(u)(y) * DctTable(v)(y); y += 1 }
+      s
+    }
+    val ac = new Array[Long](63)
+    var k = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) { ac(k) = coef(u)(v); k += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    var acSum = 0L
+    var q = 0
+    while (q < 63) { acSum += ac(q); q += 1 }
+    var ph = 0L
+    var p = 0
+    while (p < 63) {
+      if (63L * ac(p) > acSum) ph |= 1L << p
+      p += 1
+    }
+    ph
+  }
+
+  /** Deterministic near-duplicate twin: +1 on every 13th raster byte —
+    * a ≲0.5% luma perturbation that leaves the DCT signs of all but
+    * the near-median coefficients unchanged, so planted twins land
+    * within the qC2 banding radius. Analytic from the encoder
+    * contract (raster byte j = text byte j % len), so the DuckDB
+    * oracle rebuilds the twin from text alone. */
+  def jitterNetpbm(payload: Array[Byte]): Array[Byte] = {
+    val hd = parseNetpbmHeader(payload)
+    val out = payload.clone()
+    val n = hd.w * hd.h * hd.channels
+    var j = 0
+    while (j < n) {
+      val b = out(hd.rasterOffset + j) & 0xff
+      require(b < 255, "jitterNetpbm: byte would overflow")
+      out(hd.rasterOffset + j) = (b + 1).toByte
+      j += 13
+    }
+    out
   }
 
   /** Fixture: stage really-encoded netpbm bytes per document (the

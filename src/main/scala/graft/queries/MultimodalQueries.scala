@@ -95,17 +95,6 @@ object MultimodalQueries {
           sum("sum_px").as("sum_px"), max("max_px").as("max_px"))
     }),
 
-    // Perceptual-hash near-duplicate detection over the media column
-    // — the image-dedup analogue of q54's banded simhash. The 60-bit
-    // "pHash" is the documented content-hash STUB (a real pipeline
-    // swaps in a DCT pHash; everything downstream is the production
-    // shape): pigeonhole banding into 4×15-bit keys guarantees zero
-    // false negatives at Hamming radius 3 (4 bands, ≤3 flipped bits
-    // ⇒ ≥1 band untouched), candidates come only from band-key
-    // equality (never all-pairs), and the verify is one xor +
-    // bit_count per CANDIDATE. Emits every candidate with its
-    // distance + the radius verdict, so the verify logic itself is
-    // hash-checked.
     // REAL audio decode end-to-end: RIFF/WAVE PCM16 payloads staged
     // from document text (genuinely encoded: container + fmt chunk +
     // junk LIST chunk + little-endian samples), decoded by the
@@ -122,13 +111,35 @@ object MultimodalQueries {
           "sum_s", "min_s", "max_s", "first_s", "last_s", "energy")
     }),
 
+    // Perceptual-hash near-duplicate detection over REAL decoded
+    // pixels — the image-dedup analogue of q54's banded simhash, now
+    // with the true kernel: grayscale luma → 8×8 nearest-neighbor
+    // sample → separable integer 8×8 DCT-II (fixed-point 2^14 basis)
+    // → 63 AC coefficients thresholded at their mean, compared
+    // exactly as 63·c > Σ (Multimodal.phash64 — mean, not median:
+    // tied-at-median spectra flip en masse under jitter). A planted jittered twin per doc_id%20==0
+    // (+1 on every 13th raster byte, Multimodal.jitterNetpbm) makes
+    // recall measurable: near-identical images MUST band together.
+    // Pigeonhole banding into 4×16-bit keys guarantees zero false
+    // negatives at Hamming radius 3 (4 bands, ≤3 flipped bits ⇒ ≥1
+    // band untouched); candidates come only from band-key equality
+    // (never all-pairs) and the verify is one xor + bit_count per
+    // CANDIDATE. The whole pipeline is exact-integer, so the DuckDB
+    // oracle mirrors it bit-for-bit from the fixture's text.
     "qC2_phash_media_dedup" -> ((s, dir) => {
-      val docs = Multimodal.withMediaColumn(table(s, dir, "documents"))
-      val h = docs.select(col("doc_id"),
-        graft.dedup.Dedup.md5Long(col("media").cast("string")).as("ph"))
+      import s.implicits._
+      val docs = Multimodal.withNetpbmColumn(table(s, dir, "documents"))
+      val twins = docs.filter(col("doc_id") % 20 === 0)
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) => (id + TwinOffset, Multimodal.jitterNetpbm(p)) }
+        .toDF("doc_id", "media")
+      val h = docs.unionByName(twins)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, Multimodal.phash64(p)) })
+        .toDF("doc_id", "ph")
       val bands = h.select(col("doc_id"), col("ph"),
           explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bv", expr("shiftright(ph, band * 15) & 32767"))
+        .withColumn("bv", expr("shiftright(ph, band * 16) & 65535"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
             && col("a.doc_id") < col("b.doc_id"))
@@ -142,6 +153,18 @@ object MultimodalQueries {
         .withColumn("is_near", col("hamming") <= 3)
     })
   )
+
+  /** Twin ids live far above any real doc_id at every SF. */
+  val TwinOffset = 1000000000L
+
+  /** [[Multimodal.DctTable]] inlined as a SQL VALUES relation
+    * `dctt(u, x, v)` — the oracle uses the SAME integers the engine
+    * computed, so no cosine is ever evaluated cross-engine. */
+  private def dctTableSql: String = {
+    val rows = for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Multimodal.DctTable(u)(x)})"
+    s"dctt(u, x, v) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}) t(u, x, v))"
+  }
 
   // the netpbm fixture mirrored analytically: w = len%16+1,
   // h = len%12+1, channels = 3 (even len, P6) | 1 (odd, P5), raster
@@ -262,27 +285,72 @@ object MultimodalQueries {
            energy
          FROM m JOIN sm USING (doc_id)""",
 
-    // same 60-bit md5 prefix, same 4x15-bit bands; xor + bit_count
-    // verify per candidate
-    "qC2_phash_media_dedup" ->
-      """WITH h AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS ph
+    // full DCT-pHash mirror: the encoder contract (raster byte j =
+    // text byte j % len, +1 jitter on j % 13 = 0 for the planted
+    // twins), the identical integer luma / nearest-neighbor sample /
+    // separable DCT over the inlined dctt basis / exact mean
+    // threshold (63·c > Σ), then the same 4×16-bit bands and xor + bit_count
+    // verify. Every intermediate is exact-integer.
+    "qC2_phash_media_dedup" -> phashOracleSql
+  )
+
+  private def phashOracleSql: String = {
+    // raster byte k of the (possibly jittered) payload, from text
+    def b(k: String) =
+      s"(ord(substr(text, CAST(($k) % len AS INTEGER) + 1, 1))" +
+        s" + CASE WHEN jit = 1 AND ($k) % 13 = 0 THEN 1 ELSE 0 END)"
+    // sampled pixel index for 8×8-grid cell (i, j)
+    val p = "(((gj.j * h) // 8) * w + (gi.i * w) // 8)"
+    s"""WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             CAST(strlen(text) % 16 + 1 AS INTEGER) AS w,
+             CAST(strlen(text) % 12 + 1 AS INTEGER) AS h,
+             (strlen(text) % 2 = 0) AS color
            FROM documents),
-         b AS (
-           SELECT doc_id, ph, g.i AS band,
-             (ph >> (g.i * 15)) & 32767 AS bv
-           FROM h, generate_series(0, 3) g(i)),
+         pu AS (
+           SELECT doc_id, text, len, w, h, color, 0 AS jit FROM m
+           UNION ALL
+           SELECT doc_id + $TwinOffset, text, len, w, h, color, 1
+           FROM m WHERE doc_id % 20 = 0),
+         $dctTableSql,
+         cell AS (
+           SELECT doc_id, gi.i AS i, gj.j AS j,
+             CAST(CASE WHEN color
+               THEN (299 * ${b(s"3 * $p")} + 587 * ${b(s"3 * $p + 1")}
+                     + 114 * ${b(s"3 * $p + 2")}) // 1000
+               ELSE ${b(p)} END AS BIGINT) AS g
+           FROM pu, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+         rowd AS (
+           SELECT doc_id, t.u AS u, c.j AS j, CAST(sum(c.g * t.v) AS BIGINT) AS r
+           FROM cell c JOIN dctt t ON t.x = c.i
+           GROUP BY doc_id, t.u, c.j),
+         coef AS (
+           SELECT doc_id, r.u AS u, t.u AS v, CAST(sum(r.r * t.v) AS BIGINT) AS c
+           FROM rowd r JOIN dctt t ON t.x = r.j
+           GROUP BY doc_id, r.u, t.u),
+         med AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS acsum
+           FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+         phh AS (
+           SELECT c.doc_id,
+             CAST(sum(CASE WHEN 63 * c.c > md.acsum
+               THEN CAST(1 AS BIGINT) << (c.u * 8 + c.v - 1)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+           FROM coef c JOIN med md USING (doc_id)
+           WHERE NOT (c.u = 0 AND c.v = 0)
+           GROUP BY c.doc_id),
+         bnd AS (
+           SELECT doc_id, ph, g.i AS band, (ph >> (g.i * 16)) & 65535 AS bv
+           FROM phh, generate_series(0, 3) g(i)),
          cand AS (
            SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-           FROM b a JOIN b b2
-             ON a.band = b2.band AND a.bv = b2.bv
-            AND a.doc_id < b2.doc_id)
+           FROM bnd a JOIN bnd b2
+             ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
          SELECT id1, id2,
            CAST(bit_count(xor(h1.ph, h2.ph)) AS INTEGER) AS hamming,
            bit_count(xor(h1.ph, h2.ph)) <= 3 AS is_near
          FROM cand
-         JOIN h h1 ON h1.doc_id = id1
-         JOIN h h2 ON h2.doc_id = id2"""
-  )
+         JOIN phh h1 ON h1.doc_id = id1
+         JOIN phh h2 ON h2.doc_id = id2"""
+  }
 }
