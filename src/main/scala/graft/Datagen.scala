@@ -83,6 +83,25 @@ object Datagen {
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
+    /** Stride guard (ADVICE r9): the hard-coded strides assume every
+      * source key range sits below them — true for the driver's SF
+      * dirs, silently FALSE when the tool is pointed at its own
+      * output (sf1 orderkeys reach ~9.6M > OrderStride 1M), which
+      * would overlap replica keys and corrupt the fixture with
+      * inflated join fanout instead of failing. One cheap max()
+      * aggregate per keyed table makes that loud. */
+    def checkStrides(df: DataFrame, keys: (String, Long)*): DataFrame = {
+      val maxes = df.agg(max(col(keys.head._1)).cast("long"),
+        keys.tail.map { case (k, _) => max(col(k)).cast("long") }: _*).head()
+      keys.zipWithIndex.foreach { case ((k, stride), i) =>
+        val mx = maxes.getLong(i)
+        require(mx < stride,
+          s"Datagen: $k max $mx >= stride $stride — source keys too " +
+            "large for the replica strides (is src already a scaled dir?)")
+      }
+      df
+    }
+
     /** replica cross-product: one output row per (input row, replica). */
     def replicate(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(
@@ -109,30 +128,33 @@ object Datagen {
     write(read("region"), "region")
     write(read("nation"), "nation")
 
-    write(replicate(read("customer"))
+    write(replicate(checkStrides(read("customer"), "c_custkey" -> CustStride))
       .withColumn("c_custkey", shift("c_custkey", CustStride))
       .drop("__r"), "customer")
 
-    write(replicate(read("supplier"))
+    write(replicate(checkStrides(read("supplier"), "s_suppkey" -> SuppStride))
       .withColumn("s_suppkey", shift("s_suppkey", SuppStride))
       .drop("__r"), "supplier")
 
-    write(replicate(read("part"))
+    write(replicate(checkStrides(read("part"), "p_partkey" -> PartStride))
       .withColumn("p_partkey", shift("p_partkey", PartStride))
       .drop("__r"), "part")
 
-    write(replicate(read("orders"))
+    write(replicate(checkStrides(read("orders"),
+      "o_orderkey" -> OrderStride, "o_custkey" -> CustStride))
       .withColumn("o_orderkey", shift("o_orderkey", OrderStride))
       .withColumn("o_custkey", shift("o_custkey", CustStride))
       .drop("__r"), "orders")
 
-    write(replicate(read("lineitem"))
+    write(replicate(checkStrides(read("lineitem"), "l_orderkey" -> OrderStride,
+      "l_partkey" -> PartStride, "l_suppkey" -> SuppStride))
       .withColumn("l_orderkey", shift("l_orderkey", OrderStride))
       .withColumn("l_partkey", shift("l_partkey", PartStride))
       .withColumn("l_suppkey", shift("l_suppkey", SuppStride))
       .drop("__r"), "lineitem")
 
-    write(replicate(read("events"))
+    write(replicate(checkStrides(read("events"),
+      "event_id" -> EventStride, "user_id" -> UserStride))
       .withColumn("event_id", shift("event_id", EventStride))
       .withColumn("user_id", shift("user_id", UserStride))
       .drop("__r"), "events")
@@ -158,7 +180,7 @@ object Datagen {
     // Jaccard numbers on this scheme: original-vs-replica ≈ 0.41,
     // cross-parity replicas ≈ 0.14 — below the planted 0.5 dedup
     // thresholds; the pinned 5% near-dups sit at ≈ 0.96.
-    val docs = replicate(read("documents"))
+    val docs = replicate(checkStrides(read("documents"), "doc_id" -> DocStride))
       .withColumn("text",
         when(col("__r") === 0, col("text"))
           .when(col("doc_id") % 20 === 0,
@@ -175,7 +197,7 @@ object Datagen {
 
     // embeddings: deterministic per-dimension jitter in [-0.01, 0.01)
     // for replicas > 0 — distinct points, same clusters/labels
-    val emb = replicate(read("embeddings"))
+    val emb = replicate(checkStrides(read("embeddings"), "vec_id" -> VecStride))
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (v, i) =>

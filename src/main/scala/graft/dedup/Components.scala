@@ -67,13 +67,24 @@ object Components {
     * the round index from which pointer jumping is added (shallow
     * graphs converge before it; deep ones pay 2 extra rounds over
     * always-jumping and save a join on every round before it). */
+  /** `initLabels`: failure-recovery hook. A run whose round k was
+    * fully materialized by a durable strategy (Reliable/Staged) can
+    * restart from that round's (id, label) frame instead of identity
+    * labels — min-label propagation is confluent from any
+    * intermediate labeling (labels only decrease toward each
+    * component's minimum, and the minimum vertex always holds its own
+    * label), so the resumed run reaches the IDENTICAL fixed point.
+    * CheckpointRecoverySpec proves the round-trip: crash mid-
+    * iteration, re-read the staged round parquet, resume, same
+    * labels. */
   def connectedComponentsWithRounds(
       pairs: DataFrame,
       vertices: DataFrame,
       idCol: String,
       maxIter: Int = 25,
       jumpAfter: Int = 2,
-      ckpt: CheckpointStrategy = CheckpointStrategy.EagerLocal): (DataFrame, Int) = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.EagerLocal,
+      initLabels: Option[DataFrame] = None): (DataFrame, Int) = {
     // per-round materialization via the caller's checkpoint strategy:
     // EagerLocal for single-JVM speed (default), Reliable/Staged for
     // executor-loss survival at cluster scale (see CheckpointStrategy)
@@ -96,8 +107,10 @@ object Components {
       (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
 
     // symmetric edge list → src alone covers every endpoint
-    var labels = mat.step(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    var labels = mat.step(initLabels
+      .map(_.select(col("id"), col("label")))
+      .getOrElse(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))))
     // prevSum starts null (= sum over zero endpoints): a non-empty
     // graph always changes labels in round 1, and an empty one
     // converges right there — no separate init-sum or isEmpty job

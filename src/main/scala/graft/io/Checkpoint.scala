@@ -38,9 +38,12 @@ import org.apache.spark.sql.DataFrame
   * CheckpointStrategySpec: the strategy changes WHERE blocks live,
   * never what the loop computes.
   */
-sealed trait CheckpointStrategy {
+trait CheckpointStrategy {
   /** Fresh per-invocation session. Iterative callers create one per
-    * call so Staged mode can track and reclaim superseded rounds. */
+    * call so Staged mode can track and reclaim superseded rounds.
+    * Open (not sealed): a deployment may bring its own
+    * materialization tier, and CheckpointRecoverySpec injects a
+    * crash-after-round wrapper to prove the recovery contract. */
   def session(tag: String): CheckpointStrategy.Mat
 }
 
@@ -51,9 +54,16 @@ object CheckpointStrategy {
     *    lists, degree-joined views). Never reclaimed mid-call.
     *  - `step`: materialize one round's output. Each round reads only
     *    its immediate predecessor, so `step` may reclaim round r−1
-    *    once round r is fully materialized (Staged does; the
-    *    checkpoint-backed modes leave reclamation to Spark/the
-    *    context cleaner). */
+    *    once round r is fully materialized. Staged does so
+    *    deterministically (O(2 rounds) on disk). Reliable leaves it
+    *    to Spark's ContextCleaner, which deletes checkpoint data ONLY
+    *    under `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    *    — the harness entrypoints set it via [[Scratch.configure]],
+    *    making the footprint O(live rounds) amortized (GC-driven, not
+    *    deterministic); a context without the flag accumulates O(all
+    *    rounds), which on the /dev/shm-backed local fallback is RAM.
+    *    EagerLocal blocks are dropped by the same cleaner as their
+    *    RDDs are GC'd. */
   trait Mat {
     def pin(df: DataFrame): DataFrame
     def step(df: DataFrame): DataFrame

@@ -119,11 +119,20 @@ object Scratch {
       .toString
 
   /** Apply the scratch policy to a session builder: shuffle/spill
-    * and the managed-table warehouse follow the scratch root. */
+    * and the managed-table warehouse follow the scratch root.
+    * cleanCheckpoints (ADVICE r9): Spark's ContextCleaner only
+    * deletes reliable-checkpoint data when this flag is set (default
+    * false), so a long CheckpointStrategy.Reliable iteration would
+    * otherwise accumulate O(all rounds) of checkpoint files — on the
+    * /dev/shm-backed root that is RAM held until process death. With
+    * the flag, superseded rounds are reclaimed as their RDDs are
+    * GC'd (amortized O(live rounds); Staged remains the mode with a
+    * deterministic O(2) footprint). */
   def configure(
       b: org.apache.spark.sql.SparkSession.Builder
   ): org.apache.spark.sql.SparkSession.Builder =
     b.config("spark.local.dir", root)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.warehouse.dir",
         new java.io.File(root, "warehouse").getAbsolutePath)
 }

@@ -22,6 +22,13 @@ object DedupSim {
 
   private val P = Dedup.P
 
+  /** q132 truth-side degradation knob: posting lists up to this df go
+    * through the in-task C(df,2) explode (one shuffle, fastest);
+    * above it the shingle is a hub and its pairs come from the
+    * spillable sort-merge self-join instead of a non-spillable
+    * collect_list array. See the q132 comment for the full contract. */
+  private val HubShingleDf = 4096L
+
   /** The candidate-edge build (shingle → minhash → LSH band join)
     * shared VERBATIM by q74 and qA1 — at 100 TB this edge list is
     * computed once and consumed by every downstream dedup job
@@ -905,13 +912,33 @@ object DedupSim {
       // sort-merged df-sized streams per key (the q11B/qDB wedge
       // rewrite at posting-list scale; measured 37.0 → 18.0 s
       // first-run / 9.0 s warm at sf1, ~2.26 s at sf0.1 — the decade
-      // ratio drops 12.7× → ~4×; BASELINE v20). A hub shingle emits from one task in
-      // EITHER spelling (a self-join co-locates the key's rows the
-      // same way), so this changes constant factors, not the bound.
-      val interAll = graft.ops.Pairs.explodePairs(
-          shd.groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds"))
-            .where(size(col("ds")) >= 2),
+      // ratio drops 12.7× → ~4×; BASELINE v20).
+      // Hub guard (ADVICE r9): collect_list is a non-spillable
+      // per-group array, so a stopword-like shingle shared by most
+      // docs would materialize its whole posting list in one task's
+      // memory before the C(df,2) explode. Shingles with df above
+      // HubShingleDf are routed through the sort-merge SELF-JOIN
+      // spelling instead — same pairs (id1 < id2 either way), but the
+      // join spills through shuffle machinery rather than building
+      // the array, so a hub degrades to disk instead of OOMing the
+      // executor. df is computed once and the exchange on `sh` is
+      // reused across the df/posting/hub branches. At every certified
+      // SF the hub side is empty (max df ≈ docs sharing one 3-gram ≪
+      // 4096); the threshold is the documented degradation knob.
+      val dfs = shd.groupBy("sh").agg(count(lit(1)).as("df"))
+      val shdf = shd.join(dfs, "sh")
+      val lowPairs = graft.ops.Pairs.explodePairs(
+          shdf.where(col("df") <= HubShingleDf && col("df") >= 2)
+            .groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds")),
           "ds", "id1", "id2")
+        .select("id1", "id2")
+      val hubSide = shdf.where(col("df") > HubShingleDf)
+        .select("sh", "doc_id")
+      val hubPairs = hubSide.as("ha").join(hubSide.as("hb"),
+          col("ha.sh") === col("hb.sh") &&
+            col("ha.doc_id") < col("hb.doc_id"))
+        .select(col("ha.doc_id").as("id1"), col("hb.doc_id").as("id2"))
+      val interAll = lowPairs.unionByName(hubPairs)
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
       val scored = agree
         .join(interAll, Seq("id1", "id2"), "full_outer")

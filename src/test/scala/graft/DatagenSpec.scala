@@ -43,6 +43,30 @@ class DatagenSpec extends SparkSpec {
     assert(li.count() === 3L * tbl(src, "lineitem").count())
   }
 
+  test("scaled keys stay unique: distinct count == factor × original (ADVICE r9)") {
+    // a stride below the source key range would overlap replica keys
+    // — caught at runtime by Datagen's checkStrides guard; this pins
+    // the post-scale uniqueness invariant itself
+    val keys = Seq(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    for ((t, k) <- keys) {
+      val orig = tbl(src, t).select(k).distinct().count()
+      val scaled = tbl(out1, t).select(k).distinct().count()
+      assert(scaled === 3L * orig, s"$t.$k lost uniqueness after scaling")
+    }
+  }
+
+  test("checkStrides refuses a source whose keys exceed the stride") {
+    // feed the 3× output back in: doc_id now reaches ~2×DocStride
+    val ex = intercept[IllegalArgumentException] {
+      Datagen.run(spark, out1, graft.io.Scratch.tempDir("datagen_spec_guard"), 2)
+    }
+    assert(ex.getMessage.contains("stride"))
+  }
+
   test("orderkey mod-8 residues are preserved (co-order graph scales exactly)") {
     val orig = tbl(src, "lineitem").where(col("l_orderkey") % 8 === 0).count()
     val scaled = tbl(out1, "lineitem").where(col("l_orderkey") % 8 === 0).count()
