@@ -977,12 +977,16 @@ object DedupSim {
   private val aList = Dedup.HashA.mkString("[", ", ", "]")
   private val bList = Dedup.HashB.mkString("[", ", ", "]")
 
+  // MATERIALIZED (round-10): q74/qF3/qA1 reference these CTEs from a
+  // recursive closure — inlined, DuckDB re-runs the whole
+  // shingle→minhash pipeline on EVERY recursion level, which
+  // dominated the sf1 oracle sweep (VERDICT r9 item 7)
   private val sigsSql =
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
           SELECT doc_id, s.shingle
           FROM (SELECT doc_id, $shinglesSql AS shingles FROM documents),
                unnest(shingles) AS s(shingle)),
-        sigs AS (
+        sigs AS MATERIALIZED (
           SELECT doc_id, g.k,
             min(($aList[g.k + 1] * (${md5LongSql("shingle")} % $P) + $bList[g.k + 1]) % $P) AS minhash
           FROM sh, generate_series(0, 7) g(k)
@@ -995,16 +999,16 @@ object DedupSim {
     * that sigsSql opens. */
   private val clustersCte =
     s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          bands AS (
+          bands AS MATERIALIZED (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
               sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
-          cand AS (
+          cand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT id1 AS a, id2 AS b FROM cand
             UNION SELECT id2, id1 FROM cand),
           walk(a, b) AS (
@@ -1771,25 +1775,25 @@ object DedupSim {
                 min(doc_id) OVER (PARTITION BY md5(text)) AS keep
               FROM filt) t
             WHERE doc_id = keep),
-          sh AS (
+          sh AS MATERIALIZED (
             SELECT doc_id, s.shingle
             FROM (SELECT doc_id, $shinglesSql AS shingles FROM ex),
                  unnest(shingles) AS s(shingle)),
-          sigs AS (
+          sigs AS MATERIALIZED (
             SELECT doc_id, g.k,
               min(($aList[g.k + 1] * (${md5LongSql("shingle")} % $P) + $bList[g.k + 1]) % $P) AS minhash
             FROM sh, generate_series(0, 7) g(k)
             GROUP BY doc_id, g.k),
-          bands AS (
+          bands AS MATERIALIZED (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
               sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
-          cand AS (
+          cand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT id1 AS a, id2 AS b FROM cand
             UNION SELECT id2, id1 FROM cand),
           walk(a, b) AS (

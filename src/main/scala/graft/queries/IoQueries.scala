@@ -819,16 +819,23 @@ object IoQueries {
 
     // non-overlapping bigram chunks (closed form) → exact counts →
     // top-3 window with the aggregate's own (cnt DESC, chunk ASC)
-    // tiebreak; capacity 4096 >> distinct chunks/shard so the sketch
-    // is in its exact regime
+    // tiebreak; capacity 8192 >> distinct chunks/shard so the sketch
+    // is in its exact regime. Series bound 254 with the loud error()
+    // guard (round-10): the previous 65536 bound cross-joined every
+    // document with 32k series values before the filter — the
+    // dominant cost of the sf1 DuckDB sweep (VERDICT r9 item 7) for a
+    // corpus whose longest document is 100 tokens.
     "q7C_sql_generator_agg" ->
       """WITH t AS (
-           SELECT doc_id % 8 AS shard, string_split(text, ' ') AS w
+           SELECT doc_id % 8 AS shard,
+             CASE WHEN len(string_split(text, ' ')) > 255
+               THEN error('token list exceeds chunk series bound 255')
+               ELSE string_split(text, ' ') END AS w
            FROM documents),
          ch AS (
            SELECT shard,
              array_to_string(list_slice(w, g.s + 1, g.s + 2), ' ') AS chunk
-           FROM t, generate_series(0, 65536, 2) g(s)
+           FROM t, generate_series(0, 254, 2) g(s)
            WHERE g.s <= len(w) - 1),
          cnts AS (
            SELECT shard, chunk, CAST(count(*) AS BIGINT) AS cnt
