@@ -257,6 +257,23 @@ object Multimodal {
     ph
   }
 
+  /** Minimum raster dimension for a MEANINGFUL perceptual hash: below
+    * it the 8×8 sample duplicates whole rows/columns, the spectrum
+    * collapses onto a structural pattern shared across same-shaped
+    * payloads, and banding degenerates into quadratic equal-hash
+    * groups (measured at sf1: un-gated qC2 emitted 15.3M candidate
+    * pairs, 874k of them hamming-0 text-line "images"; gated, the
+    * largest equal-hash group is 18). A production image-dedup
+    * pipeline gates tiny images for exactly this reason. */
+  val MinPhashDim = 5
+
+  /** [[phash64]] behind the [[MinPhashDim]] gate — None for rasters a
+    * perceptual hash cannot meaningfully compare. */
+  def phash64Gated(payload: Array[Byte]): Option[Long] = {
+    val hd = parseNetpbmHeader(payload)
+    if (math.min(hd.w, hd.h) < MinPhashDim) None else Some(phash64(payload))
+  }
+
   /** Deterministic near-duplicate twin: +1 on every 13th raster byte —
     * a ≲0.5% luma perturbation that leaves the DCT signs of all but
     * the near-median coefficients unchanged, so planted twins land

@@ -128,6 +128,12 @@ object MultimodalQueries {
     // oracle mirrors it bit-for-bit from the fixture's text.
     "qC2_phash_media_dedup" -> ((s, dir) => {
       import s.implicits._
+      // Multimodal.MinPhashDim gate: tiny (1×N / 2×N) rasters are
+      // text lines, not images — a perceptual hash cannot compare
+      // them, and at sf1 their shared structural spectra degenerated
+      // the banding into 15.3M quadratic candidate pairs. Gating is
+      // what a production image-dedup ingest does; the oracle
+      // mirrors the same least(w, h) >= 5 filter.
       val docs = Multimodal.withNetpbmColumn(table(s, dir, "documents"))
       val twins = docs.filter(col("doc_id") % 20 === 0)
         .as[(Long, Array[Byte])]
@@ -135,7 +141,8 @@ object MultimodalQueries {
         .toDF("doc_id", "media")
       val h = docs.unionByName(twins)
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, p) => (id, Multimodal.phash64(p)) })
+        .mapPartitions(_.flatMap { case (id, p) =>
+          Multimodal.phash64Gated(p).map(ph => (id, ph)) })
         .toDF("doc_id", "ph")
       val bands = h.select(col("doc_id"), col("ph"),
           explode(sequence(lit(0), lit(3))).as("band"))
@@ -306,7 +313,9 @@ object MultimodalQueries {
              CAST(strlen(text) % 16 + 1 AS INTEGER) AS w,
              CAST(strlen(text) % 12 + 1 AS INTEGER) AS h,
              (strlen(text) % 2 = 0) AS color
-           FROM documents),
+           FROM documents
+           WHERE least(strlen(text) % 16 + 1, strlen(text) % 12 + 1)
+                   >= ${Multimodal.MinPhashDim}),
          pu AS (
            SELECT doc_id, text, len, w, h, color, 0 AS jit FROM m
            UNION ALL

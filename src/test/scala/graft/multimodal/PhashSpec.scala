@@ -41,6 +41,12 @@ class PhashSpec extends graft.SparkSpec {
     assert(n > 0 && n < 63, s"mean threshold degenerated to $n bits")
   }
 
+  test("gate: tiny rasters yield no hash, solid ones do") {
+    // len 5 → 6×6 P5 (solid); len 12 → 13×1 P6 (degenerate)
+    assert(Multimodal.phash64Gated(Multimodal.encodeNetpbm("abcde")).isDefined)
+    assert(Multimodal.phash64Gated(Multimodal.encodeNetpbm("abcdefghijkl")).isEmpty)
+  }
+
   test("planted twins band together; 2-D non-twins never collide (sf0.001)") {
     val dir = new java.io.File("/root/testdata/sf0.001/documents.parquet")
     assume(dir.exists())

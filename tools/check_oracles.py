@@ -75,9 +75,14 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
+    # per-query wall time (GRAFT_ORACLE_TIMES=1): the sf1 sweep's cost
+    # lives in a few oracles — this is how they get found
+    show_times = os.environ.get("GRAFT_ORACLE_TIMES") == "1"
+    import time as _time
     for name in names:
         if only and name not in only:
             continue
+        _t0 = _time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         res = con.sql(f"SELECT * FROM read_parquet({files!r})")
         scols, srows = list(res.columns), res.fetchall()
@@ -102,7 +107,8 @@ def main():
         ok_hash = ok_schema and ok_types and ok_rows and \
             table_hash(scols, srows) == table_hash(ocols, orows)
         if ok_hash:
-            print(f"  ok   {name} ({len(srows)} rows)")
+            suffix = f" [{_time.time() - _t0:.1f}s]" if show_times else ""
+            print(f"  ok   {name} ({len(srows)} rows){suffix}")
             n_pass += 1
         else:
             n_fail += 1
