@@ -4,9 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Large-SF mode (SPARK_GRAFT_GC_EACH=1): one long-lived JVM keeps
+    // every completed query's shuffle files on spark.local.dir until
+    // the ContextCleaner's periodic GC (default: 30 MINUTES) lets it
+    // notice the ShuffleDependencies are unreachable — at sf10 the
+    // accumulated files OOM-killed the run at 93 GiB on the RAM-backed
+    // scratch tier. The fix is the one a long-lived cluster session
+    // needs too: nudge the collector after every query so the scratch
+    // footprint is bounded by the largest SINGLE query's working set,
+    // not the sum over the run. Off by default — the sf0.1 baseline
+    // envelope was measured without per-query GC pauses.
+    val gcEach = sys.env.get("SPARK_GRAFT_GC_EACH").contains("1")
     val spark = graft.io.Scratch.configure(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.cleaner.periodicGC.interval",
+        if (gcEach) "60s" else "30min")
       // pin the session TZ so the NTZ→LTZ events cast (io/Sources.scala)
       // is wall-clock-identity on any host, not just Etc/UTC ones
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,7 +60,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         })
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, stageS)
+        val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // progress to stderr: a run killed mid-sweep (OOM, host stall)
+        // should show exactly where it died instead of an empty log
+        System.err.println(f"[bench] $name%s ${secs}%.2f s")
+        if (gcEach) System.gc()
+        (name, secs, stageS)
       }
     // Self-adjudication of host-stall windows: this host occasionally
     // hits multi-minute hypervisor-side stalls that inflate a
@@ -78,8 +96,9 @@ object Bench {
         }
         // a FAILED retry records -1 as the second measurement (not a
         // copy of the first) so it can't read as a confirming re-run
+        val t2 = (System.nanoTime() - t0) / 1e9
+        if (gcEach) System.gc()
         if (ok) {
-          val t2 = (System.nanoTime() - t0) / 1e9
           val adj = if (t > stallRatio * t2) t2 else t
           (name, adj, st, Some((t, t2)))
         } else (name, t, st, Some((t, -1.0)))

@@ -33,10 +33,19 @@ object Scratch {
     * [[tempDir]] instead. */
   lazy val root: String = {
     val shm = new java.io.File("/dev/shm")
+    // SPARK_GRAFT_SCRATCH_DIR overrides the tmpfs preference: the RAM
+    // tier only works while the run's accumulated shuffle/spill
+    // working set fits in memory — the sf10 spot bench (round 10)
+    // exceeded it at 93 GiB and was OOM-killed, exactly the case
+    // where a cluster points spark.local.dir at local disk instead.
+    val forced = sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+      .map { p => val d = new java.io.File(p); d.mkdirs(); d }
+      .filter(d => d.isDirectory && d.canWrite)
     val base =
-      if (shm.isDirectory && shm.canWrite) {
-        val parent = new java.io.File(shm, "graft_scratch")
-        parent.mkdirs()
+      if (forced.isDefined || (shm.isDirectory && shm.canWrite)) {
+        val parent = forced.getOrElse {
+          val p = new java.io.File(shm, "graft_scratch"); p.mkdirs(); p
+        }
         purgeStale(parent)
         // per-JVM subtree named by pid + process START TIME: sibling
         // JVMs can decide liveness from the name alone, so a
