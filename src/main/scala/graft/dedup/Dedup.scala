@@ -343,17 +343,21 @@ object Dedup {
       .select("bkt", "id1", "id2").distinct()
     // verify pass: 1:1 joins on id (no explosion), exact set intersect.
     //
-    // Join STRATEGY matters more than it looks at scale: as shuffle
-    // joins, the first join's output — every candidate pair with an
-    // ~|set|-long hash array attached — is itself SHUFFLED for the
-    // second join, so verify traffic is O(candidates × set bytes).
-    // The round-10 sf10 spot bench measured that at ~90 GiB (the
-    // OOM that killed the sweep), while the set table itself was
-    // only ~400 MB. When the per-doc hash sets fit an executor
-    // (estimate below; knob spark conf graft.jaccard.broadcastVerifyBytes,
-    // default 1 GiB), broadcasting BOTH verify sides turns the whole
-    // verify into one map-side stage over the candidate list — no
-    // array ever rides a shuffle. Above the bound (a corpus whose
+    // Join STRATEGY matters more than it looks at scale: as two
+    // shuffle joins, the FIRST join's output — every candidate pair
+    // with an ~|set|-long hash array attached — is itself SHUFFLED
+    // for the second join, so verify traffic is
+    // O(candidates × set bytes). The round-10 sf10 spot bench
+    // measured that at ~90 GiB (the OOM that killed the sweep),
+    // while the set table itself was only ~400 MB. The fix is NOT to
+    // broadcast both sides (that trades a parallel shuffle for two
+    // single-threaded driver relation builds — measured 19.1 s vs
+    // 15.7 s at sf1): keep the first join a shuffle, where the
+    // arrays ride ONCE at O(set table) alongside the slim candidate
+    // list, and broadcast only the SECOND side (estimate below; knob
+    // spark conf graft.jaccard.broadcastVerifyBytes, default 1 GiB),
+    // so the array-laden first-join output never re-shuffles —
+    // the second join is map-side. Above the bound (a corpus whose
     // set table out-sizes executor memory — where the full-truth
     // pairwise verify is cluster-budget work no matter how it is
     // routed) the spillable shuffle joins remain. Results are
@@ -364,15 +368,15 @@ object Dedup {
       col("sz").as("sz2"), col("hs").as("hs2"))
     val bcastMax = df.sparkSession.conf
       .get("graft.jaccard.broadcastVerifyBytes", (1L << 30).toString).toLong
+    // cheap: base is pinned (materialized) above, so this aggregate
+    // reads the checkpoint blocks, not the shingle pipeline
     val Row(nDocs: Long, sumSz: Long) = base
       .agg(count(lit(1)).cast("long"), coalesce(sum("sz"), lit(0L)).cast("long"))
       .head()
     // 8 B per hashed token + ~64 B/row of ids, sizes and row overhead
     val setTableBytes = sumSz * 8 + nDocs * 64
-    val (v1, v2) =
-      if (setTableBytes <= bcastMax) (broadcast(f1), broadcast(f2))
-      else (f1, f2)
-    cand.join(v1, Seq("bkt", "id1")).join(v2, Seq("bkt", "id2"))
+    val v2 = if (setTableBytes <= bcastMax) broadcast(f2) else f2
+    cand.join(f1, Seq("bkt", "id1")).join(v2, Seq("bkt", "id2"))
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
