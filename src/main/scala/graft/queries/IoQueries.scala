@@ -445,13 +445,15 @@ object IoQueries {
     // heavy_hitters as a grouped aggregate (exact regime at this
     // vocabulary). Chunks per shard feed the sketch, so one query
     // exercises generator → explode-free fan-out → custom aggregate.
-    // Capacity 8192 keeps the sketch in its EXACT regime through the
-    // sf1 certification fixture (5,820 distinct bigram chunks/shard
-    // measured there; 948 at sf0.1 — round 9 raised it from 4096,
-    // which sf1's suffix-mutated replicas exceeded). Past the exact
-    // regime the Misra-Gries counts go approximate and the exact
-    // DuckDB oracle fails the hash — the documented scale knob, not a
-    // silent divergence.
+    // Capacity 65536 keeps the sketch in its EXACT regime through the
+    // sf10 certification fixture (54,186 distinct bigram chunks/shard
+    // measured there; 5,766 at sf1, 948 at sf0.1 — round 9 raised it
+    // 4096→8192 when sf1's suffix-mutated replicas exceeded it; round
+    // 10's sf10 sweep exceeded 8192 and raised it again). Past the
+    // exact regime the Misra-Gries counts go approximate and the
+    // exact DuckDB oracle fails the hash — DEMONSTRATED at sf10 with
+    // capacity 8192: 'big big' counted 1954 vs the true 2077, hash
+    // FAIL — the documented scale knob binds loudly, never silently.
     "q7C_sql_generator_agg" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
       table(s, dir, "documents").createOrReplaceTempView("documents")
@@ -460,7 +462,7 @@ object IoQueries {
         FROM (
           SELECT shard, explode(hh) AS h
           FROM (
-            SELECT shard, heavy_hitters(c.chunk, 3, 8192) AS hh
+            SELECT shard, heavy_hitters(c.chunk, 3, 65536) AS hh
             FROM (SELECT doc_id % 8 AS shard, text FROM documents) d,
                  LATERAL chunk_text(d.text, 2, 2) AS c
             GROUP BY shard))""")
@@ -819,8 +821,8 @@ object IoQueries {
 
     // non-overlapping bigram chunks (closed form) → exact counts →
     // top-3 window with the aggregate's own (cnt DESC, chunk ASC)
-    // tiebreak; capacity 8192 >> distinct chunks/shard so the sketch
-    // is in its exact regime. Series bound 254 with the loud error()
+    // tiebreak; capacity 65536 >> distinct chunks/shard (54,186 at
+    // sf10) so the sketch is in its exact regime. Series bound 254 with the loud error()
     // guard (round-10): the previous 65536 bound cross-joined every
     // document with 32k series values before the filter — the
     // dominant cost of the sf1 DuckDB sweep (VERDICT r9 item 7) for a
