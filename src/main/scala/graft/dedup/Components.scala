@@ -56,7 +56,7 @@ object Components {
       pairs: DataFrame,
       vertices: DataFrame,
       idCol: String,
-      maxIter: Int = 25,
+      maxIter: Int = 50,
       ckpt: CheckpointStrategy = CheckpointStrategy.EagerLocal): DataFrame =
     connectedComponentsWithRounds(pairs, vertices, idCol, maxIter,
       ckpt = ckpt)._1
@@ -81,7 +81,7 @@ object Components {
       pairs: DataFrame,
       vertices: DataFrame,
       idCol: String,
-      maxIter: Int = 25,
+      maxIter: Int = 50,
       jumpAfter: Int = 2,
       ckpt: CheckpointStrategy = CheckpointStrategy.EagerLocal,
       initLabels: Option[DataFrame] = None): (DataFrame, Int) = {
@@ -137,6 +137,17 @@ object Components {
             // label(v) ← min(label(v), prevLabel(label(v))). Every
             // label value is an endpoint id, so the lookup is total;
             // left join + coalesce keeps the shape robust anyway.
+            // Honest bound (sf10-measured): the jump contracts ~2×
+            // per round when label values chain (id-sorted paths —
+            // ScaleSmokeSpec's 65k chain converges in ≤24 rounds),
+            // but on LSH-hairball components whose labels collapse
+            // onto a local minimum early, rounds pace at the
+            // component's EFFECTIVE DIAMETER (the sf10 fixture's
+            // 16k-node component took 28 rounds; a second jump level
+            // was measured to buy nothing — 28 either way). Hence
+            // the default cap is 50, comfortably above both regimes,
+            // and hitting it still raises rather than returning a
+            // half-converged labeling.
             val byId = labels.select(col("id").as("l_id"), col("label").as("l_label"))
             nm.join(byId, nm("label") === byId("l_id"), "left")
               .select(col("src").as("id"),
@@ -148,6 +159,10 @@ object Components {
         prevSum = sumNow
         labels = step
         round += 1
+        // env-guarded round trace: convergence pathologies (the sf10
+        // qC1 non-convergence) are invisible without per-round sums
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round=$round labelSum=$sumNow")
       }
     } finally edges.unpersist() // also on mid-loop job failure
     val out = vertices.select(col(idCol))

@@ -69,11 +69,20 @@ object CheckpointStrategy {
     def step(df: DataFrame): DataFrame
   }
 
-  /** `localCheckpoint` — the single-JVM default. */
+  /** `localCheckpoint` — the single-JVM default. Stats are reset to
+    * the blocks' real size ([[org.apache.spark.sql.GraftShims.resetCheckpointStats]]):
+    * the checkpoint otherwise CARRIES the child plan's size estimate,
+    * and a loop that reads its previous round twice per round squares
+    * that estimate every round — the digit count doubles and by round
+    * ~20 the driver spends minutes per stats call on million-digit
+    * BigInt products (the sf10 qC1 failure). Staged never had the
+    * problem: parquet round-trips get fresh file-size stats. */
   case object EagerLocal extends CheckpointStrategy {
     def session(tag: String): Mat = new Mat {
-      def pin(df: DataFrame): DataFrame = df.localCheckpoint()
-      def step(df: DataFrame): DataFrame = df.localCheckpoint()
+      def pin(df: DataFrame): DataFrame =
+        org.apache.spark.sql.GraftShims.resetCheckpointStats(df.localCheckpoint())
+      def step(df: DataFrame): DataFrame =
+        org.apache.spark.sql.GraftShims.resetCheckpointStats(df.localCheckpoint())
     }
   }
 
@@ -89,8 +98,14 @@ object CheckpointStrategy {
           sc.setCheckpointDir(
             new java.io.File(Scratch.root, "reliable_ckpt").getAbsolutePath)
       }
-      def pin(df: DataFrame): DataFrame = { ensureDir(df); df.checkpoint() }
-      def step(df: DataFrame): DataFrame = { ensureDir(df); df.checkpoint() }
+      def pin(df: DataFrame): DataFrame = {
+        ensureDir(df)
+        org.apache.spark.sql.GraftShims.resetCheckpointStats(df.checkpoint())
+      }
+      def step(df: DataFrame): DataFrame = {
+        ensureDir(df)
+        org.apache.spark.sql.GraftShims.resetCheckpointStats(df.checkpoint())
+      }
     }
   }
 

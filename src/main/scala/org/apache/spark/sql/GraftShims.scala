@@ -52,6 +52,42 @@ object GraftShims {
     spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Replace a checkpointed frame's INHERITED statistics with the
+    * blocks' real materialized size.
+    *
+    * `Dataset.checkpoint`/`localCheckpoint` builds a [[execution.LogicalRDD]]
+    * carrying `originStats = Some(child plan's ESTIMATE)`. In an
+    * iterative core that is a scale bomb: a loop whose round joins the
+    * previous round's table twice (connected components' neighbor-min
+    * + pointer jump) estimates round r as sizeInBytes(r) ≈
+    * E · sizeInBytes(r−1)², so the estimate's DIGIT COUNT doubles
+    * every round — by round ~20 the driver burns minutes per stats
+    * call multiplying million-digit BigIntegers inside
+    * SizeInBytesOnlyStatsPlanVisitor (measured: the round-10 sf10
+    * sweep's qC1 failure mode). The checkpoint has the REAL
+    * materialized size at hand, which is also a far better input to
+    * join planning than any estimate; fall back to no stats (the
+    * defaultSizeInBytes leaf) when storage info is unavailable —
+    * constant per round either way, so the snowball cannot form. */
+  def resetCheckpointStats(df: Dataset[Row]): Dataset[Row] = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    df.queryExecution.logical match {
+      case lr: execution.LogicalRDD =>
+        val measured = try {
+          spark.sparkContext.getRDDStorageInfo
+            .find(_.id == lr.rdd.id)
+            .filter(i => i.memSize + i.diskSize > 0L)
+            .map(i => catalyst.plans.logical.Statistics(
+              sizeInBytes = BigInt(i.memSize + i.diskSize)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        classic.Dataset.ofRows(spark,
+          execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            spark, measured, None))
+      case _ => df
+    }
+  }
+
   /** Test seam: apply an extensions object's injected functions to a
     * registry (what session construction does internally) so specs
     * can assert the injection wiring without building a session. */
