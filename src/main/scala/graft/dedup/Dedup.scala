@@ -271,20 +271,33 @@ object Dedup {
     *
     * Shape: positional prefix filtering (Chaudhuri/Xiao et al., the
     * PPJoin family's prefix filter) — sort each token set by a global
-    * order (the 60-bit token hash), and only the first
-    * |s| − ⌈t·|s|⌉ + 1 tokens generate join keys. Any pair with
-    * J ≥ t shares ≥ ⌈t·max(|r|,|s|)⌉ tokens, and the smallest shared
-    * token (in the global order) provably falls inside BOTH prefixes,
-    * so candidate generation has zero false negatives; an exact
-    * array_intersect verify on the candidates drops false positives.
+    * order, and only the first |s| − ⌈t·|s|⌉ + 1 tokens generate join
+    * keys. Any pair with J ≥ t shares ≥ ⌈t·max(|r|,|s|)⌉ tokens, and
+    * the smallest shared token (in the global order) provably falls
+    * inside BOTH prefixes, so candidate generation has zero false
+    * negatives; an exact array_intersect verify on the candidates
+    * drops false positives. ANY total order is exact — the order is
+    * purely a candidate-count lever — and the canonical PPJoin choice
+    * is ASCENDING GLOBAL DOCUMENT FREQUENCY (rarest first), computed
+    * here with one groupBy over the token stream.
     *
-    * Scale: this is what kills the high-document-frequency token
-    * blow-up of the naive explode-join — a token shared by n docs in
-    * a bucket only creates an n² join key if it lands in the PREFIX
-    * of all n sets (≈ (1−t)² of the volume at t=0.8, a 25× cut), and
-    * candidates are verified by a linear per-pair intersect instead
-    * of enumerating every shared token. Exact for any threshold ≥ t;
-    * threshold 0 degenerates to the full join. */
+    * Scale: the df order is what kills the high-document-frequency
+    * token blow-up — a token shared by n docs generates candidates
+    * only when it lands in the PREFIX of both sets, and under rarest-
+    * first ordering a high-df token reaches a prefix only for sets
+    * whose every rarer token is even MORE frequent. The round-10 sf10
+    * sweep measured the difference on a 500k-doc corpus whose 95%-
+    * majority docs carry rare replica-local token variants: hash-
+    * ordered prefixes admitted the corpus-wide base tokens everywhere
+    * (quadratic candidates across replicas — q44 1324 s), df-ordered
+    * prefixes push those to the array tail and the majority's
+    * candidates become replica-local. The residual dense family (sets
+    * made ENTIRELY of ubiquitous tokens) stays quadratic under any
+    * order — those pairs genuinely sit near the threshold, which is
+    * output-bound work no filter can remove. Candidates are verified
+    * by a linear per-pair intersect instead of enumerating every
+    * shared token. Exact for any threshold ≥ t; threshold 0
+    * degenerates to the full join. */
   def jaccardPairs(df: DataFrame, idCol: String, tokenSetCol: String,
                    bucketCol: String, threshold: Double,
                    ckpt: graft.io.CheckpointStrategy =
@@ -303,15 +316,26 @@ object Dedup {
     // prime used elsewhere in this file.)
     val thrDen = 1000000000L
     val thrNum = math.floor(threshold * thrDen).toLong
-    // hashed token set sorted by hash = the global prefix order, and
-    // the cheaper join/intersect representation (no string compares).
-    // Materialized (pinned via the caller's checkpoint strategy):
-    // pref, f1 and f2 all read it, and exchange reuse is an optimizer
-    // courtesy, not a guarantee — without it the per-token md5 + sort
-    // (the hottest expression here) runs 3×.
-    val base = mat.pin(df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
-      size(col(tokenSetCol)).as("sz"),
-      array_sort(transform(col(tokenSetCol), t => md5Long(t))).as("hs")))
+    // hashed token sets in ASCENDING GLOBAL DF ORDER (ties by the
+    // 60-bit hash — (df, h) is a total order; h doubles as the
+    // cheaper join/intersect representation, no string compares).
+    // One groupBy prices the order: df per hashed token, then each
+    // set re-gathers as sort_array(collect_list(struct(df, h))) —
+    // collect_list is bounded by a single document's token count.
+    // The df table is vocabulary-sized: tiny vocabularies broadcast
+    // (AQE), Zipfian ones shuffle-join linearly. Materialized (pinned
+    // via the caller's checkpoint strategy): pref, f1 and f2 all read
+    // it, and exchange reuse is an optimizer courtesy, not a
+    // guarantee — without it the per-token md5 + df join (the hottest
+    // stage here) runs 3×.
+    val toks = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+      explode(transform(col(tokenSetCol), t => md5Long(t))).as("h"))
+    val tokDf = toks.groupBy("h").agg(count(lit(1)).as("d"))
+    val base = mat.pin(toks.join(tokDf, "h")
+      .groupBy("bkt", "id")
+      .agg(sort_array(collect_list(struct(col("d"), col("h")))).as("dh"))
+      .select(col("bkt"), col("id"), size(col("dh")).as("sz"),
+        transform(col("dh"), e => e.getField("h")).as("hs")))
     // prefix length sz − ⌈(thrNum/thrDen)·sz⌉ + 1 ≥ the true
     // sz − ⌈t·sz⌉ + 1
     val plen = (col("sz")
