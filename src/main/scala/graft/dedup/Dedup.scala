@@ -267,7 +267,17 @@ object Dedup {
 
   /** Pairwise token-set Jaccard within a bucket column; emits pairs
     * with similarity ≥ threshold (id1 < id2). `tokenSetCol` must be a
-    * DISTINCT token array (set semantics).
+    * DISTINCT token array (set semantics), and rows must be UNIQUE
+    * per (bucketCol, idCol): the df-pricing groupBy re-gathers each
+    * document from its exploded tokens, so two input rows with the
+    * same (bucket, id) would silently merge into one concatenated
+    * token multiset (the hash-ordered ancestor kept each row its own
+    * document). Empty token arrays are intentionally excluded by the
+    * explode (an empty set can never generate a prefix candidate, so
+    * output pairs are unaffected — but `base` carries no sz=0 rows),
+    * and null-hash tokens are likewise dropped by the inner df join
+    * instead of counting toward sz — readers of `base` (e.g. for
+    * corpus stats) should not expect either.
     *
     * Shape: positional prefix filtering (Chaudhuri/Xiao et al., the
     * PPJoin family's prefix filter) — sort each token set by a global
@@ -301,7 +311,22 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, tokenSetCol: String,
                    bucketCol: String, threshold: Double,
                    ckpt: graft.io.CheckpointStrategy =
-                     graft.io.CheckpointStrategy.EagerLocal): DataFrame = {
+                     graft.io.CheckpointStrategy.EagerLocal): DataFrame =
+    jaccardPairsWithCandidates(df, idCol, tokenSetCol, bucketCol,
+      threshold, ckpt)._2
+
+  /** Diagnostic twin of [[jaccardPairs]]: returns (candidates, out)
+    * where `candidates` is the pair frame AFTER prefix + length +
+    * position pruning and the distinct, and `out` is the verified
+    * result built FROM that same frame. Exists so DiagQ44 can commit
+    * the candidates-generated vs pairs-surviving evidence (is the
+    * residual sf10 cost candidate volume or verify work?) without
+    * duplicating the operator. */
+  def jaccardPairsWithCandidates(
+      df: DataFrame, idCol: String, tokenSetCol: String,
+      bucketCol: String, threshold: Double,
+      ckpt: graft.io.CheckpointStrategy =
+        graft.io.CheckpointStrategy.EagerLocal): (DataFrame, DataFrame) = {
     val mat = ckpt.session("jaccard")
     // Prune bounds in EXACT integer arithmetic on the rational
     // threshold thrNum/thrDen, with thrNum = ⌊threshold·thrDen⌋ ≤
@@ -327,7 +352,12 @@ object Dedup {
     // via the caller's checkpoint strategy): pref, f1 and f2 all read
     // it, and exchange reuse is an optimizer courtesy, not a
     // guarantee — without it the per-token md5 + df join (the hottest
-    // stage here) runs 3×.
+    // stage here) runs 3×. `toks` itself is NOT pinned: it feeds both
+    // the tokDf aggregate and the join probe, and both exchanges
+    // partition by h, so ReusedExchange collapses them; if that
+    // courtesy ever lapses the md5 transform runs twice BEFORE the
+    // pin — a 2× on one narrow map stage, cheaper than materializing
+    // the full token stream (strictly larger than `base`) to disk.
     val toks = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
       explode(transform(col(tokenSetCol), t => md5Long(t))).as("h"))
     val tokDf = toks.groupBy("h").agg(count(lit(1)).as("d"))
@@ -400,10 +430,11 @@ object Dedup {
     // 8 B per hashed token + ~64 B/row of ids, sizes and row overhead
     val setTableBytes = sumSz * 8 + nDocs * 64
     val v2 = if (setTableBytes <= bcastMax) broadcast(f2) else f2
-    cand.join(f1, Seq("bkt", "id1")).join(v2, Seq("bkt", "id2"))
+    val out = cand.join(f1, Seq("bkt", "id1")).join(v2, Seq("bkt", "id2"))
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("bkt", "id1", "id2", "jaccard")
+    (cand, out)
   }
 }
