@@ -64,7 +64,7 @@ object Bench {
         // progress to stderr: a run killed mid-sweep (OOM, host stall)
         // should show exactly where it died instead of an empty log
         System.err.println(f"[bench] $name%s ${secs}%.2f s")
-        if (gcEach) System.gc()
+        if (gcEach) sweepGc(spark)
         (name, secs, stageS)
       }
     // Self-adjudication of host-stall windows: this host occasionally
@@ -97,7 +97,7 @@ object Bench {
         // a FAILED retry records -1 as the second measurement (not a
         // copy of the first) so it can't read as a confirming re-run
         val t2 = (System.nanoTime() - t0) / 1e9
-        if (gcEach) System.gc()
+        if (gcEach) sweepGc(spark)
         if (ok) {
           val adj = if (t > stallRatio * t2) t2 else t
           (name, adj, st, Some((t, t2)))
@@ -151,5 +151,23 @@ object Bench {
     println(s"""{"metric":"summary","value":$reported,"unit":"sec","n_queries":${adjudicated.size},"n_failed":${failed.size},"query_total_s":${num(total, 1)},"staging_total_s":${num(stagingTotal, 1)},"top10":$top10,"retried":$retriedShort,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Large-SF sweep hygiene (round 11): System.gc() alone lets
+    * localCheckpoint blocks from COMPLETED queries survive until the
+    * ContextCleaner notices their RDD objects are unreachable — on
+    * the sf10 spot sweep the accumulation OOMed the shared 32g JVM in
+    * the RETRY pass (qA3's retry died, and the executor's uncaught
+    * OOM handler stopped the context, taking every remaining retry
+    * with it). Explicitly unpersist all still-registered persistent
+    * RDDs first (non-blocking; completed queries never re-read them —
+    * cross-query fixtures are parquet on scratch, not cached RDDs),
+    * THEN nudge the collector: the sweep's heap footprint is bounded
+    * by one query's working set deterministically rather than by
+    * cleaner timing. */
+  private def sweepGc(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
   }
 }
