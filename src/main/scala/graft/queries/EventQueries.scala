@@ -2026,7 +2026,7 @@ object EventQueries {
     "q50_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n,
-           round(sum(value) * 100) / 100 AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2""",
 
     // batch twin over the source table — the streamed V2-sink bytes

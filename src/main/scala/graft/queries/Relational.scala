@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,10 +30,27 @@ import graft.io.Sources.table
   */
 object Relational {
 
-  /** Doubles are rounded before output on BOTH engines so that
-    * last-ulp differences from summation order can't flip the
-    * driver's hash compare. */
-  private val M = 2 // money scale
+  /** Per-row doubles are rounded before output on BOTH engines so
+    * that last-ulp differences can't flip the driver's hash compare.
+    * AGGREGATED money, though, is never `round(sum(double), 2)`
+    * anymore (round 11): a float fold is partition-order-dependent in
+    * its low bits — non-reproducible run-to-run on a real cluster —
+    * and the scale-2 round diverges between Spark (BigDecimal HALF_UP
+    * on the double's exact decimal expansion) and DuckDB
+    * (multiply-then-round, where the ×100 ulp can cross the .5)
+    * exactly when a sum lands on a .xx5 boundary — the jitter
+    * perturbation sweep produced such a sum for q04. Money sums now
+    * aggregate EXACT INTEGER CENTS (the [[cents]] helper; scale-0
+    * round of x·100 recovers exact cents identically in both engines
+    * for 2-decimal money) and apply ONE final division — exact below
+    * 2⁵³ cents, deterministic at any scale, no rounding discipline
+    * needed at all. */
+  private val M = 2 // money scale (per-row output rounding only)
+
+  /** Exact integer cents of a 2-decimal money double: x·100 sits
+    * within ~1e-7 of an integer for |x| ≤ 1e7, so the scale-0 round
+    * is exact and engine-agreed (it is round(x, 2) that diverges). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1-family: filtered scan -> partial+final hash aggregate.
@@ -44,10 +61,14 @@ object Relational {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), M).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), M).as("sum_disc_price"),
-          (round(avg("l_quantity") * 10000, 0) / 10000).as("avg_qty"),
-          (round(avg("l_discount") * 10000, 0) / 10000).as("avg_disc"),
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          // disc price in exact 10⁻⁴-dollar units: price_c·(100−disc_c)
+          (sum(cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("sum_disc_price"),
+          (sum(cents(col("l_quantity"))).cast("double")
+            / (count(lit(1)) * 100)).as("avg_qty"),
+          (sum(cents(col("l_discount"))).cast("double")
+            / (count(lit(1)) * 100)).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -76,7 +97,7 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region_name"))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum("c_acctbal"), M).as("sum_acctbal"))
+          (sum(cents(col("c_acctbal"))) / 100.0).as("sum_acctbal"))
     }),
 
     // Fact-fact shuffle join (sort-merge/shuffled-hash chosen by
@@ -86,7 +107,8 @@ object Relational {
       val l = table(s, dir, "lineitem")
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), M).as("revenue"),
+        .agg((sum(cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -96,7 +118,8 @@ object Relational {
       val l = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
       o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), M).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
     }),
 
     // Left-anti join (NOT EXISTS). Filtered right side so the result
@@ -114,12 +137,13 @@ object Relational {
     "q07_join_outer" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders")
-        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("tot"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("tot_c"))
       c.join(o, col("c_custkey") === col("o_custkey"), "left")
-        .na.fill(0, Seq("cnt", "tot"))
+        .na.fill(0, Seq("cnt", "tot_c"))
         .groupBy("c_mktsegment")
         .agg(sum("cnt").as("n_orders"),
-          round(sum("tot"), M).as("sum_price"),
+          (sum("tot_c") / 100.0).as("sum_price"),
           count(when(col("o_custkey").isNull, 1)).as("n_inactive"))
     }),
 
@@ -218,7 +242,8 @@ object Relational {
         .groupBy(year(col("o_orderdate")).as("o_year"),
           quarter(col("o_orderdate")).as("o_quarter"),
           month(col("o_orderdate")).as("o_month"))
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), M).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
     }),
 
     // Pivot (A6): group-by + spread month over columns, explicit value
@@ -227,7 +252,7 @@ object Relational {
       val piv = table(s, dir, "orders")
         .groupBy("o_orderpriority")
         .pivot(month(col("o_orderdate")), (1 to 12).map(m => m: Any))
-        .agg(round(sum("o_totalprice"), M))
+        .agg(sum(cents(col("o_totalprice"))) / 100.0)
         .na.fill(0.0)
       // rename numeric month columns to m1..m12 for stable naming
       (1 to 12).foldLeft(piv)((d, m) => d.withColumnRenamed(m.toString, s"m$m"))
@@ -238,7 +263,8 @@ object Relational {
     "q14_rollup" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), M).as("sum_qty"), grouping_id().as("gid"))
+        .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          grouping_id().as("gid"))
         .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
     }),
 
@@ -268,17 +294,22 @@ object Relational {
             .otherwise(lit("high")))
         .withColumn("seg", coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")))
         .groupBy("bal_band", "seg")
-        .agg(count(lit(1)).as("n"), (round(avg("c_acctbal") * 100, 0) / 100).as("avg_bal"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("c_acctbal"))).cast("double")
+            / (count(lit(1)) * 100)).as("avg_bal"))
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity) * 10000) / 10000 AS avg_qty,
-         round(avg(l_discount) * 10000) / 10000 AS avg_disc,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+         CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / (count(*) * 100) AS avg_qty,
+         CAST(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / (count(*) * 100) AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -293,7 +324,7 @@ object Relational {
 
     "q03_join_broadcast" ->
       """SELECT r_name AS region_name, count(*) AS n_customers,
-         round(sum(c_acctbal), 2) AS sum_acctbal
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -301,14 +332,15 @@ object Relational {
 
     "q04_join_shuffle" ->
       """SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
          count(*) AS n_lines
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority, year(o_orderdate)""",
 
     "q05_join_semi" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS sum_price
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
          FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity > 45)
@@ -323,11 +355,12 @@ object Relational {
          GROUP BY c_mktsegment""",
 
     "q07_join_outer" ->
-      """WITH o AS (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot
+      """WITH o AS (SELECT o_custkey, count(*) AS cnt,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot_c
                     FROM orders GROUP BY o_custkey)
          SELECT c_mktsegment,
          CAST(sum(COALESCE(cnt, 0)) AS BIGINT) AS n_orders,
-         round(sum(COALESCE(tot, 0)), 2) AS sum_price,
+         CAST(sum(COALESCE(tot_c, 0)) AS BIGINT) / 100.0 AS sum_price,
          count(*) FILTER (WHERE o.o_custkey IS NULL) AS n_inactive
          FROM customer LEFT JOIN o ON c_custkey = o.o_custkey
          GROUP BY c_mktsegment""",
@@ -394,12 +427,13 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          CAST(quarter(o_orderdate) AS INT) AS o_quarter,
          CAST(month(o_orderdate) AS INT) AS o_month,
-         count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
          FROM orders GROUP BY 1, 2, 3""",
 
     "q13_pivot_month" -> {
       val cols = (1 to 12).map(m =>
-        s"COALESCE(round(sum(o_totalprice) FILTER (WHERE month(o_orderdate) = $m), 2), 0.0) AS m$m")
+        s"COALESCE(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE month(o_orderdate) = $m) AS BIGINT) / 100.0, 0.0) AS m$m")
         .mkString(", ")
       s"SELECT o_orderpriority, $cols FROM orders GROUP BY o_orderpriority"
     },
@@ -407,7 +441,7 @@ object Relational {
     "q14_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
          COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
@@ -426,7 +460,9 @@ object Relational {
                      WHEN c_acctbal < 5000 THEN 'low'
                      ELSE 'high' END AS bal_band,
          COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
-         count(*) AS n, round(avg(c_acctbal) * 100) / 100 AS avg_bal
+         count(*) AS n,
+         CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / (count(*) * 100) AS avg_bal
          FROM customer GROUP BY 1, 2"""
   )
 }

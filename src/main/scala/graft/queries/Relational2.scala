@@ -238,7 +238,8 @@ object Relational2 {
         .join(broadcast(dim), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy("band", "event_type")
         .agg(count(lit(1)).as("n"),
-          (round(sum(col("value")) * 100) / 100).as("sum_value"))
+          // exact cents sum + one division (the q04 jitter class)
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
     }),
 
     // Salted two-phase aggregation (skew mitigation): exact integer
@@ -1485,7 +1486,7 @@ object Relational2 {
       """WITH dim(lo, hi, band) AS (
            VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1e9, 'high'))
          SELECT band, event_type, count(*) AS n,
-           round(sum(value) * 100) / 100 AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
          FROM events JOIN dim ON value >= lo AND value < hi
          GROUP BY band, event_type""",
 

@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** Tumbling-window aggregate: count + cent-rounded value sum per
-    * (window start, event_type). */
+  /** Tumbling-window aggregate: count + exact value sum per
+    * (window start, event_type). The sum aggregates exact integer
+    * cents (value is 2-decimal; scale-0 round of value·100 is exact
+    * and engine-agreed) with ONE final division — a float
+    * sum-then-round is partition-order-dependent at the .xx5
+    * boundary the jitter sweep forces (the q04 class). */
   def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (round(sum(col("value")) * 100, 0) / 100).as("sum_value"))
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
