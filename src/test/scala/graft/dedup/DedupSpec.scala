@@ -177,4 +177,40 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.toSeq === Seq((1L, 2L, 0.8)))
   }
+
+  test("jaccardPairs input contract: duplicate (bucket, id) rows MERGE into one document") {
+    // ADVICE r10: the df-pricing groupBy re-gathers each document
+    // from its exploded tokens, so two rows sharing (bucket, id)
+    // become ONE concatenated token multiset — the scaladoc'd
+    // uniqueness requirement. Pin the documented behavior so a future
+    // rewrite that silently changes it (back to row-per-document, or
+    // to an error) fails here and gets the contract re-decided
+    // deliberately. Doc 1 arrives split across two rows {a,b}+{c,d};
+    // doc 2 is {a,b,c,d}. Under the merge contract 1 ≡ 2 (J = 1.0);
+    // under row-per-document NO pair reaches J ≥ 0.8.
+    val df = Seq(
+      (1L, "b", Seq("a", "b")),
+      (1L, "b", Seq("c", "d")),
+      (2L, "b", Seq("a", "b", "c", "d"))
+    ).toDF("id", "bkt", "toks")
+    val pairs = Dedup.jaccardPairs(df, "id", "toks", "bkt", 0.8)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)),
+      "duplicate (bucket, id) rows must merge per the documented contract")
+  }
+
+  test("jaccardPairs drops empty token sets without affecting pairs") {
+    // scaladoc'd: empty sets can never generate prefix candidates and
+    // are excluded from `base` by the explode — output is as if the
+    // row were absent, and no null/zero-size artifact appears.
+    val df = Seq(
+      (1L, "b", Seq("a", "b", "c")),
+      (2L, "b", Seq("a", "b", "c")),
+      (3L, "b", Seq.empty[String])
+    ).toDF("id", "bkt", "toks")
+    val pairs = Dedup.jaccardPairs(df, "id", "toks", "bkt", 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
 }

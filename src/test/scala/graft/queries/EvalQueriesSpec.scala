@@ -186,6 +186,12 @@ class EvalQueriesSpec extends SparkSpec {
     assert(truthCounts.zip(truthCounts.tail).forall { case (a, b) => b <= a })
     val predCounts = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
     assert(predCounts.zip(predCounts.tail).forall { case (a, b) => b <= a })
+    // the sampled-n audit column (round 11): the deterministic doc
+    // sample is min(cap, |documents|) — exactly |documents| at this
+    // fixture (cap 8192 > corpus), so the full-truth twin semantics
+    // hold at the certified small SFs
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.forall(_.getAs[Long]("n_docs_sampled") == math.min(8192L, nDocs)))
   }
 
   test("q133: DiD cells partition events; SE is positive") {
