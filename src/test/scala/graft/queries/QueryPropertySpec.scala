@@ -601,4 +601,47 @@ class QueryPropertySpec extends SparkSpec {
           "sqrt damping must boost smaller domains more")
     }
   }
+
+  test("cents-sum algebra matches an independent float recomputation (q01/q04)") {
+    // Round-11 cross-form guard: the cents oracles are necessarily
+    // the SAME integer algebra as the Spark side, so a mis-scaled
+    // divisor (/1000 vs /10000) or a dropped (100 − disc_c) factor
+    // would hash GREEN on both engines. Recompute each output from
+    // the raw doubles the old float way and require agreement within
+    // float-fold slack: |cents_form − float_form| ≤ n·1e-9·scale.
+    val q01 = SparkEntry.queries("q01_agg_pricing")(spark, dir).collect()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("fref"),
+        sum("l_quantity").as("qref"), avg("l_discount").as("dref"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("fref"), r.getAs[Double]("qref"),
+          r.getAs[Double]("dref"), r.getAs[Long]("n"))).toMap
+    q01.foreach { r =>
+      val (fref, qref, dref, n) =
+        li((r.getString(0), r.getString(1)))
+      val slack = n.toDouble * 1e-6
+      assert(math.abs(r.getAs[Double]("sum_disc_price") - fref) <= slack,
+        s"q01 sum_disc_price drifted from the float recomputation: " +
+          s"${r.getAs[Double]("sum_disc_price")} vs $fref")
+      assert(math.abs(r.getAs[Double]("sum_qty") - qref) <= slack)
+      assert(math.abs(r.getAs[Double]("avg_disc") - dref) <= 1e-9)
+    }
+    val q04 = SparkEntry.queries("q04_join_shuffle")(spark, dir).collect()
+    val rev = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("y"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("fref"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Double]("fref"), r.getAs[Long]("n"))).toMap
+    q04.foreach { r =>
+      val (fref, n) = rev((r.getString(0), r.getAs[Int]("o_year")))
+      assert(math.abs(r.getAs[Double]("revenue") - fref) <= n.toDouble * 1e-6,
+        s"q04 revenue drifted from the float recomputation")
+    }
+  }
 }
