@@ -61,7 +61,8 @@ object OpBench {
       postingsPair(spark, sfDir),
       ckptStagedPair(spark, sfDir),
       ckptReliablePair(spark, sfDir),
-      saltedPageRankPair(spark, sfDir))
+      saltedPageRankPair(spark, sfDir),
+      sortedIntersectPair(spark, sfDir))
 
     comparisons.foreach { case (name, baseline, op) =>
       val b = median3(baseline())
@@ -265,6 +266,26 @@ object OpBench {
         .agg(sum("d")).collect(),
       () => e.select(ArrayDot(col("v"), col("v")).as("d"))
         .agg(sum("d")).collect())
+  }
+
+  /** The PPJoin verify's per-pair intersect (round 11): 500k
+    * synthetic pairs of ~60-element sorted long arrays with ~50%
+    * overlap — size(array_intersect(...)) (per-pair hash set + result
+    * array) vs the zero-allocation SortedIntersectSize merge. Arrays
+    * are generated sorted (sequence is ascending), mirroring the
+    * verify's per-document sort_array. */
+  private def sortedIntersectPair(s: SparkSession, dir: String) = {
+    def e = s.range(500000).select(col("id"),
+      transform(sequence(lit(0L), lit(59L)),
+        i => col("id") % 1000 + i * 7).as("a"),
+      transform(sequence(lit(0L), lit(59L)),
+        i => col("id") % 1000 + lit(210L) + i * 7).as("b"))
+    ("sorted_intersect_vs_array_intersect",
+      () => e.select(size(array_intersect(col("a"), col("b"))).as("n"))
+        .agg(sum("n")).collect(),
+      () => e.select(
+          graft.functions.SortedIntersectSize(col("a"), col("b")).as("n"))
+        .agg(sum("n")).collect())
   }
 
   /** Bloom membership probe over q84's corpus split (~450k probes at
