@@ -162,7 +162,13 @@ object Bench {
     * with it). Explicitly unpersist all still-registered persistent
     * RDDs first (non-blocking; completed queries never re-read them —
     * cross-query fixtures are parquet on scratch, not cached RDDs),
-    * THEN nudge the collector: the sweep's heap footprint is bounded
+    * THEN nudge the collector. INVARIANT this sweep relies on: any
+    * fixture shared ACROSS queries must be parquet-backed (Staging),
+    * never a cached/localCheckpoint'd RDD — unpersisting a
+    * localCheckpoint truncates lineage, so a cross-query RDD fixture
+    * would die here with missing-block errors instead of recomputing.
+    * Keep it that way when adding staging steps. Finally the
+    * collector is nudged: the sweep's heap footprint is bounded
     * by one query's working set deterministically rather than by
     * cleaner timing. */
   private def sweepGc(spark: SparkSession): Unit = {

@@ -57,9 +57,13 @@ object DiagQ44 {
       // out.count() re-runs the candidate join (cand is not pinned —
       // deliberate, the operator never pays a candidate
       // materialization), so the verify-side estimate is the delta
-      // only when positive; both raw walls are emitted
+      // only when positive; both raw walls are emitted. CAVEAT
+      // (field names say so): cand.count() has already warmed the
+      // pinned base checkpoint, so full_query_WARMBASE_s is a
+      // warm-base wall, not a cold run — the two walls are not
+      // independent and the candidate-build share can read low.
       val tOut = (System.nanoTime() - t1) / 1e9
-      println(f"""{"diag":"q44_cand_vs_survivors","sf_dir":"$dir","candidates":$nCand%d,"survivors":$nOut%d,"survivor_ratio":${nOut.toDouble / math.max(1L, nCand)}%.4f,"cand_count_s":$tCand%.1f,"full_query_s":$tOut%.1f}""")
+      println(f"""{"diag":"q44_cand_vs_survivors","sf_dir":"$dir","candidates":$nCand%d,"survivors":$nOut%d,"survivor_ratio":${nOut.toDouble / math.max(1L, nCand)}%.4f,"cand_count_s":$tCand%.1f,"full_query_warmbase_s":$tOut%.1f}""")
     }
     // warm JIT once with the small default path
     args.drop(1).foreach {

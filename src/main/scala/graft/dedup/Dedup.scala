@@ -317,8 +317,8 @@ object Dedup {
 
   /** Diagnostic twin of [[jaccardPairs]]: returns (candidates, out)
     * where `candidates` is the pair frame AFTER prefix + length +
-    * position pruning and the distinct, and `out` is the verified
-    * result built FROM that same frame. Exists so DiagQ44 can commit
+    * position pruning and the accumulated-positional group filter,
+    * and `out` is the verified result built FROM that same frame. Exists so DiagQ44 can commit
     * the candidates-generated vs pairs-surviving evidence (is the
     * residual sf10 cost candidate volume or verify work?) without
     * duplicating the operator. */
@@ -366,35 +366,69 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("d"), col("h")))).as("dh"))
       .select(col("bkt"), col("id"), size(col("dh")).as("sz"),
         transform(col("dh"), e => e.getField("h")).as("hs")))
-    // prefix length sz − ⌈(thrNum/thrDen)·sz⌉ + 1 ≥ the true
-    // sz − ⌈t·sz⌉ + 1
+    // Asymmetric prefixes (PPJoin's self-join probe/index split,
+    // Xiao et al. TODS 2011): order each pair by (size, id) — the
+    // SMALLER set probes, the larger indexes. If J(x,y) ≥ t with
+    // |x| ≤ |y|, the required overlap α = ⌈t/(1+t)(|x|+|y|)⌉ is
+    // ≥ ⌈2t/(1+t)·|x|⌉ (minimized at |y|=|x|) and ≥ ⌈t·|y|⌉ (via
+    // |x| ≥ t|y|), and the FIRST common token in the shared global
+    // order sits at 0-based position ≤ |s|−α in BOTH arrays — so it
+    // provably lands in x's SHORT probe prefix
+    // |x| − ⌈2t/(1+t)·|x|⌉ + 1 (≈11% of the set at t=0.8) and y's
+    // standard index prefix |y| − ⌈t·|y|⌉ + 1 (≈20%). Both ceilings
+    // are computed on thrNum/thrDen ≤ t, so both prefixes only
+    // lengthen — candidates stay a superset of the true pairs. The
+    // probe-side cut is the round-12 q44 lever: a pair is generated
+    // only when a shared token falls in the smaller set's first
+    // ~11%, roughly halving candidate volume vs the symmetric form.
     val plen = (col("sz")
       - expr(s"(${thrNum}L * CAST(sz AS BIGINT) + ${thrDen - 1}L) div ${thrDen}L")
       + 1).cast("int")
-    val pref = base.select(col("bkt"), col("id"), col("sz"),
-      posexplode(slice(col("hs"), lit(1), greatest(plen, lit(0)))).as(Seq("p", "t")))
-    val a = pref.select(col("bkt"), col("t"), col("id").as("id1"),
-      col("sz").as("sz1"), col("p").as("p1"))
-    val b = pref.select(col("bkt"), col("t"), col("id").as("id2"),
-      col("sz").as("sz2"), col("p").as("p2"))
-    // PPJoin-style exact pruning BEFORE the distinct shuffle:
-    //  - length: J ≥ t forces t·|s| ≤ |r| ≤ |s|/t (as
-    //    thrDen·|r| ≥ thrNum·|s|);
+    val plenProbe = (col("sz")
+      - expr(s"(2L * ${thrNum}L * CAST(sz AS BIGINT) + ${thrNum + thrDen - 1}L)" +
+        s" div ${thrNum + thrDen}L")
+      + 1).cast("int")
+    val a = base.select(col("bkt"), col("id").as("id1"), col("sz").as("sz1"),
+      posexplode(slice(col("hs"), lit(1), greatest(plenProbe, lit(0))))
+        .as(Seq("p1", "t")))
+    val b = base.select(col("bkt"), col("id").as("id2"), col("sz").as("sz2"),
+      posexplode(slice(col("hs"), lit(1), greatest(plen, lit(0))))
+        .as(Seq("p2", "t")))
+    // PPJoin-style exact pruning BEFORE the pair-grouping shuffle:
+    //  - size order: probe strictly smaller (ties by id) — each pair
+    //    generated once, in probe×index orientation only;
+    //  - length: J ≥ t forces t·|y| ≤ |x| (as thrDen·|x| ≥ thrNum·|y|);
     //  - position: a match at (0-based) prefix positions p1/p2 bounds
     //    the overlap by min(remaining tokens) — must still reach the
-    //    required α = ⌈t/(1+t)·(|r|+|s|)⌉, relaxed to
+    //    required α = ⌈t/(1+t)·(|x|+|y|)⌉, relaxed to
     //    thrNum/(thrNum+thrDen).
     // shuffled-hash beats sort-merge here: residual high-multiplicity
     // keys make the sort phase pure overhead
     val alpha = expr(
       s"(${thrNum}L * (CAST(sz1 AS BIGINT) + sz2) + ${thrNum + thrDen - 1}L)" +
         s" div ${thrNum + thrDen}L")
+    // Accumulated positional filter (rides the dedup shuffle the old
+    // .distinct() paid anyway): per surviving pair, c = matched
+    // prefix tokens, (p1m, p2m) = positions of the LAST match. The
+    // global order makes every uncounted common token sit strictly
+    // after (p1m, p2m) in both arrays — any earlier common token
+    // would be inside both prefixes (counted) or row-filtered only
+    // at deeper positions than a survivor (contradiction) — so
+    // overlap ≤ c + min(sz1−1−p1m, sz2−1−p2m) is exact, and pairs
+    // whose bound misses α never reach the verify join at all.
     val cand = a.join(b.hint("shuffle_hash"), Seq("bkt", "t"))
-      .filter(col("id1") < col("id2"))
-      .filter(col("sz1") * thrDen >= col("sz2") * thrNum &&
-        col("sz2") * thrDen >= col("sz1") * thrNum)
+      .filter(col("sz1") < col("sz2") ||
+        (col("sz1") === col("sz2") && col("id1") < col("id2")))
+      .filter(col("sz1") * thrDen >= col("sz2") * thrNum)
       .filter(least(col("sz1") - col("p1"), col("sz2") - col("p2")) >= alpha)
-      .select("bkt", "id1", "id2").distinct()
+      .groupBy("bkt", "id1", "id2")
+      .agg(first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"),
+        count(lit(1)).as("c"),
+        max(col("p1")).as("p1m"), max(col("p2")).as("p2m"))
+      .filter(col("c") + least(col("sz1") - 1 - col("p1m"),
+        col("sz2") - 1 - col("p2m")) >= alpha)
+      .select(col("bkt"), least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
     // verify pass: 1:1 joins on id (no explosion), exact set intersect.
     //
     // Join STRATEGY matters more than it looks at scale: as two

@@ -87,9 +87,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 }
 
 object SortedIntersectSize {
-  /** Column wrapper; inputs must be array<long> (the md5Long token
-    * hashes) already ascending-sorted. */
+  /** Column wrapper; inputs must be ascending-sorted arrays of
+    * integers. Both sides are cast to array<bigint> here — a no-op
+    * for the md5Long arrays, but without it an array<int> input
+    * would be read through ArrayData.getLong as garbage with no
+    * error (the same reason ArrayDot.apply casts to array<double>). */
   def apply(a: Column, b: Column): Column =
     GraftShims.column(new SortedIntersectSize(
-      GraftShims.expression(a), GraftShims.expression(b)))
+      GraftShims.expression(a.cast("array<bigint>")),
+      GraftShims.expression(b.cast("array<bigint>"))))
 }

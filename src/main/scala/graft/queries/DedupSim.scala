@@ -37,6 +37,18 @@ object DedupSim {
     * every pair — see the q132 comment for the estimator contract. */
   private val CalibSampleDocs = 8192
 
+  /** qB4's stopword-dimension cut: 3-gram dims with document
+    * frequency above this never enter the pair build (bounding the
+    * quadratic Σ C(df,2) candidate term at C(cap,2) per dim), and the
+    * cosine is computed in the surviving subspace. The value is
+    * EVIDENCE-SET by DiagB4's recall/cost sweep on the md5-sampled
+    * exact cosine (DIAG_B4.json, round 12): at sf1, cap 50 kept only
+    * 65% of true cos≥0.5 pairs (lost pairs up to cos 0.76); raising
+    * the cap trades bounded extra pair volume for measured recall.
+    * The oracle SQL interpolates the same constant — change them
+    * together and re-certify qB4 at sf0.01/sf0.1/sf1. */
+  private[graft] val QB4DfCap = 200
+
   /** The candidate-edge build (shingle → minhash → LSH band join)
     * shared VERBATIM by q74 and qA1 — at 100 TB this edge list is
     * computed once and consumed by every downstream dedup job
@@ -647,10 +659,15 @@ object DedupSim {
     // only from shared dims (never all-pairs), and high-df dims are
     // pruned before the pair build (the stopword-dimension cut —
     // candidate work is Σ C(df,2), so the df cap bounds the quadratic
-    // term; at this corpus's vocabulary the cap never binds, but at
-    // 100 TB it is what keeps the index join linear). Exact:
-    // dot/norms are integer sums; cos is one cast + sqrt + divide.
+    // term; it never binds at sf0.1 and below, and at 100 TB it is
+    // what keeps the index join linear). Cap value: see QB4DfCap —
+    // evidence-set by DiagB4's sampled exact-recall sweep. Exact
+    // within the subspace: dot/norms are integer sums; cos is one
+    // cast + sqrt + divide.
     "qB4_sparse_cosine" -> ((s, dir) => {
+      // df cap: conf override is for DiagB4's recall/cost sweep only —
+      // production (and the oracle) use QB4DfCap
+      val dfCap = s.conf.get("graft.qB4.dfCap", QB4DfCap.toString).toInt
       val tf = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("g"))
@@ -660,12 +677,12 @@ object DedupSim {
       // IN-TASK from the doc-sorted array (doc_id is distinct per
       // dim, so struct order == doc order) — the q11B/qDB pair-
       // explode shape replacing the postings self-join's double
-      // sort-merge of the same stream. The cap (≤50) bounds the
-      // in-task blow-up at C(50,2) per dim regardless of corpus size.
+      // sort-merge of the same stream. The cap bounds the in-task
+      // blow-up at C(dfCap,2) per dim regardless of corpus size.
       val posting = tf.groupBy("g")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("dt"))
-        .where(size(col("dt")) <= 50)
+        .where(size(col("dt")) <= dfCap)
       val pruned = posting
         .select(explode(col("dt")).as("e"))
         .select(col("e.doc_id").as("doc_id"), col("e.tf").as("tf"))
@@ -1758,7 +1775,7 @@ object DedupSim {
           FROM ev JOIN tr USING (band, band_key)""",
 
     "qB4_sparse_cosine" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          s AS (
            SELECT doc_id, u.g AS g
@@ -1773,7 +1790,7 @@ object DedupSim {
            SELECT doc_id, g, tf FROM (
              SELECT doc_id, g, tf,
                count(*) OVER (PARTITION BY g) AS df FROM tf)
-           WHERE df <= 50),
+           WHERE df <= $QB4DfCap),
          norms AS (
            SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
            FROM pruned GROUP BY doc_id),

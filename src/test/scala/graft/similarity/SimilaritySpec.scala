@@ -45,6 +45,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"IVF probe-set NN recall degraded: $recall%.3f")
   }
 
+  test("ivfBatchTopK == per-query ivfTopK at the same config; == brute force at full probes") {
+    val dims = 16
+    val vecs = (0L until 200L).map { id =>
+      val cl = (id % 8).toInt
+      val v = (0 until dims).map { d =>
+        val base = if (d % 8 == cl) 10.0f else 0.0f
+        base + 0.1f * (((id * 31 + d * 7) % 11).toFloat - 5.0f)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val nQ = 4; val k = 5
+
+    val (cents, assigned) =
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", kCentroids = 16)
+    val batch = Similarity.ivfBatchTopK(cents, assigned, nQ, nProbe = 4, topK = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. the amortized form answers exactly what the per-query form
+    //    answers (same quantizer, probes, tie-breaks)
+    val perQuery = (0L until nQ).flatMap { qid =>
+      Similarity.ivfTopK(vecs, "vec_id", "embedding", qid,
+        kCentroids = 16, nProbe = 4, topK = k)
+        .collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    assert(batch === perQuery,
+      s"batch/per-query IVF diverged: ${batch.diff(perQuery)} vs ${perQuery.diff(batch)}")
+    // 2. with nProbe = kCentroids every cell is probed, so the batch
+    //    form degenerates to exact brute force
+    val full = Similarity.ivfBatchTopK(cents, assigned, nQ, nProbe = 16, topK = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (0L until nQ).flatMap { qid =>
+      Similarity.bruteForceTopKById(vecs, "vec_id", "embedding", qid, k)
+        .collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    assert(full === brute,
+      s"full-probe batch IVF != brute force: ${full.diff(brute)} vs ${brute.diff(full)}")
+  }
+
   test("trained centroids: recall >= first-k at equal probe budget on a skewed-id corpus") {
     val dims = 16
     // BLOCK-ordered ids: the first 25 ids are all cluster 0, so the

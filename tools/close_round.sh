@@ -1,0 +1,145 @@
+#!/usr/bin/env bash
+# One-command round-close certification gate (VERDICT r11 item 6).
+#
+# Runs the certification recipe BASELINE.md previously described in
+# prose, leaving a committed-quality transcript per step under
+# tmp/close_<tag>/. Every step's artifact is the evidence: the
+# summary printed at the end is assembled only from those files.
+#
+# Usage: tools/close_round.sh <tag> [steps]
+#   tag    e.g. r12 — names the transcript dir tmp/close_<tag>/
+#   steps  comma list, default "test,oracle001,shuffle,jitter,bench,plans"
+#          test      sbt -batch test                       (suite green)
+#          oracle001 Verify + check_oracles at sf0.01      (PASS N/0)
+#          shuffle   row-shuffled sf0.01 copy sweep        (PASS N/0)
+#          jitter    boundary-jittered copies, seeds 42+7  (PASS N/0 ×2)
+#          sf1       Verify + check_oracles at tmp/sf1     (SLOW: ~80 min)
+#          bench     graft.Bench ×2 at sf0.1               (2 JSON lines)
+#          plans     PlanAudit regen + git diff check      (0 drift)
+#
+# sf1 is NOT in the default list (it dominates wall time); the full
+# close is: tools/close_round.sh r12 test,oracle001,shuffle,jitter,sf1,bench,plans
+#
+# Exit code: 0 only if every selected step passed.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+TAG="${1:?usage: tools/close_round.sh <tag> [steps]}"
+STEPS="${2:-test,oracle001,shuffle,jitter,bench,plans}"
+OUT="tmp/close_${TAG}"
+mkdir -p "$OUT"
+FAIL=0
+SUMMARY=()
+
+has_step() { [[ ",$STEPS," == *",$1,"* ]]; }
+
+note() { echo "[close_round] $*"; }
+
+check_oracle_log() { # <log> <label>  — expects a "PASS n / FAIL 0" tail
+  local log="$1" label="$2"
+  local line
+  line=$(grep -E "^PASS [0-9]+ / FAIL [0-9]+" "$log" | tail -1)
+  if [[ "$line" =~ FAIL\ 0 ]] && [[ -n "$line" ]]; then
+    SUMMARY+=("$label: $line")
+  else
+    SUMMARY+=("$label: FAILED (${line:-no PASS line}) — see $log")
+    FAIL=1
+  fi
+}
+
+if has_step test; then
+  note "sbt test…"
+  sbt -batch test >"$OUT/test.log" 2>&1
+  line=$(grep -E "^\[info\] Tests: " "$OUT/test.log" | tail -1)
+  if grep -q "All tests passed." "$OUT/test.log"; then
+    SUMMARY+=("test: ${line#\[info\] }")
+  else
+    SUMMARY+=("test: FAILED — see $OUT/test.log"); FAIL=1
+  fi
+fi
+
+if has_step oracle001; then
+  note "Verify + oracles at sf0.01…"
+  tools/run_main.sh graft.Verify /root/testdata/sf0.01 "$OUT/v001" \
+    >"$OUT/verify001.log" 2>&1
+  python3 tools/check_oracles.py "$OUT/v001" /root/testdata/sf0.01 \
+    >"$OUT/oracle001.log" 2>&1
+  check_oracle_log "$OUT/oracle001.log" "oracle sf0.01"
+fi
+
+if has_step shuffle; then
+  note "shuffle sweep…"
+  rm -rf /dev/shm/close_shuf
+  python3 tools/perturb_testdata.py /root/testdata/sf0.01 \
+    /dev/shm/close_shuf shuffle 42 >"$OUT/perturb_shuf.log" 2>&1
+  tools/run_main.sh graft.Verify /dev/shm/close_shuf "$OUT/vshuf" \
+    >"$OUT/verify_shuf.log" 2>&1
+  python3 tools/check_oracles.py "$OUT/vshuf" /dev/shm/close_shuf \
+    >"$OUT/oracle_shuf.log" 2>&1
+  check_oracle_log "$OUT/oracle_shuf.log" "shuffle sweep"
+fi
+
+if has_step jitter; then
+  for seed in 42 7; do
+    note "jitter sweep (seed $seed)…"
+    rm -rf "/dev/shm/close_jit$seed"
+    python3 tools/perturb_testdata.py /root/testdata/sf0.01 \
+      "/dev/shm/close_jit$seed" jitter "$seed" \
+      >"$OUT/perturb_jit$seed.log" 2>&1
+    tools/run_main.sh graft.Verify "/dev/shm/close_jit$seed" \
+      "$OUT/vjit$seed" >"$OUT/verify_jit$seed.log" 2>&1
+    python3 tools/check_oracles.py "$OUT/vjit$seed" \
+      "/dev/shm/close_jit$seed" >"$OUT/oracle_jit$seed.log" 2>&1
+    check_oracle_log "$OUT/oracle_jit$seed.log" "jitter seed $seed"
+  done
+fi
+
+if has_step sf1; then
+  note "Verify + oracles at sf1 (slow)…"
+  if [[ -d tmp/sf1 ]]; then
+    tools/run_main.sh graft.Verify tmp/sf1 "$OUT/vsf1" \
+      >"$OUT/verify_sf1.log" 2>&1
+    python3 tools/check_oracles.py "$OUT/vsf1" tmp/sf1 \
+      >"$OUT/oracle_sf1.log" 2>&1
+    check_oracle_log "$OUT/oracle_sf1.log" "oracle sf1"
+  else
+    SUMMARY+=("oracle sf1: SKIPPED — tmp/sf1 missing (run graft.Datagen)")
+    FAIL=1
+  fi
+fi
+
+if has_step bench; then
+  for i in 1 2; do
+    note "bench run $i at sf0.1…"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      tools/run_main.sh graft.Bench >"$OUT/bench$i.log" 2>&1
+    line=$(grep -F '"metric":"total"' "$OUT/bench$i.log" | tail -1)
+    if [[ -n "$line" ]] && [[ "$line" == *'"failed":[]'* ]]; then
+      total=$(python3 -c "import json,sys;d=json.loads(sys.argv[1]);print(f'{d[\"value\"]:.1f} s / {len(d[\"queries\"])}q / 0 failed')" "$line")
+      SUMMARY+=("bench run $i: $total")
+      cp "$OUT/bench$i.log" "$OUT/bench$i.raw.log"
+      echo "$line" >"$OUT/bench$i.json"
+    else
+      SUMMARY+=("bench run $i: FAILED — see $OUT/bench$i.log"); FAIL=1
+    fi
+  done
+fi
+
+if has_step plans; then
+  note "PlanAudit regen…"
+  tools/run_main.sh graft.PlanAudit /root/testdata/sf0.01 PLANS.md \
+    >"$OUT/plans.log" 2>&1
+  if git diff --quiet -- PLANS.md; then
+    SUMMARY+=("plans: PLANS.md byte-identical (no plan drift)")
+  else
+    n=$(git diff --numstat -- PLANS.md | awk '{print $1 "+" $2}')
+    SUMMARY+=("plans: PLANS.md CHANGED ($n lines) — review git diff PLANS.md before committing")
+    # drift is a review item, not automatically a failure
+  fi
+fi
+
+echo
+echo "=== close_round $TAG summary ==="
+for s in "${SUMMARY[@]}"; do echo "  $s"; done
+echo "transcripts: $OUT/"
+exit $FAIL
