@@ -16,14 +16,28 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sf1+/sf10 sweep hygiene (same discipline as Bench's GC_EACH):
+    // without it, localCheckpoint blocks from completed queries
+    // accumulate across the 274-query run and OOM the shared JVM
+    val gcEach = sys.env.get("SPARK_GRAFT_GC_EACH").contains("1")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both write the single file
+      // the driver's gate reads, but coalesce(1) merges the query's
+      // whole final stage into one task — at sf10 that would run
+      // e.g. q44's 100M-candidate verify single-threaded. The
+      // repartition shuffle moves only the RESULT rows.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      if (gcEach) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
