@@ -49,6 +49,23 @@ object DedupSim {
     * together and re-certify qB4 at sf0.01/sf0.1/sf1. */
   private[graft] val QB4DfCap = 200
 
+  /** Round-12 sf10-oracle discipline for the embedding queries whose
+    * TRUTH side is quadratic in the corpus (10 fixed labels / 16
+    * fixed IVF cells ⇒ bucket sizes grow linearly, pair volume
+    * quadratically: ~4e9 label pairs, ~1e10 probe pairs at sf10 —
+    * infeasible for the DuckDB gate and needlessly heavy in Spark).
+    * Same shape as q132's CalibSampleDocs: the QUERY side (vectors
+    * seeking neighbors / pair endpoints) is bounded to the N vectors
+    * with the smallest (md5(vec_id), vec_id) — deterministic,
+    * partition-invariant, engine-reproducible — while the INDEX /
+    * candidate side stays the full corpus where the contract needs
+    * it (q45/q55). Caps exceed the corpus at sf0.01/sf0.1 (2,000
+    * vectors), so certified small-SF results are byte-identical;
+    * they bind at sf1+. The unbounded operators remain available
+    * (Similarity.ivfNNAll default, Dedup.embeddingDupPairs). */
+  private[graft] val NnQueryCap = 2048
+  private[graft] val DupSampleCap = 4096
+
   /** The candidate-edge build (shingle → minhash → LSH band join)
     * shared VERBATIM by q74 and qA1 — at 100 TB this edge list is
     * computed once and consumed by every downstream dedup job
@@ -461,16 +478,32 @@ object DedupSim {
     // threshold, zero-norm vectors excluded. `label` is the bucket
     // here; at scale the bucket is lshBucket/IVF cells — same
     // operator, different bucket column.
-    "q58_embedding_dup" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(table(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", 0.35)),
+    "q58_embedding_dup" -> ((s, dir) => {
+      // both endpoints bounded to the DupSampleCap md5 sample (see
+      // the constant's comment): a near-dup RATE audit on a bounded
+      // subcorpus — exact all-pairs within the sample
+      val raw = table(s, dir, "embeddings")
+      val samp = raw
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("vec_id")).limit(DupSampleCap)
+        .select("vec_id")
+      Dedup.embeddingDupPairs(raw.join(broadcast(samp), Seq("vec_id")),
+        "vec_id", "embedding", "label", 0.35)
+    }),
 
-    // Embedding nearest neighbor within label (cosine argmax).
+    // Embedding nearest neighbor within label (cosine argmax). The
+    // QUERY side is the NnQueryCap md5 sample (constant's comment);
+    // the candidate side is every vector in the label.
     "q45_embedding_nn" -> ((s, dir) => {
       // norms are computed once per vector BEFORE the pair join
       // (bit-identical per-vector values; 100× fewer folds than
       // per-pair norm computation)
-      val e = table(s, dir, "embeddings")
+      val raw = table(s, dir, "embeddings")
+      val qs = raw
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("vec_id")).limit(NnQueryCap)
+        .select("vec_id")
+      val e = raw
         .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", Similarity.norm2(col("v")))
         // zero-norm guard (the house rule every sibling cosine query
@@ -478,7 +511,8 @@ object DedupSim {
         // become EVERY vector's reported nearest neighbor — on both
         // engines, so the oracle gate could never catch it
         .filter(col("nrm") > 0)
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val a = e.join(broadcast(qs), Seq("vec_id"))
+        .select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       val pairs = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
         .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -488,11 +522,19 @@ object DedupSim {
         .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"), col("cos"))
     }),
 
-    // All-vectors NN through IVF cells — the scale path for q45's
-    // corpus-wide NN shape (every shuffle linear, nothing quadratic).
+    // NN through IVF cells — q45's scale shape: index side = full
+    // corpus (assignment is linear), query side = the NnQueryCap md5
+    // sample (fixed 16 cells make the probed-members volume quadratic
+    // if every vector queries — see the constant's comment). The
+    // unbounded form stays available as Similarity.ivfNNAll's default.
     "q55_ivf_nn_all" -> ((s, dir) => {
-      Similarity.ivfNNAll(table(s, dir, "embeddings"), "vec_id", "embedding",
-        kCentroids = 16, nProbe = 4)
+      val raw = table(s, dir, "embeddings")
+      val qs = raw
+        .select(col("vec_id").as("id"), md5(col("vec_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("id")).limit(NnQueryCap)
+        .select("id")
+      Similarity.ivfNNAll(raw, "vec_id", "embedding",
+        kCentroids = 16, nProbe = 4, queryIds = Some(qs))
     }),
 
     // Brute-force cosine top-20 against the vec_id=0 query vector.
@@ -1388,10 +1430,14 @@ object DedupSim {
     // same dot/norm fold shapes as q45/q55 (bit-exact parity proven
     // by those oracles); the nrm > 0 guard mirrors the NaN exclusion
     "q58_embedding_dup" ->
-      """WITH e AS (
+      s"""WITH samp AS (
+           SELECT vec_id FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT $DupSampleCap),
+         e AS (
            SELECT label AS bkt, vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+           FROM embeddings JOIN samp USING (vec_id)),
          f AS (
            SELECT * FROM (
              SELECT bkt, id, v,
@@ -1406,7 +1452,11 @@ object DedupSim {
          SELECT bkt, id1, id2, cos FROM p WHERE cos >= 0.35""",
 
     "q45_embedding_nn" ->
-      """WITH e0 AS (
+      s"""WITH qs AS (
+           SELECT vec_id FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT $NnQueryCap),
+         e0 AS (
            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          -- zero-norm guard mirrors the engine
@@ -1417,7 +1467,8 @@ object DedupSim {
              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
               sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+           FROM e a JOIN qs ON a.vec_id = qs.vec_id
+           JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
          SELECT id_a AS vec_id, id_b AS nn_id, cos FROM (
            SELECT id_a, id_b, cos,
              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
@@ -1427,7 +1478,11 @@ object DedupSim {
     // same probe-set-NN contract, mirrored: argmin cell assignment,
     // per-query 4-cell probing, cosine argmax over probed members
     "q55_ivf_nn_all" ->
-      """WITH e AS (
+      s"""WITH qs AS (
+           SELECT vec_id AS id FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT $NnQueryCap),
+         e AS (
            SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          en AS (
@@ -1452,7 +1507,7 @@ object DedupSim {
            SELECT id AS qid, cid AS cell, v AS qv, nrm AS qn FROM (
              SELECT id, cid, v, nrm,
                row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
-             FROM d2s) t
+             FROM d2s JOIN qs USING (id)) t
            WHERE rn <= 4),
          cand AS (
            SELECT p.qid, a.nn_id,

@@ -23,6 +23,20 @@ import graft.io.Sources.table
   */
 object EvalQueries {
 
+  /** q130's probe-set cap (round 12): the %25 probe rule makes the
+    * probe COUNT grow with the corpus, so probes×corpus pair volume
+    * is quadratic — ~6 min Spark-side and an infeasible DuckDB truth
+    * side at sf10. The q132 discipline bounds it: among the %25
+    * probes, keep the EvalProbeCap with the smallest
+    * (md5(vec_id), vec_id) — deterministic, partition-invariant,
+    * engine-reproducible. The cap exceeds the probe population at
+    * sf0.01/sf0.1/sf1 (80/800 probes), so certified small-SF results
+    * are byte-identical; it binds at sf10+ where it turns the eval
+    * linear in the corpus. A recall ESTIMATE over a 1024-probe md5
+    * sample is statistically the same eval — no embedding-storage
+    * decision changes on the tail probes. */
+  private val EvalProbeCap = 1024
+
   /** md5-derived uniform in [0, 2^52) as a BIGINT — the q118 synthetic
     * randomness convention (13 hex chars = 52 bits, exact in a double). */
   private def md5Bits(c: Column): Column =
@@ -632,6 +646,10 @@ object EvalQueries {
         .select(col("vec_id"), graft.similarity.Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("v16", slice(col("v"), 1, 16))
       val probes = e.filter(col("vec_id") % 25 === 0)
+        // EvalProbeCap: md5-ranked bounded probe sample (see the
+        // constant's comment) — byte-identical below sf10
+        .withColumn("mk", md5(col("vec_id").cast("string")))
+        .orderBy(col("mk"), col("vec_id")).limit(EvalProbeCap)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("v16").as("qv16"))
       val pairs = probes.join(e.filter(col("vec_id") % 25 =!= 0), lit(true))
       def topk(scoreCol: Column, tag: String) = pairs
@@ -1335,14 +1353,16 @@ object EvalQueries {
          FROM d""",
 
     "q130_matryoshka_recall" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v16
            FROM embeddings),
          probes AS (
            SELECT vec_id AS q, v AS qv, v16 AS qv16 FROM e
-           WHERE vec_id % 25 = 0),
+           WHERE vec_id % 25 = 0
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT $EvalProbeCap),
          cands AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
          full_k AS (
            SELECT q, vec_id AS d_full FROM (

@@ -248,7 +248,8 @@ object Similarity {
     * every shuffle is linear in the corpus, nothing quadratic. */
   def ivfNNAll(corpus: DataFrame, idCol: String, vecCol: String,
                kCentroids: Int = 16, nProbe: Int = 4,
-               trainIters: Int = 0): DataFrame = {
+               trainIters: Int = 0,
+               queryIds: Option[DataFrame] = None): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
       // zero-norm vectors make cos NaN (which Spark sorts ABOVE all
@@ -261,9 +262,15 @@ object Similarity {
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
         first(col("v")).as("nv"), first(col("nrm")).as("nn"))
       .select(col("id").as("nn_id"), col("cell"), col("nv"), col("nn"))
+    // queryIds: optional bounded query side (a one-column "id"
+    // frame) — the INDEX side above always covers the full corpus;
+    // with a fixed kCentroids, an all-vectors query side makes the
+    // probed-member volume quadratic, so large-scale evals bound it
+    val qSide = queryIds.fold(withD2)(q =>
+      withD2.join(broadcast(q), Seq("id")))
     // nProbe nearest cells per query vector via ONE hash aggregation
     // (sort_array over kCentroids structs) — no sort-based window
-    val probes = withD2.groupBy("id")
+    val probes = qSide.groupBy("id")
       .agg(slice(array_sort(collect_list(struct(col("d2"), col("cid")))),
           1, nProbe).as("pc"),
         first(col("v")).as("qv"), first(col("nrm")).as("qn"))
