@@ -1539,23 +1539,29 @@ object DedupSim {
     // (qdot DESC, nn_id ASC) tiebreak
     "qCA_int8_ann" ->
       """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         m AS (SELECT max(abs(u.x)) AS m FROM (SELECT unnest(v) AS x FROM e) u),
+           SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+           FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings) t0),
          c AS (
-           SELECT vec_id,
-             list_transform(v, x -> CAST(floor((x * 127.0) / m.m + 0.5) AS BIGINT)) AS codes
-           FROM e, m),
+           SELECT vec_id, m,
+             list_transform(v, x -> CAST(floor((x * 127.0) / m + 0.5) AS BIGINT)) AS codes
+           FROM e WHERE m > 0),
          p AS (
            SELECT q.vec_id AS qid, c.vec_id AS nn_id,
              CAST(list_sum(list_transform(list_zip(q.codes, c.codes),
-               z -> z[1] * z[2])) AS BIGINT) AS qdot
+               z -> z[1] * z[2])) AS BIGINT) AS qdot,
+             q.m AS mq, c.m AS mc
            FROM c q, c
            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
-         SELECT qid, nn_id, qdot, CAST(rn AS INTEGER) AS rn
-         FROM (SELECT qid, nn_id, qdot,
+         SELECT qid, nn_id, qdot,
+           CAST(qdot AS DOUBLE) * mq * mc / 16129.0 AS score,
+           CAST(rn AS INTEGER) AS rn
+         FROM (SELECT qid, nn_id, qdot, mq, mc,
                  row_number() OVER (PARTITION BY qid
-                   ORDER BY qdot DESC, nn_id ASC) AS rn
+                   ORDER BY CAST(qdot AS DOUBLE) * mq * mc / 16129.0 DESC,
+                     nn_id ASC) AS rn
                FROM p) t
          WHERE rn <= 5""",
 

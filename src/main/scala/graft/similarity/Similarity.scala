@@ -287,14 +287,21 @@ object Similarity {
   }
 
   /** Int8 scalar quantization + integer-dot ANN — the embedding-store
-    * COMPRESSION path: one global symmetric scale M = max |x| over the
-    * corpus, code_i = floor(x_i·127/M + 0.5) ∈ [-127, 127]
-    * (round-to-nearest — see the inline note), similarity =
-    * the exact INTEGER dot of code vectors (≈ dot(x,y)·(127/M)², a
-    * monotone-enough proxy — SimilaritySpec pins recall@k vs the
-    * exact-double-dot ranking). Every arithmetic step is either an
-    * order-independent aggregate (max) or exact integer math, so a
-    * DuckDB oracle reproduces the ranking bit-for-bit.
+    * COMPRESSION path: PER-VECTOR symmetric scale m_v = max |x_i|
+    * within the vector, code_i = floor(x_i·127/m_v + 0.5) ∈
+    * [-127, 127] (round-to-nearest — see the inline note), similarity
+    * = the exact INTEGER dot of code vectors rescaled by the exact
+    * float product qdot·m_q·m_c/127² ≈ dot(x,y) (SimilaritySpec pins
+    * recall@k vs the exact-double-dot ranking). The scale is
+    * per-vector, not corpus-global, for a measured reason: with one
+    * global M = max |x| over the corpus, a single stretched outlier
+    * vector quantizes everyone else into a handful of levels —
+    * AnnEval measured recall@10 collapsing 0.975 (sf1) → 0.113 (sf10)
+    * on the replica fixture's wider value range; per-vector scaling
+    * confines an outlier's damage to its own vector. Every arithmetic
+    * step is exact (max comparison, integer dot in double range,
+    * one fixed-order float product), so a DuckDB oracle reproduces
+    * the ranking bit-for-bit.
     *
     * Scale: int8 codes are 4× smaller than float32 — at 100 TB of
     * embeddings that is the difference between a corpus that fits in
@@ -313,10 +320,12 @@ object Similarity {
                nQueries: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val scale = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .agg(max(abs(col("x"))).as("m"))
-    val coded = e.crossJoin(broadcast(scale))
-      .select(col("id"),
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      // a zero vector has no scale (and a NaN-free ranking needs it
+      // out of both sides — the q45 house rule)
+      .filter(col("m") > 0)
+    val coded = e
+      .select(col("id"), col("m"),
         // round-to-nearest via floor(y + 0.5): UNBIASED per-element
         // error (plain floor's systematic −0.5 shift injects a cross
         // term that swamps the small dot margins of near-orthogonal
@@ -325,15 +334,21 @@ object Similarity {
         transform(col("v"),
           x => floor((x * lit(127.0)) / col("m") + lit(0.5)).cast("double")).as("codes"))
     val q = coded.filter(col("id") < nQueries)
-      .select(col("id").as("qid"), col("codes").as("qc"))
+      .select(col("id").as("qid"), col("m").as("mq"), col("codes").as("qc"))
     coded.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nn_id"),
-        dot(col("qc"), col("codes")).cast("long").as("qdot"))
+        dot(col("qc"), col("codes")).cast("long").as("qdot"),
+        col("mq"), col("m"))
+      // exact dequantized score, ONE fixed op order both engines
+      // reproduce: ((qdot·mq)·mc)/127²
+      .withColumn("score",
+        col("qdot").cast("double") * col("mq") * col("m") / lit(16129.0))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid")
-          .orderBy(col("qdot").desc, col("nn_id").asc)))
+          .orderBy(col("score").desc, col("nn_id").asc)))
       .filter(col("rn") <= k)
+      .select("qid", "nn_id", "qdot", "score", "rn")
   }
 
   /** Deterministic pseudo-random hyperplane weight: md5 of the
