@@ -1561,14 +1561,21 @@ object EvalQueries {
            FROM seq WHERE j IS NOT NULL GROUP BY i, j),
          rowtot AS (
            SELECT i, CAST(sum(t_ij) AS BIGINT) AS r_i FROM trans GROUP BY i),
+         -- HUGEINT numerators (sf10 catch, round 12): t_ij·t_jp·1e9
+         -- overflows INT64 once per-cell transition products reach
+         -- ~9.2e9 — the Spark side has used DECIMAL(38,0) since v16,
+         -- the oracle must widen identically; each floor-divided
+         -- term is back under 1e9 so the outputs are unchanged
          onestep AS (
-           SELECT t.i, t.t_ij * 1000000000 // r.r_i AS p1_fp
+           SELECT t.i,
+             CAST(CAST(t.t_ij AS HUGEINT) * 1000000000 // r.r_i AS BIGINT)
+               AS p1_fp
            FROM trans t JOIN rowtot r ON t.i = r.i
            WHERE t.j = 'purchase'),
          twostep AS (
            SELECT t.i,
-             CAST(sum(t.t_ij * p.t_ij * 1000000000
-               // (ri.r_i * rj.r_i)) AS BIGINT) AS p2_fp
+             CAST(sum(CAST(t.t_ij AS HUGEINT) * p.t_ij * 1000000000
+               // (CAST(ri.r_i AS HUGEINT) * rj.r_i)) AS BIGINT) AS p2_fp
            FROM trans t
            JOIN trans p ON t.j = p.i AND p.j = 'purchase'
            JOIN rowtot ri ON t.i = ri.i
