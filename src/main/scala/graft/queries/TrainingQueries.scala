@@ -598,17 +598,24 @@ object TrainingQueries {
     }),
 
     // Heavy-hitter vocabulary per shard through the Misra–Gries
-    // TypedImperativeAggregate. Capacity 1024 >> the test vocabulary,
-    // so the sketch runs in its exact regime and hash-checks against
-    // plain count/top-k SQL; at real scale the same aggregate runs
-    // with capacity « vocabulary in bounded memory (the counts become
-    // lower bounds within n/(capacity+1)).
+    // TypedImperativeAggregate. Capacity must exceed the per-shard
+    // vocabulary for the sketch's EXACT regime (where it hash-checks
+    // against plain count/top-k SQL); below that the counts become
+    // lower bounds within n/(capacity+1) AND partition-order-
+    // dependent — the sf10 sweep caught exactly that: measured
+    // per-shard vocab 31 (sf0.1) → 133 (sf1) → 1153 (sf10), ~10×/
+    // decade, and the old capacity of 1024 silently left the exact
+    // regime at sf10 (80v80 rows, hash mismatch — the q7C capacity
+    // class). 16384 covers sf100's projected ~12k; state stays
+    // min(distinct, capacity) entries, so small-SF memory is
+    // unchanged. At real production scale the same aggregate runs
+    // with capacity « vocabulary deliberately, in bounded memory.
     "q78_heavy_hitters" -> ((s, dir) =>
       table(s, dir, "documents")
         .select((col("doc_id") % 16).as("shard"),
           explode(TextStats.tokens(col("text"))).as("term"))
         .groupBy("shard")
-        .agg(HeavyHitters(col("term"), 5, 1024).as("hh"))
+        .agg(HeavyHitters(col("term"), 5, 16384).as("hh"))
         .select(col("shard"), posexplode(col("hh")).as(Seq("rank", "e")))
         .select(col("shard"), col("rank"),
           col("e.term").as("term"), col("e.cnt").as("cnt"))),
@@ -1498,7 +1505,8 @@ object TrainingQueries {
          LIMIT 50""",
 
     // exact counts + top-5 window — valid because the sketch is exact
-    // whenever capacity >= distinct terms (31/shard here, pinned by
+    // whenever capacity >= distinct terms (≤1153/shard at sf10 vs
+    // capacity 16384, pinned by
     // the same-order tiebreak cnt DESC, term ASC on both sides)
     "q78_heavy_hitters" ->
       """WITH pairs AS (
