@@ -1364,21 +1364,31 @@ object EvalQueries {
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
            LIMIT $EvalProbeCap),
          cands AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+         -- scores are PROJECTED TO SCALARS before the window: if the
+         -- ORDER BY list_sum(...) sits inside the window, DuckDB
+         -- carries both 64-double list columns through the 2e8-row
+         -- window sort (~200 GB of spill at sf10 — it filled the
+         -- disk); scored as (q, vec_id, s) the sort buffer is 24 B/row
+         scored AS (
+           SELECT p.q, c.vec_id,
+             list_sum(list_transform(list_zip(p.qv, c.v),
+               x -> x[1] * x[2])) AS s_full,
+             list_sum(list_transform(list_zip(p.qv16, c.v16),
+               x -> x[1] * x[2])) AS s_pre
+           FROM probes p CROSS JOIN cands c),
          full_k AS (
            SELECT q, vec_id AS d_full FROM (
-             SELECT p.q, c.vec_id,
-               row_number() OVER (PARTITION BY p.q ORDER BY
-                 list_sum(list_transform(list_zip(p.qv, c.v),
-                   x -> x[1] * x[2])) DESC, c.vec_id ASC) AS rn
-             FROM probes p CROSS JOIN cands c) t
+             SELECT q, vec_id,
+               row_number() OVER (PARTITION BY q
+                 ORDER BY s_full DESC, vec_id ASC) AS rn
+             FROM (SELECT q, vec_id, s_full FROM scored) t0) t
            WHERE rn <= 10),
          pre_k AS (
            SELECT q, vec_id AS d_pre FROM (
-             SELECT p.q, c.vec_id,
-               row_number() OVER (PARTITION BY p.q ORDER BY
-                 list_sum(list_transform(list_zip(p.qv16, c.v16),
-                   x -> x[1] * x[2])) DESC, c.vec_id ASC) AS rn
-             FROM probes p CROSS JOIN cands c) t
+             SELECT q, vec_id,
+               row_number() OVER (PARTITION BY q
+                 ORDER BY s_pre DESC, vec_id ASC) AS rn
+             FROM (SELECT q, vec_id, s_pre FROM scored) t0) t
            WHERE rn <= 10),
          ov AS (
            SELECT f.q, CAST(count(*) AS BIGINT) AS n_overlap

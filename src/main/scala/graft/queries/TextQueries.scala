@@ -1218,12 +1218,22 @@ object TextQueries {
            SELECT term, CAST(count(*) AS BIGINT) AS nt
            FROM pres GROUP BY term),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         -- HUGEINT + VARCHAR-parser doubles (sf10 catch, round 12):
+         -- nn*num0^2 reaches ~6e22 at sf10 (the INT64 product
+         -- overflowed at 3.07e14 * 6.1e8), and a >2^64 HUGEINT
+         -- must reach DOUBLE through the correctly-rounded string
+         -- parser to match Spark's decimal(38,0) cast exactly (the
+         -- q108 rule). Values at certified small SFs are unchanged.
          scored AS (
            SELECT lang, term, a, nl, nt,
-             CAST(nn * (a * (nn - nl - nt + a) - (nl - a) * (nt - a))
-                     * (a * (nn - nl - nt + a) - (nl - a) * (nt - a))
-                  AS DOUBLE)
-               / CAST(nl * (nn - nl) * nt * (nn - nt) AS DOUBLE) AS chi2
+             CAST(CAST(CAST(nn AS HUGEINT)
+                     * (CAST(a AS HUGEINT) * (nn - nl - nt + a)
+                        - CAST(nl - a AS HUGEINT) * (nt - a))
+                     * (CAST(a AS HUGEINT) * (nn - nl - nt + a)
+                        - CAST(nl - a AS HUGEINT) * (nt - a))
+                  AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(nl AS HUGEINT) * (nn - nl) * nt * (nn - nt)
+                  AS VARCHAR) AS DOUBLE) AS chi2
            FROM a JOIN nl USING (lang) JOIN nt USING (term), tot)
          SELECT lang, term, a, nl, nt, chi2 FROM (
            SELECT *, row_number() OVER (PARTITION BY lang

@@ -67,6 +67,16 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Resource governance for PARALLEL sweeps (round 12): DuckDB's
+    # default memory_limit is 80% of RAM *per process*, so several
+    # concurrent heavy truth sides plus a 32g Spark JVM invite the
+    # kernel OOM-killer (it took down the first sf10 sweep). Both
+    # knobs default to DuckDB's own defaults when the env is unset,
+    # so single-process driver runs are unchanged.
+    if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
+        con.sql(f"PRAGMA memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.sql(f"PRAGMA threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
