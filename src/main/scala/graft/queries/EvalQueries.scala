@@ -23,7 +23,7 @@ import graft.io.Sources.table
   */
 object EvalQueries {
 
-  /** q130's probe-set cap (round 12): the %25 probe rule makes the
+  /** q130/q12E's probe-set cap (round 12): the %25 probe rule makes the
     * probe COUNT grow with the corpus, so probes×corpus pair volume
     * is quadratic — ~6 min Spark-side and an infeasible DuckDB truth
     * side at sf10. The q132 discipline bounds it: among the %25
@@ -36,6 +36,16 @@ object EvalQueries {
     * sample is statistically the same eval — no embedding-storage
     * decision changes on the tail probes. */
   private val EvalProbeCap = 1024
+
+  /** q12E's own probe cap. Tighter than [[EvalProbeCap]] because its
+    * per-pair work is heavier than q130's (two md5s + a top-100
+    * group-limit vs one 16-dim dot): 1024 probes × 500k docs at sf10
+    * is 512M md5-scored pairs (~20 min single-JVM — measured in the
+    * round-12 sweep); 256 keeps the eval linear AND fast while still
+    * averaging MRR/NDCG over 256 queries. Exceeds the probe
+    * population at sf0.01/sf0.1 (20/200), so certified small-SF
+    * results stay byte-identical; binds at sf1+. */
+  private val Q12eProbeCap = 256
 
   /** md5-derived uniform in [0, 2^52) as a BIGINT — the q118 synthetic
     * randomness convention (13 hex chars = 52 bits, exact in a double). */
@@ -552,11 +562,22 @@ object EvalQueries {
     // are exact integer sums; per-query NDCG and RR are quantized to
     // parts-per-billion via exact BIGINT division BEFORE the
     // cross-query mean — no double is ever summed. Scale: probes ×
-    // corpus is the brute-force eval shape; the probe set is small
-    // by construction and the per-probe top-100 is a bounded window.
+    // corpus is the brute-force eval shape, so the %25 probe rule
+    // alone makes pair volume QUADRATIC in the corpus (the sf10
+    // sweep caught it mid-flight: 20k probes × 500k docs = 10B
+    // md5-scored pairs, ~54 GB of window-sort shuffle before the run
+    // was killed — the q130 class exactly). Q12eProbeCap bounds the
+    // probe side to the 256 smallest (md5(doc_id), doc_id): exceeds
+    // the probe population at sf0.01/sf0.1 (20/200 → byte-identical
+    // certified results), binds at sf1+ where it turns the eval
+    // linear in the corpus; a 256-probe MRR/NDCG estimate is the
+    // same eval decision-wise.
     "q12E_rank_metrics" -> ((s, dir) => {
       val probes = table(s, dir, "documents")
-        .filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
+        .filter(col("doc_id") % 25 === 0)
+        .withColumn("mk", md5(col("doc_id").cast("string")))
+        .orderBy(col("mk"), col("doc_id")).limit(Q12eProbeCap)
+        .select(col("doc_id").as("q"))
       val cands = table(s, dir, "documents").select(col("doc_id").as("d"))
       val scored = probes.crossJoin(cands).filter(col("q") =!= col("d"))
         .withColumn("score_fp", md5Bits(concat(col("q"), lit("|s|"), col("d"))))
@@ -1272,8 +1293,10 @@ object EvalQueries {
          FROM s1 CROSS JOIN sk""",
 
     "q12E_rank_metrics" ->
-      """WITH probes AS (
-           SELECT doc_id AS q FROM documents WHERE doc_id % 25 = 0),
+      s"""WITH probes AS (
+           SELECT doc_id AS q FROM documents WHERE doc_id % 25 = 0
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT $Q12eProbeCap),
          cands AS (SELECT doc_id AS d FROM documents),
          scored AS (
            SELECT p.q, c.d,

@@ -77,6 +77,14 @@ def main():
         con.sql(f"PRAGMA memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.sql(f"PRAGMA threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # Spill isolation for parallel sweeps: DuckDB's default temp dir is
+    # cwd-relative `.tmp`, so concurrent checker processes would write
+    # the SAME numbered spill files (corruption risk) and orphaned
+    # spill from a killed process silently eats the disk. Give each
+    # process its own directory when sharding a sweep.
+    if os.environ.get("GRAFT_DUCKDB_TMPDIR"):
+        os.makedirs(os.environ["GRAFT_DUCKDB_TMPDIR"], exist_ok=True)
+        con.sql(f"PRAGMA temp_directory='{os.environ['GRAFT_DUCKDB_TMPDIR']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
