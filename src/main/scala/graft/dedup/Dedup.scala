@@ -209,8 +209,15 @@ object Dedup {
     * avoids the in-bucket product entirely. */
   def simhashNearPairs(fingerprints: DataFrame, idCol: String,
                        simhashCol: String, bucketCol: String,
-                       maxHamming: Int): DataFrame = {
-    val a = fingerprints.select(col(bucketCol).as("bkt"),
+                       maxHamming: Int,
+                       probes: Option[DataFrame] = None): DataFrame = {
+    // probes: optional id frame restricting the id1 side — the
+    // bounded-probe contract (emit pairs whose LOWER id is a probe)
+    // that keeps the pair OUTPUT linear when callers audit a sample
+    // against the full corpus (q49's sf10 form). None = all pairs.
+    val left = probes.fold(fingerprints)(p =>
+      fingerprints.join(broadcast(p.select(col(idCol))), Seq(idCol)))
+    val a = left.select(col(bucketCol).as("bkt"),
       col(idCol).as("id1"), col(simhashCol).as("h1"))
     val b = fingerprints.select(col(bucketCol).as("bkt"),
       col(idCol).as("id2"), col(simhashCol).as("h2"))

@@ -37,6 +37,44 @@ object DedupSim {
     * every pair — see the q132 comment for the estimator contract. */
   private val CalibSampleDocs = 8192
 
+  /** q49's probe cap (round 12, sf10 oracle discipline): the exact
+    * in-bucket radius search emits every near pair, and the replica
+    * fixture's factor-F near-dup groups make that OUTPUT quadratic in
+    * F (each group alone yields C(F,2) pairs — 247M rows at sf10,
+    * and the DuckDB all-pairs twin ate 90 GB before the kernel killed
+    * it). The audit form bounds the id1 side to the NearPairProbeCap
+    * docs with the smallest (md5(doc_id), doc_id) — "every near pair
+    * whose LOWER id is a probe" — keeping the candidate side the FULL
+    * corpus (the in-bucket scan is still exercised end-to-end) while
+    * output and truth side turn linear. Exceeds the corpus at
+    * sf0.01/sf0.1 (500/5,000 docs), so certified small-SF results
+    * are byte-identical; binds at sf1+. */
+  private val NearPairProbeCap = 8192
+
+  /** q54's sample cap (round 12): q54 pins the banded pigeonhole
+    * search's EXACTNESS against an independent all-pairs oracle — a
+    * contract about the algorithm, not the corpus, so it holds on any
+    * input. The all-pairs twin is O(n²) by definition (1.25e11 pairs
+    * at sf10), so both endpoints are bounded to the BandedSampleCap
+    * md5 sample (the q58/q132 discipline): the oracle stays an
+    * INDEPENDENT brute-force check (16384² /2 ≈ 134M pairs at any
+    * scale) and the banded path runs on the same sample. The
+    * full-corpus banded scale path remains exercised by q43/q49 and
+    * the Dedup operator itself. Exceeds the corpus at sf0.01/sf0.1;
+    * binds at sf1+. */
+  private val BandedSampleCap = 16384
+
+  /** The q59/qD3/q132 deterministic doc sample: the `cap` documents
+    * with the smallest (md5(doc_id), doc_id) — partition-invariant,
+    * engine-reproducible, and cheap (a pure row function plus
+    * TakeOrdered). */
+  private def docSample(s: SparkSession, dir: String, cap: Int): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("doc_id"))
+      .limit(cap)
+      .select("doc_id")
+
   /** qB4's stopword-dimension cut: 3-gram dims with document
     * frequency above this never enter the pair build (bounding the
     * quadratic Σ C(df,2) candidate term at C(cap,2) per dim), and the
@@ -442,23 +480,32 @@ object DedupSim {
       Dedup.simhash32(d, "doc_id", "toks")
     }),
 
-    // SimHash near-dup pairs: hamming radius over the 32-bit
-    // fingerprints, bucketed by source.
+    // SimHash near-dup pairs: hamming radius over the 48-bit
+    // fingerprints, bucketed by source. The id1 side is the
+    // NearPairProbeCap md5 probe sample (constant's comment) — the
+    // candidate side stays the full corpus, so the in-bucket radius
+    // scan is exercised end-to-end while output stays linear.
     "q49_simhash_near" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("toks", TextStats.tokens(col("text")))
         .select("doc_id", "source", "toks")
       val fp = Dedup.simhash(d, "doc_id", "toks", 48)
         .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
-      Dedup.simhashNearPairs(fp, "doc_id", "simhash", "source", 9)
+      Dedup.simhashNearPairs(fp, "doc_id", "simhash", "source", 9,
+        probes = Some(docSample(s, dir, NearPairProbeCap)))
     }),
 
     // Banded SimHash near-pairs — the pigeonhole scale path: same
     // exact semantics as an all-pairs radius search (the oracle IS
     // all-pairs), but the join key is a 15-bit band, never a full
-    // in-bucket product. 60-bit fingerprints, radius 3.
+    // in-bucket product. 60-bit fingerprints, radius 3. Both
+    // endpoints are the BandedSampleCap md5 sample (constant's
+    // comment): the pinned contract is banded == brute force, and
+    // bounding the corpus is what keeps the brute-force twin
+    // independent AND feasible at every SF.
     "q54_simhash_banded" -> ((s, dir) => {
       val d = table(s, dir, "documents")
+        .join(broadcast(docSample(s, dir, BandedSampleCap)), Seq("doc_id"))
         .withColumn("toks", TextStats.tokens(col("text")))
         .select("doc_id", "toks")
       val fp = Dedup.simhash(d, "doc_id", "toks", 60)
@@ -1387,19 +1434,29 @@ object DedupSim {
               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash,
               any_value(d.source) AS source
             FROM votes v JOIN documents d ON v.doc_id = d.doc_id
-            GROUP BY v.doc_id)
+            GROUP BY v.doc_id),
+          samp AS (
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT $NearPairProbeCap)
           SELECT a.source AS bkt, a.doc_id AS id1, b.doc_id AS id2,
             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-          FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+          FROM fp a JOIN samp ON a.doc_id = samp.doc_id
+          JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 9"""
     },
 
     // exact all-pairs twin of the banded search: any hash mismatch
     // would mean the banding dropped or invented a pair
     "q54_simhash_banded" -> {
-      s"""WITH toks AS (
+      s"""WITH samp AS (
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT $BandedSampleCap),
+          toks AS (
             SELECT doc_id, t.tok, ${md5LongSql("t.tok")} AS h
-            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+            FROM (SELECT d.doc_id, list_distinct(string_split(d.text, ' ')) AS w
+                  FROM documents d JOIN samp USING (doc_id)),
                  unnest(w) AS t(tok)),
           votes AS (
             SELECT doc_id, g.j, sum(((h >> g.j) & 1) * 2 - 1) AS s

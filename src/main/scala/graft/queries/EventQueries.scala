@@ -24,6 +24,10 @@ import graft.streaming.EventWindows
   */
 object EventQueries {
 
+  /** q7D's click-probe cap — see the q7D comment. 24576 exceeds the
+    * sf0.1 click population (19,863), binds at sf1+. */
+  private val ClickProbeCap = 24576
+
   /** Stages `events.parquet` into a directory a streaming file
     * source can read (twice under different names when `copies`=2 —
     * the q5D dedup fixture). */
@@ -1155,13 +1159,32 @@ object EventQueries {
     // window; pairs whose windows overlap join bucket-locally on a
     // 1-hour grid. Oracle is the plain theta join.
     "q7D_interval_join" -> ((s, dir) => {
+      // Click side bounded to the ClickProbeCap smallest
+      // (md5(event_id), event_id) clicks (round 12): the overlap
+      // join's OUTPUT is density² × window — the replica fixture
+      // multiplies per-second event density by the scale factor, so
+      // the unbounded form emitted 1.82 BILLION pairs at sf10 (and
+      // the DuckDB theta-join truth side was kernel-OOM-killed). The
+      // probe sample keeps output linear in the corpus while the
+      // bucketed rewrite still scans the full error side. Cap
+      // exceeds the click population at sf0.01/sf0.1 (2,006/19,863),
+      // so certified small-SF results are byte-identical; binds at
+      // sf1+. The unbounded operator stays available
+      // (ops/IntervalJoin.overlapJoin).
       val ev = table(s, dir, "events")
       def side(t: String, id: String, st: String) = ev
         .filter(col("event_type") === t)
         .select(col("event_id").as(id), col("ts").cast("long").as(st))
         .withColumn(st + "_end", col(st) + 600L)
+      val clickProbe = ev.filter(col("event_type") === "click")
+        .select(col("event_id"),
+          md5(col("event_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("event_id")).limit(ClickProbeCap)
+        .select(col("event_id").as("click_id"))
       IntervalJoin.overlapJoin(
-          side("click", "click_id", "cs"), "cs", "cs_end",
+          side("click", "click_id", "cs")
+            .join(broadcast(clickProbe), Seq("click_id")),
+          "cs", "cs_end",
           side("error", "error_id", "es"), "es", "es_end",
           bucketWidth = 3600L)
         .select("click_id", "error_id")
@@ -2152,13 +2175,19 @@ object EventQueries {
     // plain theta join; epoch_us // 1e6 floor-divides to seconds
     // exactly like Spark's timestamp→long cast
     "q7D_interval_join" ->
-      """WITH c AS (
+      s"""WITH probe AS (
+           SELECT event_id AS click_id FROM events
+           WHERE event_type = 'click'
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           LIMIT $ClickProbeCap),
+         c AS (
            SELECT event_id AS click_id, epoch_us(ts) // 1000000 AS cs
-           FROM events WHERE event_type = 'click'),
+           FROM events JOIN probe ON event_id = probe.click_id
+           WHERE event_type = 'click'),
          e AS (
            SELECT event_id AS error_id, epoch_us(ts) // 1000000 AS es
            FROM events WHERE event_type = 'error')
-         SELECT click_id, error_id
+         SELECT c.click_id, error_id
          FROM c JOIN e ON cs < es + 600 AND es < cs + 600""",
 
     // batch join twin of the stream-stream join: inner joins emit
