@@ -1150,9 +1150,19 @@ object DedupSim {
             SELECT id1 AS a, id2 AS b FROM cand
             UNION SELECT id2, id1 FROM cand),
           walk(a, b) AS (
-            SELECT a, b FROM edges
+            -- min-LABEL propagation, not all-pairs closure (round 12):
+            -- the closure form materializes every reachable pair —
+            -- Σ|C|² rows, which the sf10 replica fixture's ~100-doc
+            -- near-dup clusters blow past DuckDB's memory limit
+            -- (kernel-OOM at 90 GB). Propagating only IMPROVING
+            -- labels (lbl < node) computes the identical per-node
+            -- min-reachable-id fixpoint — the component min m < all
+            -- members, so (n, m) reaches every node by BFS — in
+            -- Σ|C|·improvements rows instead.
+            SELECT a, b FROM edges WHERE b < a
             UNION
-            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+            SELECT e.b AS a, w.b FROM walk w JOIN edges e ON w.a = e.a
+            WHERE w.b < e.b),
           comp AS (
             SELECT a AS doc_id, min(b) AS mn
             FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r

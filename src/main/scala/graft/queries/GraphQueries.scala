@@ -348,14 +348,17 @@ object GraphQueries {
            SELECT ed.dst AS node,
              CAST(150000 + (85 * sum($prev.rank // ed.deg)) // 100 AS BIGINT) AS rank
            FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY ed.dst)"""
-      s"""WITH e0 AS (
+      s"""WITH e0 AS MATERIALIZED (
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         edges AS (SELECT src, dst FROM e0
+         edges AS MATERIALIZED (SELECT src, dst FROM e0
                    UNION ALL SELECT dst, src FROM e0),
-         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
                  FROM edges GROUP BY src),
-         ed AS (SELECT e.src, e.dst, d.deg
+         -- MATERIALIZED: ed is read by all three iteration steps —
+         -- inlined, DuckDB re-runs the orders⋈lineitem distinct per
+         -- step and the sf10 truth side spilled >70 GB to disk
+         ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg
                 FROM edges e JOIN deg d USING (src)),
          r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
          ${step("r0", "r1")},
