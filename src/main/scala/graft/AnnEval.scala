@@ -83,10 +83,23 @@ object AnnEval {
 
     println(s"""{"method":"brute_force_truth","recall_at_10":1.0,"wall_s":${num(truthS, 2)},"n_queries":$NQueries,"sf":"$sfDir"}""")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // Caveats that must travel WITH the artifact (VERDICT r12 item 3:
+    // a reader of the JSON alone concluded the quantizer was broken).
+    val notes = Map(
+      "int8_dot" -> ("8-bit resolution floor, not a quantizer bug: " +
+        "rank discrimination needs neighbor cosine gaps above the " +
+        "~0.8%/dim quantization step; the replica fixture jitters " +
+        "copies by ±1%, so at sf10 a query's ~100 replica neighbors " +
+        "are closer than the step and NO 8-bit code can order them. " +
+        "Per-vector scaling holds recall 0.975 at sf1 where gaps " +
+        "exceed the step (ANN_EVAL_SF1.json); see also " +
+        "SimilaritySpec's margin-separated recall floor."))
     methods.foreach { case (name, run) =>
       val (res, s) = timed(run())
       val r = recallOf(res)
-      println(s"""{"method":"$name","recall_at_10":${num(r, 3)},"wall_s":${num(s, 2)},"n_queries":$NQueries,"sf":"$sfDir"}""")
+      val note = notes.get(name)
+        .map(n => s""","note":"$n"""").getOrElse("")
+      println(s"""{"method":"$name","recall_at_10":${num(r, 3)},"wall_s":${num(s, 2)},"n_queries":$NQueries,"sf":"$sfDir"$note}""")
       rows += ((name, r, s))
     }
 

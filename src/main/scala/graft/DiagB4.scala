@@ -42,6 +42,15 @@ object DiagB4 {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The audit's frames are all post-explodePairs aggregates, where
+      // Catalyst's Generate keeps the CHILD's size estimate — at sf10
+      // the planner broadcast a side it estimated in the MBs that
+      // materialized at 1.4 GB and killed the run on maxResultSize.
+      // Estimate-driven broadcasts off (explicit broadcast() hints —
+      // samp, lshPairs' internals — are honored regardless); result
+      // ceiling raised for the remaining legitimate driver pulls.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -76,16 +76,28 @@ object DedupSim {
       .select("doc_id")
 
   /** qB4's stopword-dimension cut: 3-gram dims with document
-    * frequency above this never enter the pair build (bounding the
+    * frequency above the cap never enter the pair build (bounding the
     * quadratic Σ C(df,2) candidate term at C(cap,2) per dim), and the
-    * cosine is computed in the surviving subspace. The value is
-    * EVIDENCE-SET by DiagB4's recall/cost sweep on the md5-sampled
-    * exact cosine (DIAG_B4.json, round 12): at sf1, cap 50 kept only
-    * 65% of true cos≥0.5 pairs (lost pairs up to cos 0.76); raising
-    * the cap trades bounded extra pair volume for measured recall.
-    * The oracle SQL interpolates the same constant — change them
-    * together and re-certify qB4 at sf0.01/sf0.1/sf1. */
+    * cosine is computed in the surviving subspace.
+    *
+    * The cap is CORPUS-RELATIVE: max(QB4DfCap, n_docs/QB4DfDenom),
+    * i.e. "drop dims shared by more than 0.4% of the corpus". Round
+    * 12 shipped a fixed absolute 200 and its own audit proved that
+    * cannot be scale-safe (DIAG_B4.json): near-dup FAMILIES share
+    * dims with df ≈ family size, and family size grows with the
+    * corpus — cap 200 had recall 1.000 at sf1 (50k docs) but 0.52 at
+    * sf10 (500k docs), losing pairs up to cos 1.0. A relative cap
+    * keeps the invariant "only corpus-level stopword dims are cut"
+    * at every scale: dims binding a fixed-fraction family stay in.
+    * The denominator 250 (= cap 200 at sf1, the measured recall-1.0
+    * point; 2000 at sf10, recall re-measured by DiagB4 round 13) is
+    * integer division so Spark and DuckDB agree exactly. Caps at
+    * sf0.01/sf0.1/sf1 all resolve to the floor 200, so round-12
+    * certified hashes are unchanged by construction. The oracle SQL
+    * interpolates the same formula — change them together and
+    * re-certify qB4 at sf0.01/sf0.1/sf1. */
   private[graft] val QB4DfCap = 200
+  private[graft] val QB4DfDenom = 250L
 
   /** Round-12 sf10-oracle discipline for the embedding queries whose
     * TRUTH side is quadratic in the corpus (10 fixed labels / 16
@@ -755,8 +767,15 @@ object DedupSim {
     // cast + sqrt + divide.
     "qB4_sparse_cosine" -> ((s, dir) => {
       // df cap: conf override is for DiagB4's recall/cost sweep only —
-      // production (and the oracle) use QB4DfCap
-      val dfCap = s.conf.get("graft.qB4.dfCap", QB4DfCap.toString).toInt
+      // production (and the oracle) use the corpus-relative formula.
+      // The count() is one metadata-cheap job on the parquet footer,
+      // not a data scan (same bounded-driver-sync class as the k-row
+      // centroid syncs).
+      val dfCap = s.conf.getOption("graft.qB4.dfCap").map(_.toLong)
+        .getOrElse {
+          val nDocs = table(s, dir, "documents").count()
+          math.max(QB4DfCap.toLong, nDocs / QB4DfDenom)
+        }
       val tf = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("g"))
@@ -1915,10 +1934,13 @@ object DedupSim {
            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
            FROM s GROUP BY doc_id, g),
          pruned AS (
+           -- corpus-relative cap, same integer formula as the engine:
+           -- max(200, n_docs // 250)
            SELECT doc_id, g, tf FROM (
              SELECT doc_id, g, tf,
                count(*) OVER (PARTITION BY g) AS df FROM tf)
-           WHERE df <= $QB4DfCap),
+           WHERE df <= greatest($QB4DfCap,
+             (SELECT count(*) // $QB4DfDenom FROM documents))),
          norms AS (
            SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
            FROM pruned GROUP BY doc_id),
@@ -1994,9 +2016,17 @@ object DedupSim {
             SELECT id1 AS a, id2 AS b FROM cand
             UNION SELECT id2, id1 FROM cand),
           walk(a, b) AS (
-            SELECT a, b FROM edges
+            -- min-LABEL propagation, not all-pairs closure (round 13,
+            -- same rewrite as clustersCte): the closure form
+            -- materializes Σ|C|² reachable pairs and OOMs DuckDB on
+            -- sf10's ~100-doc near-dup clusters (they survive the
+            -- exact-dedup gate, so qC1's walk sees the same families
+            -- as q74's); propagating only IMPROVING labels reaches
+            -- the identical per-node min fixpoint in Σ|C|·improvements
+            SELECT a, b FROM edges WHERE b < a
             UNION
-            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+            SELECT e.b AS a, w.b FROM walk w JOIN edges e ON w.a = e.a
+            WHERE w.b < e.b),
           comp AS (
             SELECT a AS doc_id, min(b) AS mn
             FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r

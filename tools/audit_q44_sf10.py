@@ -18,6 +18,7 @@ Prints one JSON line (committed as DIAG_Q44_ORACLE.json).
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -27,7 +28,15 @@ THRESH = 0.8
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-con.sql("PRAGMA memory_limit='40GB'")
+# Same resource-governance knobs as check_oracles.py (ADVICE r12):
+# a hardcoded 40GB limit + cwd-relative .tmp spill would collide with
+# parallel sweep shards and ignore the per-shard budget the sweep sets.
+con.sql(f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCKDB_MEMLIMIT', '40GB')}'")
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.sql(f"PRAGMA threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+if os.environ.get("GRAFT_DUCKDB_TMPDIR"):
+    os.makedirs(os.environ["GRAFT_DUCKDB_TMPDIR"], exist_ok=True)
+    con.sql(f"PRAGMA temp_directory='{os.environ['GRAFT_DUCKDB_TMPDIR']}'")
 con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
 files = glob.glob(f"{out_dir}/q44_jaccard_pairs/*.parquet")
 con.sql(f"CREATE VIEW spark_out AS SELECT * FROM read_parquet({files!r})")
@@ -67,10 +76,16 @@ SELECT bkt, id1, id2, jaccard FROM spark_out
 JOIN samp ON spark_out.id1 = samp.doc_id
 """).fetchall()
 
-def key(rows):
-    return {(r[0], r[1], r[2]): r[3] for r in rows}
+def key(rows, side):
+    d = {(r[0], r[1], r[2]): r[3] for r in rows}
+    # dict construction silently collapses duplicate (bkt,id1,id2)
+    # rows — a doubled pair on either side must FAIL, not vanish
+    if len(d) != len(rows):
+        sys.exit(f"audit_q44: {side} emitted {len(rows) - len(d)} "
+                 f"duplicate (bkt,id1,id2) rows — not a set")
+    return d
 
-t, s = key(truth), key(spark)
+t, s = key(truth, "truth"), key(spark, "spark")
 missing = [k for k in t if k not in s]
 invented = [k for k in s if k not in t]
 score_mismatch = [k for k in t if k in s and repr(t[k]) != repr(s[k])]
