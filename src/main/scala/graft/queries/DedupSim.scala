@@ -800,9 +800,22 @@ object DedupSim {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
           (col("x.tf") * col("y.tf")).as("p"))
         .groupBy("d1", "d2").agg(sum("p").as("dot"))
+      // JOIN STRATEGY IS FORCED, not left to estimates: Catalyst's
+      // Generate keeps its CHILD's size estimate, so the post-explode
+      // dots aggregate is statically estimated tiny and the planner
+      // picked BroadcastHashJoin(BuildLeft=dots) — at sf10 (cap 2000)
+      // that "tiny" side materialized >1 GiB and aborted on
+      // maxResultSize, and AQE cannot demote an already-planned
+      // broadcast stage. Neither side is broadcast-safe at scale
+      // (dots is the quadratic candidate set; norms is one row per
+      // DOC — 10^10 rows at 100 TB), so the scale-correct strategy is
+      // a shuffled hash join with norms as the per-partition build
+      // side: linear, sort-free, and independent of estimates.
       dots
-        .join(norms.select(col("doc_id").as("d1"), col("n2").as("na")), "d1")
-        .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb")), "d2")
+        .join(norms.select(col("doc_id").as("d1"), col("n2").as("na"))
+          .hint("shuffle_hash"), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb"))
+          .hint("shuffle_hash"), "d2")
         .select(col("d1"), col("d2"), col("dot"),
           // norm product in decimal(38,0): na·nb wraps int64 once the
           // squared norms reach ~3e9 each (a degenerate 55k-token
