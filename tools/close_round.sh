@@ -14,11 +14,27 @@
 #          shuffle   row-shuffled sf0.01 copy sweep        (PASS N/0)
 #          jitter    boundary-jittered copies, seeds 42+7  (PASS N/0 ×2)
 #          sf1       Verify + check_oracles at tmp/sf1     (SLOW: ~80 min)
+#          sf10     wave-partitioned oracle sweep at tmp/sf10 against
+#                    tmp/v_sf10 engine outputs (SLOW: hours; see below)
 #          bench     graft.Bench ×2 at sf0.1               (2 JSON lines)
 #          plans     PlanAudit regen + git diff check      (0 drift)
 #
-# sf1 is NOT in the default list (it dominates wall time); the full
-# close is: tools/close_round.sh r12 test,oracle001,shuffle,jitter,sf1,bench,plans
+# sf1/sf10 are NOT in the default list (they dominate wall time); the
+# full close is:
+#   tools/close_round.sh r13 test,oracle001,shuffle,jitter,sf1,bench,plans
+# and the decade certification (separately, engine outputs first):
+#   SPARK_GRAFT_SCRATCH_DIR=tmp/scratch SPARK_GRAFT_GC_EACH=1 \
+#     tools/run_main.sh graft.Verify tmp/sf10 tmp/v_sf10   # hours
+#   tools/close_round.sh r13 sf10
+#
+# sf10 memory governance (learned the hard way, rounds 12–13): DuckDB
+# defaults to 80% of RAM PER PROCESS and several closure truth sides
+# peak >40 GiB — ungoverned parallel shards invite the kernel
+# OOM-killer (it silently ate two sweeps). The sf10 step therefore
+# runs the LIGHT queries in 3 parallel 20 GiB shards and the 5 heavy
+# closure/graph truth sides SEQUENTIALLY at one big budget, with
+# per-shard spill dirs, then substitutes the sampled exact audit for
+# q44 (whose full truth side is >1.5 h quadratic by design).
 #
 # Exit code: 0 only if every selected step passed.
 set -uo pipefail
@@ -104,6 +120,64 @@ if has_step sf1; then
     check_oracle_log "$OUT/oracle_sf1.log" "oracle sf1"
   else
     SUMMARY+=("oracle sf1: SKIPPED — tmp/sf1 missing (run graft.Datagen)")
+    FAIL=1
+  fi
+fi
+
+if has_step sf10; then
+  note "sf10 oracle sweep (waves)…"
+  VDIR="tmp/v_sf10"; SF10="tmp/sf10"
+  if [[ -d "$VDIR" && -d "$SF10" ]]; then
+    HEAVY="q74_dedup_clusters qA1_canonical_docs qA3_pagerank qC1_curation_pipeline qF3_split_leakage"
+    AUDITED="q44_jaccard_pairs"
+    # light shards: every dumped query minus heavy minus audited,
+    # round-robin into 3 shards
+    mapfile -t ALLQ < <(cd "$VDIR" && ls -d q* 2>/dev/null)
+    declare -a S0=() S1=() S2=()
+    i=0
+    for q in "${ALLQ[@]}"; do
+      [[ " $HEAVY $AUDITED " == *" $q "* ]] && continue
+      case $((i % 3)) in
+        0) S0+=("$q");; 1) S1+=("$q");; 2) S2+=("$q");;
+      esac
+      i=$((i + 1))
+    done
+    for s in 0 1 2; do
+      declare -n SH="S$s"
+      GRAFT_DUCKDB_MEMLIMIT=20GB GRAFT_DUCKDB_THREADS=10 \
+      GRAFT_DUCKDB_TMPDIR="tmp/ducktmp_sf10_$s" \
+        python3 tools/check_oracles.py "$VDIR" "$SF10" "${SH[@]}" \
+        >"$OUT/oracle_sf10_shard$s.log" 2>&1 &
+      eval "P$s=$!"
+    done
+    wait "$P0" "$P1" "$P2" 2>/dev/null
+    for s in 0 1 2; do
+      check_oracle_log "$OUT/oracle_sf10_shard$s.log" "sf10 shard $s"
+    done
+    # heavy truth sides one at a time at a big budget
+    for q in $HEAVY; do
+      note "sf10 heavy: $q…"
+      GRAFT_DUCKDB_MEMLIMIT=80GB GRAFT_DUCKDB_THREADS=16 \
+      GRAFT_DUCKDB_TMPDIR="tmp/ducktmp_sf10_h" GRAFT_ORACLE_TIMES=1 \
+        python3 tools/check_oracles.py "$VDIR" "$SF10" "$q" \
+        >"$OUT/oracle_sf10_$q.log" 2>&1
+      check_oracle_log "$OUT/oracle_sf10_$q.log" "sf10 $q"
+      rm -rf tmp/ducktmp_sf10_h
+    done
+    # q44: sampled exact audit (full truth side infeasible by design)
+    note "sf10 q44 sampled audit…"
+    if GRAFT_DUCKDB_MEMLIMIT=60GB GRAFT_DUCKDB_THREADS=16 \
+       GRAFT_DUCKDB_TMPDIR="tmp/ducktmp_sf10_q44" \
+       python3 tools/audit_q44_sf10.py "$VDIR" "$SF10" \
+       >"$OUT/oracle_sf10_q44_audit.json" 2>"$OUT/oracle_sf10_q44_audit.err"; then
+      SUMMARY+=("sf10 q44 audit: $(tail -1 "$OUT/oracle_sf10_q44_audit.json")")
+    else
+      SUMMARY+=("sf10 q44 audit: FAILED — see $OUT/oracle_sf10_q44_audit.*")
+      FAIL=1
+    fi
+    rm -rf tmp/ducktmp_sf10_q44 tmp/ducktmp_sf10_0 tmp/ducktmp_sf10_1 tmp/ducktmp_sf10_2
+  else
+    SUMMARY+=("sf10: SKIPPED — $VDIR or $SF10 missing (run graft.Datagen + graft.Verify at sf10)")
     FAIL=1
   fi
 fi
