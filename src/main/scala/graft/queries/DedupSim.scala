@@ -1147,12 +1147,17 @@ object DedupSim {
   private val aList = Dedup.HashA.mkString("[", ", ", "]")
   private val bList = Dedup.HashB.mkString("[", ", ", "]")
 
-  // MATERIALIZED (round-10): q74/qF3/qA1 reference these CTEs from a
-  // recursive closure — inlined, DuckDB re-runs the whole
-  // shingle→minhash pipeline on EVERY recursion level, which
-  // dominated the sf1 oracle sweep (VERDICT r9 item 7)
+  // Materialization policy (round-13 rework of the round-10 fix):
+  // materialize every SMALL multiply-referenced relation (sigs 4M
+  // rows, bands 2M, cand/edges ~8M — the round-9 per-level re-run
+  // bug stays fixed because the recursive walk reads only the
+  // materialized edges) but NOT the ~100M-row shingle relation `sh`:
+  // a MATERIALIZED CTE is PINNED in DuckDB's buffer pool and cannot
+  // spill, and pinning sh is what pushed the sf10 truth sides past
+  // 60 GiB. Referenced once by sigs, sh now streams through sigs'
+  // spillable aggregation instead.
   private val sigsSql =
-    s"""WITH sh AS MATERIALIZED (
+    s"""WITH sh AS (
           SELECT doc_id, s.shingle
           FROM (SELECT doc_id, $shinglesSql AS shingles FROM documents),
                unnest(shingles) AS s(shingle)),
@@ -1946,23 +1951,34 @@ object DedupSim {
          tf AS (
            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
            FROM s GROUP BY doc_id, g),
-         pruned AS (
-           -- corpus-relative cap, same integer formula as the engine:
-           -- max(200, n_docs // 250)
-           SELECT doc_id, g, tf FROM (
-             SELECT doc_id, g, tf,
-               count(*) OVER (PARTITION BY g) AS df FROM tf)
-           WHERE df <= greatest($QB4DfCap,
+         posting AS (
+           -- the ENGINE's shape, not a postings self-join: gather
+           -- each dim's posting list once (the corpus-relative cap —
+           -- max(200, n_docs // 250), same integer formula as the
+           -- engine — is the HAVING), then stream the C(df,2) pair
+           -- products out of a double lateral unnest straight into
+           -- the dots aggregation. The join spelling sorted/hashed
+           -- the full pair stream as JOIN state and spilled >70 GB
+           -- of temp at sf10; this form's only big state is the
+           -- spillable dots GROUP BY. Also drops the 770M-row
+           -- window sort the df-filter spelling paid.
+           SELECT g, list(struct_pack(d := doc_id, t := tf)
+                          ORDER BY doc_id) AS dt
+           FROM tf GROUP BY g
+           HAVING count(*) <= greatest($QB4DfCap,
              (SELECT count(*) // $QB4DfDenom FROM documents))),
+         pruned AS (
+           SELECT u.e.d AS doc_id, u.e.t AS tf
+           FROM posting, unnest(dt) AS u(e)),
          norms AS (
            SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
            FROM pruned GROUP BY doc_id),
          dots AS (
-           SELECT a.doc_id AS d1, b.doc_id AS d2,
-             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-           FROM pruned a JOIN pruned b
-             ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id)
+           SELECT u1.e1.d AS d1, u2.e2.d AS d2,
+             CAST(sum(u1.e1.t * u2.e2.t) AS BIGINT) AS dot
+           FROM posting, unnest(dt) AS u1(e1), unnest(dt) AS u2(e2)
+           WHERE u1.e1.d < u2.e2.d
+           GROUP BY d1, d2)
          SELECT d1, d2, dot,
            CAST(dot AS DOUBLE)
              / sqrt(CAST(CAST(x.n2 AS HUGEINT) * y.n2 AS DOUBLE)) AS cos
@@ -2007,7 +2023,11 @@ object DedupSim {
                 min(doc_id) OVER (PARTITION BY md5(text)) AS keep
               FROM filt) t
             WHERE doc_id = keep),
-          sh AS MATERIALIZED (
+          sh AS (
+            -- NOT materialized: same spill-pressure rule as
+            -- clustersCte — the corpus-sized shingle relation must
+            -- stream into sigs' spillable aggregation, not pin the
+            -- buffer pool
             SELECT doc_id, s.shingle
             FROM (SELECT doc_id, $shinglesSql AS shingles FROM ex),
                  unnest(shingles) AS s(shingle)),
