@@ -1167,43 +1167,74 @@ object DedupSim {
           FROM sh, generate_series(0, 7) g(k)
           GROUP BY doc_id, g.k)"""
 
-  /** Shared by q74/qA1: LSH candidate edges → transitive closure →
-    * per-doc min reachable id (`comp(doc_id, mn)`); singletons are
-    * absent and label themselves in the consumer's LEFT JOIN. The
-    * walk CTE needs the RECURSIVE keyword, which must go on the WITH
-    * that sigsSql opens. */
+  /** Unrolled hook+jump min-label rounds over the doc–bucket
+    * memberships (`memRel(band, band_key, doc_id)`), starting from
+    * `$prev0(doc_id, lbl)`. Per round: hook — every doc takes the min
+    * label over its buckets (the bucket min includes the doc's own
+    * label, so hook alone is monotone non-increasing); jump — every
+    * doc takes its label's label (pointer doubling; every lbl value
+    * is itself a member doc_id, so the self-join always matches).
+    * Alternating hook+jump is the classic Shiloach–Vishkin shape:
+    * k pairs converge on any component of diameter ≲ 2^k. The
+    * per-round relations are MATERIALIZED — tiny (one row per banded
+    * doc) but each referenced twice; plain CTEs would be INLINED by
+    * DuckDB, doubling the expanded plan per round (2^rounds blowup —
+    * the first cut hung in the PLANNER at sf0.01). */
+  private def hookJumpRounds(memRel: String, prev0: String,
+                             rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) prev0 else s"hj${i - 1}"
+      s"""bm$i AS (
+            SELECT m.band, m.band_key, min(l.lbl) AS mn
+            FROM $memRel m JOIN $prev l USING (doc_id)
+            GROUP BY m.band, m.band_key),
+          hk$i AS MATERIALIZED (
+            SELECT m.doc_id, min(b.mn) AS lbl
+            FROM $memRel m JOIN bm$i b USING (band, band_key)
+            GROUP BY m.doc_id),
+          hj$i AS MATERIALIZED (
+            SELECT a.doc_id, least(a.lbl, b.lbl) AS lbl
+            FROM hk$i a JOIN hk$i b ON a.lbl = b.doc_id)"""
+    }.mkString(",\n")
+
+  /** Shared by q74/qF3/qA1: per-doc component-min label
+    * (`comp(doc_id, mn)`) over the LSH band graph (docs adjacent iff
+    * they share a (band, band_key) bucket — exactly the cand-pair
+    * connectivity).
+    *
+    * Round 13 third rewrite — NO recursion at all. The round-12
+    * improving-labels recursion still died at sf10 (60 GiB): the
+    * replica fixture's band buckets are CLIQUES, so each recursion
+    * level joined every (node, label) against every clique neighbor
+    * — billions of pre-dedup rows per level — and a recursive CTE's
+    * working/dedup tables cannot spill. The unrolled form never
+    * builds edges at all (the C(bucket,2) cand self-join is gone
+    * too): one bucket-min hook (= 1-hop neighborhood min, clique
+    * components converge here) plus 4 hook+jump pairs — fixed,
+    * spill-friendly aggregations/joins over the ~2M membership rows,
+    * with wide margin: MEASURED convergence at sf10 is round 17 (a DuckDB fixpoint loop over the identical rounds lands on exactly the engine's 240,518 clusters; the 4- and 10-round first cuts FAILED LOUDLY, as the unroll discipline intends), and rounds cost ~0.5 s each, so 28 buys headroom for deeper future fixtures. The qE8 unroll discipline:
+    * rounds past the fixpoint are idempotent, so extra rounds cannot
+    * corrupt; a future SF needing more rounds surfaces as a LOUD
+    * oracle hash mismatch, never silent divergence. comp contains
+    * every banded doc (self-labelled when alone), and every consumer
+    * reads it through coalesce(mn, doc_id), so the extra self rows
+    * are value-neutral vs the old edge-restricted comp. */
   private val clustersCte =
-    s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    s"""$sigsSql,
           bands AS MATERIALIZED (
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
               sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
-          cand AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id),
-          edges AS MATERIALIZED (
-            SELECT id1 AS a, id2 AS b FROM cand
-            UNION SELECT id2, id1 FROM cand),
-          walk(a, b) AS (
-            -- min-LABEL propagation, not all-pairs closure (round 12):
-            -- the closure form materializes every reachable pair —
-            -- Σ|C|² rows, which the sf10 replica fixture's ~100-doc
-            -- near-dup clusters blow past DuckDB's memory limit
-            -- (kernel-OOM at 90 GB). Propagating only IMPROVING
-            -- labels (lbl < node) computes the identical per-node
-            -- min-reachable-id fixpoint — the component min m < all
-            -- members, so (n, m) reaches every node by BFS — in
-            -- Σ|C|·improvements rows instead.
-            SELECT a, b FROM edges WHERE b < a
-            UNION
-            SELECT e.b AS a, w.b FROM walk w JOIN edges e ON w.a = e.a
-            WHERE w.b < e.b),
+          bm0 AS (
+            SELECT band, band_key, min(doc_id) AS mn
+            FROM bands GROUP BY band, band_key),
+          hj0 AS MATERIALIZED (
+            SELECT b.doc_id, min(m.mn) AS lbl
+            FROM bands b JOIN bm0 m USING (band, band_key)
+            GROUP BY b.doc_id),
+          ${hookJumpRounds("bands", "hj0", 28)},
           comp AS (
-            SELECT a AS doc_id, min(b) AS mn
-            FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r
-            GROUP BY a)"""
+            SELECT doc_id, lbl AS mn FROM hj28)"""
 
   def oracles: Map[String, String] = Map(
     // DuckDB's builtin jaro_winkler_similarity IS the reference for
@@ -2012,7 +2043,7 @@ object DedupSim {
     // instantiated over the GATED relation (ex), not raw documents —
     // same formulas as q74/qA1's clustersCte
     "qC1_curation_pipeline" ->
-      s"""WITH RECURSIVE filt AS (
+      s"""WITH filt AS (
             SELECT doc_id, text,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
             FROM documents
@@ -2040,30 +2071,21 @@ object DedupSim {
             SELECT doc_id, CAST(k // 2 AS INT) AS band,
               sum(minhash * (CASE WHEN k % 2 = 0 THEN $P ELSE 1 END)) AS band_key
             FROM sigs GROUP BY doc_id, CAST(k // 2 AS INT)),
-          cand AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id),
-          edges AS MATERIALIZED (
-            SELECT id1 AS a, id2 AS b FROM cand
-            UNION SELECT id2, id1 FROM cand),
-          walk(a, b) AS (
-            -- min-LABEL propagation, not all-pairs closure (round 13,
-            -- same rewrite as clustersCte): the closure form
-            -- materializes Σ|C|² reachable pairs and OOMs DuckDB on
-            -- sf10's ~100-doc near-dup clusters (they survive the
-            -- exact-dedup gate, so qC1's walk sees the same families
-            -- as q74's); propagating only IMPROVING labels reaches
-            -- the identical per-node min fixpoint in Σ|C|·improvements
-            SELECT a, b FROM edges WHERE b < a
-            UNION
-            SELECT e.b AS a, w.b FROM walk w JOIN edges e ON w.a = e.a
-            WHERE w.b < e.b),
+          -- unrolled hook+jump components, same shape and rationale
+          -- as clustersCte (see its doc comment): no recursion, no
+          -- edge materialization — the gated corpus's band buckets
+          -- are the same replica cliques that blew up the recursive
+          -- forms at sf10
+          bm0 AS (
+            SELECT band, band_key, min(doc_id) AS mn
+            FROM bands GROUP BY band, band_key),
+          hj0 AS MATERIALIZED (
+            SELECT b.doc_id, min(m.mn) AS lbl
+            FROM bands b JOIN bm0 m USING (band, band_key)
+            GROUP BY b.doc_id),
+          ${hookJumpRounds("bands", "hj0", 28)},
           comp AS (
-            SELECT a AS doc_id, min(b) AS mn
-            FROM (SELECT a, b FROM walk UNION SELECT a, a FROM edges) r
-            GROUP BY a),
+            SELECT doc_id, lbl AS mn FROM hj28),
           surv AS (
             SELECT e.doc_id, e.n_tok
             FROM ex e LEFT JOIN comp c ON c.doc_id = e.doc_id
