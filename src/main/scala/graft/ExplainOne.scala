@@ -1,8 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Print one query's formatted physical plan against a given SF dir —
-  * the plan-inspection loop for scale work (PLANS.md pins sf0.01;
-  * this prints any SF's plan without executing the query). */
+  * the plan-inspection loop for scale work (PLANS.md pins sf0.01).
+  * The QUERY is never executed; note that CONSTRUCTION of a few
+  * queries runs a bounded metadata job (qB4's corpus count for the
+  * corpus-relative df cap — one parquet-footer count per
+  * construction), so a plan-only pass is cheap and deterministic but
+  * not strictly zero-job. */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -1233,8 +1233,37 @@ object DedupSim {
             FROM bands b JOIN bm0 m USING (band, band_key)
             GROUP BY b.doc_id),
           ${hookJumpRounds("bands", "hj0", 28)},
+          ${convergedComp("bands", 28)}"""
+
+  /** Convergence self-check for the unrolled closure (ADVICE r13):
+    * one extra HOOK round after hj`rounds`, asserted label-stable.
+    * Exactness: if any bucket still holds two labels, its bucket min
+    * is strictly below the larger member's label, so hook `rounds+1`
+    * lowers that label; conversely label-uniform buckets make labels
+    * constant on every bucket-connected component, and the constant
+    * is the component MIN (the min doc's own label never moves). So
+    * "hook lowers nothing" ⟺ converged — under-unrolling on a deeper
+    * future fixture now fails as a SELF-IDENTIFYING DuckDB error
+    * naming the fix, not as a generic q74/qA1/qF3/qC1 hash mismatch
+    * that reads as an engine bug. At the fixpoint the emitted labels
+    * are hj`rounds`'s own, so certified hashes are unchanged. */
+  private def convergedComp(memRel: String, rounds: Int): String = {
+    val chk = rounds + 1
+    s"""bm$chk AS (
+            SELECT m.band, m.band_key, min(l.lbl) AS mn
+            FROM $memRel m JOIN hj$rounds l USING (doc_id)
+            GROUP BY m.band, m.band_key),
+          hk$chk AS (
+            SELECT m.doc_id, min(b.mn) AS lbl
+            FROM $memRel m JOIN bm$chk b USING (band, band_key)
+            GROUP BY m.doc_id),
           comp AS (
-            SELECT doc_id, lbl AS mn FROM hj28)"""
+            SELECT h.doc_id,
+              CASE WHEN x.lbl < h.lbl THEN CAST(error(
+                'graft oracle under-converged: hook round $chk still lowered a label — raise hookJumpRounds (oracle artifact, not an engine bug)') AS BIGINT)
+              ELSE h.lbl END AS mn
+            FROM hj$rounds h JOIN hk$chk x USING (doc_id))"""
+  }
 
   def oracles: Map[String, String] = Map(
     // DuckDB's builtin jaro_winkler_similarity IS the reference for
@@ -2016,7 +2045,8 @@ object DedupSim {
          FROM dots
          JOIN norms x ON x.doc_id = d1
          JOIN norms y ON y.doc_id = d2
-         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) >= 0.5""",
+         WHERE CAST(dot AS DOUBLE)
+           / sqrt(CAST(CAST(x.n2 AS HUGEINT) * y.n2 AS DOUBLE)) >= 0.5""",
 
     "qB5_dup_spans" ->
       """WITH t AS (
@@ -2084,8 +2114,7 @@ object DedupSim {
             FROM bands b JOIN bm0 m USING (band, band_key)
             GROUP BY b.doc_id),
           ${hookJumpRounds("bands", "hj0", 28)},
-          comp AS (
-            SELECT doc_id, lbl AS mn FROM hj28),
+          ${convergedComp("bands", 28)},
           surv AS (
             SELECT e.doc_id, e.n_tok
             FROM ex e LEFT JOIN comp c ON c.doc_id = e.doc_id

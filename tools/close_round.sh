@@ -142,18 +142,31 @@ if has_step sf10; then
       esac
       i=$((i + 1))
     done
+    # Empty shards are SKIPPED (ADVICE r13): a partial/aborted Verify
+    # dump — exactly when a re-sweep is likely — would otherwise pass
+    # zero query args to check_oracles.py, whose empty `only` set runs
+    # the FULL sweep including the heavy closure truth sides, 3× in
+    # parallel at 20 GiB each: the parallel-heavy OOM this step was
+    # built to avoid. PIDs go in an array, not eval'd P$s vars (an
+    # unset P$s would trip `set -u` at the wait).
+    SHARD_PIDS=()
+    SHARD_RAN=()
     for s in 0 1 2; do
       declare -n SH="S$s"
+      [[ ${#SH[@]} -eq 0 ]] && continue
       GRAFT_DUCKDB_MEMLIMIT=20GB GRAFT_DUCKDB_THREADS=10 \
       GRAFT_DUCKDB_TMPDIR="tmp/ducktmp_sf10_$s" \
         python3 tools/check_oracles.py "$VDIR" "$SF10" "${SH[@]}" \
         >"$OUT/oracle_sf10_shard$s.log" 2>&1 &
-      eval "P$s=$!"
+      SHARD_PIDS+=("$!")
+      SHARD_RAN+=("$s")
     done
-    wait "$P0" "$P1" "$P2" 2>/dev/null
-    for s in 0 1 2; do
+    [[ ${#SHARD_PIDS[@]} -gt 0 ]] && wait "${SHARD_PIDS[@]}" 2>/dev/null
+    for s in "${SHARD_RAN[@]}"; do
       check_oracle_log "$OUT/oracle_sf10_shard$s.log" "sf10 shard $s"
     done
+    [[ ${#SHARD_RAN[@]} -lt 3 ]] && \
+      SUMMARY+=("sf10 shards: only ${#SHARD_RAN[@]}/3 non-empty — Verify dump looks partial")
     # heavy truth sides one at a time at a big budget
     for q in $HEAVY; do
       note "sf10 heavy: $q…"
