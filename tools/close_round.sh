@@ -129,7 +129,7 @@ if has_step sf10; then
   VDIR="tmp/v_sf10"; SF10="tmp/sf10"
   if [[ -d "$VDIR" && -d "$SF10" ]]; then
     HEAVY="q74_dedup_clusters qA1_canonical_docs qA3_pagerank qC1_curation_pipeline qF3_split_leakage"
-    AUDITED="q44_jaccard_pairs"
+    AUDITED="q44_jaccard_pairs qB4_sparse_cosine"
     # light shards: every dumped query minus heavy minus audited,
     # round-robin into 3 shards
     mapfile -t ALLQ < <(cd "$VDIR" && ls -d q* 2>/dev/null)
@@ -188,7 +188,21 @@ if has_step sf10; then
       SUMMARY+=("sf10 q44 audit: FAILED — see $OUT/oracle_sf10_q44_audit.*")
       FAIL=1
     fi
-    rm -rf tmp/ducktmp_sf10_q44 tmp/ducktmp_sf10_0 tmp/ducktmp_sf10_1 tmp/ducktmp_sf10_2
+    # qB4: sampled exact audit (full truth side out-spills this host's
+    # disk — >70 GB of dots GROUP BY state at sf10; the audit computes
+    # the same capped semantics bounded to sampled LOWER endpoints)
+    note "sf10 qB4 sampled audit…"
+    if GRAFT_DUCKDB_MEMLIMIT=60GB GRAFT_DUCKDB_THREADS=16 \
+       GRAFT_DUCKDB_TMPDIR="tmp/ducktmp_sf10_qb4" \
+       python3 tools/audit_qb4_sf10.py "$VDIR" "$SF10" \
+       >"$OUT/oracle_sf10_qb4_audit.json" 2>"$OUT/oracle_sf10_qb4_audit.err"; then
+      SUMMARY+=("sf10 qB4 audit: $(tail -1 "$OUT/oracle_sf10_qb4_audit.json")")
+    else
+      SUMMARY+=("sf10 qB4 audit: FAILED — see $OUT/oracle_sf10_qb4_audit.*")
+      FAIL=1
+    fi
+    rm -rf tmp/ducktmp_sf10_q44 tmp/ducktmp_sf10_qb4 \
+      tmp/ducktmp_sf10_0 tmp/ducktmp_sf10_1 tmp/ducktmp_sf10_2
   else
     SUMMARY+=("sf10: SKIPPED — $VDIR or $SF10 missing (run graft.Datagen + graft.Verify at sf10)")
     FAIL=1
