@@ -103,7 +103,20 @@ object AnnMarginEval {
       .sum / nQ
     def num(v: Double, s: Int) =
       String.format(java.util.Locale.ROOT, s"%.${s}f", Double.box(v))
-    println(s"""{"method":"int8_dot_margin","recall_at_10":${num(recall, 3)},"wall_s":${num(wall, 2)},"n_queries":$nQ,"n_vectors":$n,"dims":$dims,"sf":"$sfDir","note":"margin-separated corpus at the real sf10 shape (n,dims from the table): 11-member clusters, co-member dot ~6400 vs noise band std ~800 and int8 dot-error std ~4 -- measures that per-vector int8 scaling holds when neighbor gaps exceed the 8-bit step at 200k-vector scale, i.e. the 0.125 int8_dot row above is the fixture's resolution floor, not a quantizer or scale defect."}""")
+    // Quoted figures DERIVED from the corpus geometry (ADVICE r14: the
+    // note must not contradict its own n_vectors/dims fields if the
+    // sf10 shape changes). Co-member dot: every dim contributes
+    // (±10)² = 100 with matching signs → ~100·dims. Noise band: for
+    // cross-cluster pairs each dim is ±100 with hash-random sign →
+    // std ~100·√dims. int8 dot error: per-vector scale = maxabs/127
+    // with maxabs ≤ 10.5 by construction; per-element quant error std
+    // ≈ scale/√12, and the dot accumulates ~2·dims error terms of
+    // magnitude ~10·that → std ≈ √(2·dims)·10·scale/√12.
+    val coDot = 100.0 * dims
+    val noiseStd = 100.0 * math.sqrt(dims.toDouble)
+    val int8Scale = 10.5 / 127.0
+    val errStd = math.sqrt(2.0 * dims) * 10.0 * int8Scale / math.sqrt(12.0)
+    println(s"""{"method":"int8_dot_margin","recall_at_10":${num(recall, 3)},"wall_s":${num(wall, 2)},"n_queries":$nQ,"n_vectors":$n,"dims":$dims,"sf":"$sfDir","note":"margin-separated corpus at the source embeddings table's shape (n,dims read from $sfDir): 11-member clusters, co-member dot ~${coDot.round} vs noise band std ~${noiseStd.round} and int8 dot-error std ~${num(errStd, 1)} -- measures that per-vector int8 scaling holds when neighbor gaps exceed the 8-bit step at $n-vector scale, i.e. the 0.125 int8_dot row above is the fixture's resolution floor, not a quantizer or scale defect."}""")
     spark.stop()
   }
 }

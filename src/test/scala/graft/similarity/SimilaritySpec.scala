@@ -202,6 +202,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"int8 recall@5 vs exact dot degraded: $recall%.3f")
   }
 
+  test("int8 margin property: recall@10 = 1.0 when neighbor gaps exceed the 8-bit step") {
+    // VERDICT r14 item 6: AnnMarginEval's sf10 measurement (recall
+    // 1.000 over 199,991 vectors) gets a permanent regression tripwire
+    // at test scale — the SAME corpus geometry, shrunk. Dense-sign
+    // vectors: element d of a cluster-c vector is ±10 (sign = parity
+    // of an md5 nibble of "c_d" — hash-derived, not affine) plus
+    // member noise 0.1·(((id·31 + d·7) mod 11) − 5). Co-member dot
+    // ≈ 100·dims = 6400 vs cross-cluster noise std 100·√dims = 800
+    // and int8 dot-error std ~3 — with that margin, ANY correct
+    // per-vector int8 quantizer must recover the exact top-10
+    // EXACTLY (recall 1.0, not a soft floor). Clusters have 11
+    // members so the true top-10 is precisely the co-member set — no
+    // small-gap decision at the k boundary.
+    val dims = 64
+    val nClusters = 33 // 363 vectors; queries 0..7 land in 8 distinct clusters
+    val n = nClusters * 11L
+    def sign(cl: Int, d: Int): Float = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${cl}_$d".getBytes("UTF-8"))
+      // parity of the leading 8 hex chars as an integer — the same
+      // conv(substring(md5,1,8),16,10) % 2 AnnMarginEval computes
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+      if (h % 2 == 0) 10.0f else -10.0f
+    }
+    val emb = (0L until n).map { id =>
+      val cl = (id % nClusters).toInt
+      val v = (0 until dims).map(d =>
+        sign(cl, d) + 0.1f * (((id * 31 + d * 7) % 11).toFloat - 5.0f))
+      (id, v)
+    }.toDF("vec_id", "embedding")
+
+    val k = 10
+    val quant = Similarity.int8TopK(emb, "vec_id", "embedding",
+      nQueries = 8, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    // the true top-10 is the co-member set by construction — assert
+    // against it directly (an exact-dot twin would be tautological if
+    // both sides shared a metric bug)
+    (0L until 8L).foreach { qid =>
+      val cl = qid % nClusters
+      val coMembers = (0L until n).filter(i => i % nClusters == cl && i != qid).toSet
+      assert(coMembers.size == k)
+      assert(quant(qid) == coMembers,
+        s"int8 top-$k for query $qid != its co-member set: " +
+          s"missing ${coMembers -- quant(qid)}, invented ${quant(qid) -- coMembers}")
+    }
+  }
+
   test("multi-probe LSH: recall >= single-probe at the same one-table index") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val k = 3

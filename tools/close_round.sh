@@ -184,7 +184,11 @@ if has_step sf10; then
         python3 tools/check_oracles.py "$VDIR" "$SF10" "${DISKQ[@]}" \
         >"$OUT/oracle_sf10_disk_retry.log" 2>&1
       rm -rf tmp/ducktmp_sf10_dr
-      if grep -qE '^PASS [0-9]+ / FAIL 0' "$OUT/oracle_sf10_disk_retry.log"; then
+      # Green requires PASS count == the number of queries handed to the
+      # lane (ADVICE r14): check_oracles.py silently ignores `only`
+      # names matching no dump dir, so a garbled name would otherwise
+      # yield "PASS 0 / FAIL 0" and a green lane that re-ran nothing.
+      if grep -qE "^PASS ${#DISKQ[@]} / FAIL 0" "$OUT/oracle_sf10_disk_retry.log"; then
         RETRY_OK=1
         SUMMARY+=("sf10 disk-retry (${#DISKQ[@]}q): $(grep -E '^PASS' "$OUT/oracle_sf10_disk_retry.log" | tail -1)")
       else
@@ -197,17 +201,34 @@ if has_step sf10; then
       nfail=$(grep -c '^  FAIL' "$log")
       ndisk=$(grep -c '^  FAIL .*No space left on device' "$log")
       line=$(grep -E "^PASS [0-9]+ / FAIL [0-9]+" "$log" | tail -1)
-      if [[ "$nfail" -eq 0 && -n "$line" ]]; then
+      # The FAIL tally parsed from the final summary line must exist
+      # AND equal the disk-class count (ADVICE r14): a shard killed
+      # mid-sweep (OOM-killer — an observed mode) after printing one
+      # disk FAIL would leave nfail==ndisk with no/stale summary line,
+      # certifying coverage that never ran.
+      lfail=$(sed -n 's|^PASS [0-9]* / FAIL \([0-9]*\).*|\1|p' <<<"$line")
+      if [[ "$nfail" -eq 0 && -n "$line" && "$lfail" == "0" ]]; then
         SUMMARY+=("sf10 shard $s: $line")
-      elif [[ "$nfail" -gt 0 && "$nfail" -eq "$ndisk" && "$RETRY_OK" -eq 1 ]]; then
+      elif [[ "$nfail" -gt 0 && "$nfail" -eq "$ndisk" && "$RETRY_OK" -eq 1 \
+              && -n "$line" && "$lfail" == "$ndisk" ]]; then
         SUMMARY+=("sf10 shard $s: $line — $ndisk disk-exhaustion FAIL(s) re-run green sequentially")
       else
         SUMMARY+=("sf10 shard $s: FAILED (${line:-no PASS line}) — see $log")
         FAIL=1
       fi
     done
-    [[ ${#SHARD_RAN[@]} -lt 3 ]] && \
-      SUMMARY+=("sf10 shards: only ${#SHARD_RAN[@]}/3 non-empty — Verify dump looks partial")
+    # A partial Verify dump (fewer than 3 non-empty shards) means an
+    # unknown set of queries was never swept — that is a gate FAILURE
+    # (ADVICE r14), not a footnote, unless explicitly overridden for a
+    # deliberately-partial dump.
+    if [[ ${#SHARD_RAN[@]} -lt 3 ]]; then
+      if [[ "${GRAFT_CLOSE_ALLOW_PARTIAL_SF10:-0}" == "1" ]]; then
+        SUMMARY+=("sf10 shards: only ${#SHARD_RAN[@]}/3 non-empty — partial dump ALLOWED by GRAFT_CLOSE_ALLOW_PARTIAL_SF10=1")
+      else
+        SUMMARY+=("sf10 shards: FAILED — only ${#SHARD_RAN[@]}/3 non-empty, Verify dump looks partial (set GRAFT_CLOSE_ALLOW_PARTIAL_SF10=1 to override)")
+        FAIL=1
+      fi
+    fi
     # heavy truth sides one at a time at a big budget
     for q in $HEAVY; do
       note "sf10 heavy: $q…"
@@ -251,9 +272,15 @@ if has_step sf10; then
 fi
 
 if has_step bench; then
+  # The close gate's per-query record gets its OWN filename
+  # (BENCH_CLOSE_<tag>.json) so it never shares a path with the
+  # driver's BENCH_FULL.json (VERDICT r14 item 1: two writers on one
+  # path left a permanently dirty tree and a stale committed copy
+  # every round). BENCH_FULL.json now belongs to the driver alone.
   for i in 1 2; do
     note "bench run $i at sf0.1…"
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_OUT="$OUT/bench$i.full.json" \
       tools/run_main.sh graft.Bench >"$OUT/bench$i.log" 2>&1
     line=$(grep -F '"metric":"total"' "$OUT/bench$i.log" | tail -1)
     if [[ -n "$line" ]] && [[ "$line" == *'"failed":[]'* ]]; then
@@ -265,6 +292,11 @@ if has_step bench; then
       SUMMARY+=("bench run $i: FAILED — see $OUT/bench$i.log"); FAIL=1
     fi
   done
+  # commit-ready close record = the warm (second) run's full line
+  if [[ -s "$OUT/bench2.full.json" ]]; then
+    cp "$OUT/bench2.full.json" "BENCH_CLOSE_${TAG}.json"
+    SUMMARY+=("bench close record: BENCH_CLOSE_${TAG}.json (warm run)")
+  fi
 fi
 
 if has_step plans; then
