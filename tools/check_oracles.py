@@ -93,6 +93,24 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
+    # A requested query with no dump directory is a FAILURE, not a
+    # silent skip (ADVICE r14): a garbled/renamed name in a retry or
+    # spot-check invocation would otherwise yield "PASS 0 / FAIL 0"
+    # and a green gate that checked nothing.
+    for q in sorted(only - set(names)):
+        print(f"  FAIL {q}: no dump directory under {out_dir}")
+        n_fail += 1
+    # The symmetric hole: graft.Verify swallows per-query exceptions
+    # (it logs to stderr and keeps sweeping) and writes oracle_sql.json
+    # LAST — so a query that failed during Verify has an oracle entry
+    # but no dump dir, and a full sweep would otherwise report
+    # "PASS 273 / FAIL 0": a green gate missing a broken query. Only
+    # enforced on full sweeps; `only` invocations check their own set.
+    if not only:
+        for q in sorted(set(oracle) - set(names)):
+            print(f"  FAIL {q}: oracle SQL present but no dump directory "
+                  f"(query failed or skipped during Verify?)")
+            n_fail += 1
     # per-query wall time (GRAFT_ORACLE_TIMES=1): the sf1 sweep's cost
     # lives in a few oracles — this is how they get found
     show_times = os.environ.get("GRAFT_ORACLE_TIMES") == "1"
@@ -101,10 +119,21 @@ def main():
         if only and name not in only:
             continue
         _t0 = _time.time()
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        res = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        scols, srows = list(res.columns), res.fetchall()
-        stypes = [str(t) for t in res.types]
+        # The engine-side read gets the same try discipline as the
+        # oracle side: an empty or corrupt dump dir (aborted Verify)
+        # must FAIL that query and keep sweeping, not crash the whole
+        # checker and leave a truncated log with no summary line.
+        try:
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not files:
+                raise RuntimeError("no parquet files in dump dir")
+            res = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            scols, srows = list(res.columns), res.fetchall()
+            stypes = [str(t) for t in res.types]
+        except Exception as e:
+            print(f"  FAIL {name}: engine dump read error: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"  ?? {name}: no oracle (rows={len(srows)})")
             n_noracle += 1
