@@ -89,7 +89,10 @@ t, s = key(truth, "truth"), key(spark, "spark")
 missing = [k for k in t if k not in s]
 invented = [k for k in s if k not in t]
 score_mismatch = [k for k in t if k in s and repr(t[k]) != repr(s[k])]
-ok = not missing and not invented and not score_mismatch
+# A zero-pair audit is VACUOUS, not green (0 == 0 would "pass" on an
+# empty/mispointed dump or a broken documents view): every real SF
+# yields six-figure sampled pair counts (sf10: 891,073).
+ok = bool(t) and not missing and not invented and not score_mismatch
 print(json.dumps({
     "diag": "q44_sf10_sampled_oracle", "sample_docs": SAMPLE,
     "sf_dir": sf_dir, "truth_pairs": len(t), "spark_pairs": len(s),

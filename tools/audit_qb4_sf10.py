@@ -121,7 +121,10 @@ t, s = key(truth, "truth"), key(spark, "spark")
 missing = [k for k in t if k not in s]
 invented = [k for k in s if k not in t]
 score_mismatch = [k for k in t if k in s and t[k] != s[k]]
-ok = not missing and not invented and not score_mismatch
+# A zero-pair audit is VACUOUS, not green (0 == 0 would "pass" on an
+# empty/mispointed dump or a broken documents view): every real SF
+# yields thousands of sampled pairs (sf1: 4,535; sf10: 42,283).
+ok = bool(t) and not missing and not invented and not score_mismatch
 print(json.dumps({
     "diag": "qB4_sf10_sampled_oracle", "sample_docs": SAMPLE,
     "df_cap_formula": f"max({DF_CAP_FLOOR}, n_docs // {DF_CAP_DENOM})",
