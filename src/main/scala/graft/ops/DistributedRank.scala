@@ -38,7 +38,15 @@ object DistributedRank {
         .contains),
       "input already carries a __pid/__rn/__off working column or an " +
         "r/n_total output column; rename it first")
-    val part = df.repartitionByRange(parts, keys: _*)
+    // Spread.scan (r15 opt): repartitionByRange makes TWO passes over
+    // its input (range-bound sampling, then the shuffle write) — on an
+    // under-split source (one parquet row group) both ran serially.
+    // The round-robin spread runs the serial scan once as a shuffle
+    // map side; sampling and the range write then read its output in
+    // parallel. Identity on any input that already has >= parts
+    // splits, so no extra exchange at scale.
+    val part = graft.ops.Spread.scan(df, df.columns.toSeq.map(col), parts)
+      .repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val wp = Window.partitionBy("__pid").orderBy(keys: _*)

@@ -701,13 +701,19 @@ object DedupSim {
     // for those pairs — never all-pairs; both divisions are single
     // IEEE ops from exact integers, so the doubles hash bit-exact.
     "q98_minhash_jaccard" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      // Spread.scan + localCheckpoint (r15 opt): three consumers
+      // (band keys, signatures, the shd explode) re-ran the serial
+      // single-split scan+shingle; see q132's identical rewrite
+      val d = graft.ops.Spread.scan(
+          table(s, dir, "documents").select("doc_id", "text"),
+          Seq(col("doc_id")))
         .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
         .select("doc_id", "shingles")
+        .localCheckpoint()
       val cand = Dedup.lshCandidatePairs(
         Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
       val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
-      val agree = cand
+      val agree = graft.ops.Spread.fanout(cand, Seq(col("id1")))
         .join(sigs.select(col("doc_id").as("id1"), col("k"), col("minhash").as("m1")), Seq("id1"))
         .join(sigs.select(col("doc_id").as("id2"), col("k"), col("minhash").as("m2")), Seq("id2", "k"))
         .groupBy("id1", "id2")
@@ -776,7 +782,12 @@ object DedupSim {
           val nDocs = table(s, dir, "documents").count()
           math.max(QB4DfCap.toLong, nDocs / QB4DfDenom)
         }
-      val tf = table(s, dir, "documents")
+      // Spread.scan (r15 opt): the single-split documents scan fused
+      // the shingle explode into ONE serial task; identity at real
+      // scale (guide §2.5, ops/Spread.scala)
+      val tf = graft.ops.Spread.scan(
+          table(s, dir, "documents").select("doc_id", "text"),
+          Seq(col("doc_id")))
         .select(col("doc_id"),
           explode(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
@@ -796,7 +807,11 @@ object DedupSim {
         .select(col("e.doc_id").as("doc_id"), col("e.tf").as("tf"))
       val norms = pruned.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("n2"))
-      val dots = graft.ops.Pairs.explodePairs(posting, "dt", "x", "y")
+      // Spread.fanout (r15 opt): keep the C(df,2) product explode at
+      // shuffle width — AQE coalesced the small posting aggregate to
+      // one task (guide §2.2, ops/Spread.scala)
+      val dots = graft.ops.Pairs.explodePairs(
+          graft.ops.Spread.fanout(posting, Seq(col("g"))), "dt", "x", "y")
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
           (col("x.tf") * col("y.tf")).as("p"))
         .groupBy("d1", "d2").agg(sum("p").as("dot"))
@@ -1057,15 +1072,28 @@ object DedupSim {
         .orderBy(col("mk"), col("doc_id"))
         .limit(CalibSampleDocs)
         .select("doc_id")
-      val d = table(s, dir, "documents")
-        .join(broadcast(samp), Seq("doc_id"))
+      // Spread.scan + localCheckpoint (r15 opt): the single-split
+      // documents scan ran the shingling serially, and FOUR consumers
+      // (band keys, signatures, the shd explode) each re-ran
+      // scan+shingle from the file — ~6 serial sub-second stages per
+      // run. Spreading the raw text first makes the shingle pass
+      // parallel; the checkpoint makes it run ONCE. At 100 TB the
+      // spread is the identity (the scan has >= width splits) and
+      // materializing a multiply-read derived frame is exactly what a
+      // production calibration job does.
+      val d = graft.ops.Spread.scan(table(s, dir, "documents")
+          .join(broadcast(samp), Seq("doc_id")).select("doc_id", "text"),
+          Seq(col("doc_id")))
         .withColumn("shingles",
           TextStats.shingles(TextStats.tokens(col("text")), 3))
         .select("doc_id", "shingles")
+        .localCheckpoint()
       val cand = Dedup.lshCandidatePairs(
         Dedup.minhashBandKeys(d, "doc_id", "shingles", 8, 2), "doc_id")
       val sigs = Dedup.minhashSignatures(d, "doc_id", "shingles", 8)
-      val agree = cand
+      // Spread.fanout (r15 opt): keep the ×8-per-k signature joins at
+      // shuffle width instead of the AQE-coalesced 4 tasks
+      val agree = graft.ops.Spread.fanout(cand, Seq(col("id1")))
         .join(sigs.select(col("doc_id").as("id1"), col("k"), col("minhash").as("m1")), Seq("id1"))
         .join(sigs.select(col("doc_id").as("id2"), col("k"), col("minhash").as("m2")), Seq("id2", "k"))
         .groupBy("id1", "id2")
@@ -1095,9 +1123,15 @@ object DedupSim {
       // 4096); the threshold is the documented degradation knob.
       val dfs = shd.groupBy("sh").agg(count(lit(1)).as("df"))
       val shdf = shd.join(dfs, "sh")
+      // Spread.fanout (r15 opt): AQE coalesces the few-MB posting-list
+      // aggregate to 1-2 tasks and the C(df,2) explode ran serially —
+      // the pinned-width repartition keeps the quadratic term at
+      // shuffle width (guide §2.2; see ops/Spread.scala).
       val lowPairs = graft.ops.Pairs.explodePairs(
-          shdf.where(col("df") <= HubShingleDf && col("df") >= 2)
-            .groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds")),
+          graft.ops.Spread.fanout(
+            shdf.where(col("df") <= HubShingleDf && col("df") >= 2)
+              .groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds")),
+            Seq(col("sh"))),
           "ds", "id1", "id2")
         .select("id1", "id2")
       val hubSide = shdf.where(col("df") > HubShingleDf)

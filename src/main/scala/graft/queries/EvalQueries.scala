@@ -78,7 +78,12 @@ object EvalQueries {
     // nano-quantized BIGINTs summed in decimal(38,0) (qB3 discipline),
     // so the fit is partition-order-invariant. Output: one row.
     "q123_heaps_law" -> ((s, dir) => {
-      val toks = table(s, dir, "documents")
+      // Spread.scan (r15 opt): `toks` feeds two aggregates, each
+      // re-running the token explode serially on the single-split
+      // scan; spread makes both parallel (identity at real scale)
+      val toks = graft.ops.Spread.scan(
+          table(s, dir, "documents").select("doc_id", "text"),
+          Seq(col("doc_id")))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val newPerDoc = toks.groupBy("tok").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("new_toks"))
@@ -442,7 +447,11 @@ object EvalQueries {
     // distinct edge list; top-20 is TakeOrderedAndProject, never a
     // global sort.
     "q12A_hits" -> ((s, dir) => {
-      val e = table(s, dir, "lineitem")
+      // Spread.scan (r15 opt): the single-split lineitem scan fused the
+      // join probe + distinct partial into one serial task (guide §2.5)
+      val e = graft.ops.Spread.scan(
+          table(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          Seq(col("l_orderkey")))
         .join(table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))

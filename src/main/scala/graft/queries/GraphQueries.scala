@@ -79,7 +79,14 @@ object GraphQueries {
           // edge side by dst, replicate the slim ranks side ×salts
           graft.ops.Skew.saltedJoin(ed,
             ranks.withColumnRenamed("node", "src"), "src", col("dst"), salts)
-        else ed.join(ranks, ed("src") === ranks("node"))
+        // shuffle_hash on the slim ranks side (r15 opt): the default
+        // SortMergeJoin SORTED the full edge view every iteration;
+        // hashing the per-partition ranks build side is sort-free and
+        // estimate-independent (guide §3.1, the qB4 pin precedent).
+        // At scale ranks/partition is nodes/width — bounded by the
+        // same partition sizing every shuffle already needs.
+        else ed.join(ranks.hint("shuffle_hash"),
+          ed("src") === ranks("node"))
       ranks = contrib
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst")
@@ -138,8 +145,13 @@ object GraphQueries {
       // integer keys keep every shuffle/join/agg in this iterative
       // query primitive-typed — the string spelling ('C'||key) paid
       // UTF8 hashing+compare on 1M-row joins ×3 iterations
+      // Spread.scan (r15 opt): the single-split lineitem scan fused
+      // the broadcast-join probe + distinct partial agg into ONE
+      // serial task (~0.5 s); identity at real scale (guide §2.5)
       val e0 = table(s, dir, "orders")
-        .join(table(s, dir, "lineitem"),
+        .join(graft.ops.Spread.scan(
+            table(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            Seq(col("l_orderkey"))),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
@@ -237,8 +249,15 @@ object GraphQueries {
       .withColumn("t_fp",
         floor(lit(1e9) / graft.functions.LnExact(col("deg").cast("double")))
           .cast("long"))
+    // Spread.fanout: AQE coalesces the small pre-explode aggregate to
+    // one task and the C(deg,2) wedge Generate runs serially (measured
+    // 3.4 s of the query's 4.0 s in ONE task at sf0.1); the pinned-
+    // width repartition keeps the explode at shuffle width — guide
+    // §2.2/§2.5, see ops/Spread.scala.
     graft.ops.Pairs.explodePairs(
-        wn.groupBy("w", "t_fp").agg(sort_array(collect_list("v")).as("vs")),
+        graft.ops.Spread.fanout(
+          wn.groupBy("w", "t_fp").agg(sort_array(collect_list("v")).as("vs")),
+          Seq(col("w"))),
         "vs", "p1", "p2")
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_common"), sum("t_fp").as("aa_fp"))

@@ -453,9 +453,15 @@ object Relational2 {
     // lift assembled in one fixed-order float expression from exact
     // longs on both engines.
     "qDB_frequent_pairs" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // r15 opt: THREE consumers (items, pruned, tot) each re-ran the
+      // single-split scan + distinct serially; spread the scan so the
+      // distinct's partial agg is parallel and checkpoint the ~n-row
+      // basket frame so it is computed once (guide §2.4/§2.5)
+      val b = graft.ops.Spread.scan(table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+          Seq(col("ok")))
         .distinct()
+        .localCheckpoint()
       val items = b.groupBy("pk").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
       val pruned = b.join(broadcast(items.select("pk")), Seq("pk"), "left_semi")
@@ -466,7 +472,11 @@ object Relational2 {
       // wedge lesson, OpBench row 1.2×); sort_array makes pk1 < pk2
       // positional
       val pairs = graft.ops.Pairs.explodePairs(
-          pruned.groupBy("ok").agg(sort_array(collect_list("pk")).as("pks")),
+          // pinned-width repartition: AQE coalesced the basket
+          // aggregate and the C(size,2) explode ran in 1-5 tasks
+          graft.ops.Spread.fanout(
+            pruned.groupBy("ok").agg(sort_array(collect_list("pk")).as("pks")),
+            Seq(col("ok"))),
           "pks", "pk1", "pk2")
         .groupBy("pk1", "pk2")
         .agg(count(lit(1)).as("n_pair"))

@@ -119,11 +119,19 @@ object TextQueries {
           posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
         .withColumn("c1", lead("term", 1).over(w))
         .withColumn("c2", lead("term", 2).over(w))
-      val pairs = toks.filter(col("c1").isNotNull)
-        .select(col("term").as("center"), col("c1").as("context"),
-          lit(1).as("dist"))
-        .unionAll(toks.filter(col("c2").isNotNull)
-          .select(col("term"), col("c2"), lit(2)))
+      // one pass over the windowed frame (r15 opt): the former
+      // unionAll of two filtered selects re-ran the doc-position
+      // window per branch; emitting both contexts as a 2-element
+      // struct array + one explode computes the leads once — same
+      // rows (null contexts dropped exactly like the old isNotNull
+      // branch filters), the qE0 single-pass precedent
+      val pairs = toks.select(col("term").as("center"),
+          explode(array(
+            struct(col("c1").as("context"), lit(1).as("dist")),
+            struct(col("c2").as("context"), lit(2).as("dist")))).as("x"))
+        .select(col("center"), col("x.context").as("context"),
+          col("x.dist").as("dist"))
+        .filter(col("context").isNotNull)
       val counts = pairs.groupBy("center", "context", "dist")
         .agg(count(lit(1)).as("n"))
       // top-30 cut BEFORE the rank window (round 8): orderBy+limit is
@@ -572,7 +580,13 @@ object TextQueries {
     // back → per-source rollup (bounded rows). Counts exact; the
     // dup-rate is one pinned division per source.
     "q120_ngram_novelty" -> ((s, dir) => {
-      val sh = table(s, dir, "documents")
+      // Spread.scan (r15 opt): `sh` is consumed twice (the df agg and
+      // the join back), and each consumer re-ran the ~5M-shingle md5
+      // pass SERIALLY on the single-split scan; spread, both re-runs
+      // are parallel (identity at real scale — guide §2.5)
+      val sh = graft.ops.Spread.scan(
+          table(s, dir, "documents").select("doc_id", "source", "text"),
+          Seq(col("doc_id")))
         .select(col("doc_id"), col("source"),
           TextStats.tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 8)
