@@ -326,7 +326,13 @@ object DedupSim {
     // Exact dedup via hash-groupBy on a canonical key (lineitem has
     // real duplicate (partkey, suppkey, quantity) triples).
     "q40_dedup_exact" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
+      // Spread.scan (r15 opt): the per-row md5(concat) + partial agg
+      // ran fused into the single-split scan — 1.3 s in ONE task at
+      // sf0.1; identity at real scale (guide §2.5)
+      val li = graft.ops.Spread.scan(
+        table(s, dir, "lineitem").select(
+          "l_partkey", "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"),
+        Seq(col("l_orderkey")))
       Dedup.exactDupGroups(li,
         md5(concat_ws("|", col("l_partkey"), col("l_suppkey"), col("l_quantity"))),
         col("l_orderkey") * 8 + col("l_linenumber"))
@@ -464,9 +470,15 @@ object DedupSim {
     // rollup_ok — both sources' rolled-up signatures must equal the
     // directly-computed ones, hash-checked as constant true.
     "qA6_minhash_rollup" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      // Spread.scan + localCheckpoint (r15 opt): the direct and fine
+      // signature builds each re-ran the serial scan+shingle pass
+      // (the q132/q98 rewrite)
+      val d = graft.ops.Spread.scan(
+          table(s, dir, "documents").select("doc_id", "source", "lang", "text"),
+          Seq(col("doc_id")))
         .withColumn("shingles", TextStats.shingles(TextStats.tokens(col("text")), 3))
         .select("source", "lang", "shingles")
+        .localCheckpoint()
       val direct = Dedup.minhashSignaturesBy(d, Seq("source"), "shingles", 8)
       val fine = Dedup.minhashSignaturesBy(d, Seq("source", "lang"), "shingles", 8)
       val rolled = fine.groupBy("source", "k").agg(min("minhash").as("rolled"))

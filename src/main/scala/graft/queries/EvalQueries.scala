@@ -274,7 +274,12 @@ object EvalQueries {
           col("event_type")).otherwise(col("p_type")))
         .withColumn("loser", when(col("cents") > col("p_cents"),
           col("p_type")).otherwise(col("event_type")))
+      // localCheckpoint (r15 opt): the <=K^2-row pair matrix feeds
+      // three branches (it1, the n_ab window, terms) that each re-ran
+      // the full events lag-window + aggregate; materializing K^2
+      // rows makes the re-reads free at any scale
       val pairs = comp.groupBy("winner", "loser").agg(count(lit(1)).as("n_wl"))
+        .localCheckpoint()
       val und = pairs.select(col("winner").as("a"), col("loser").as("b"), col("n_wl"))
         .union(pairs.select(col("loser").as("a"), col("winner").as("b"), lit(0L)))
         .groupBy("a", "b").agg(sum("n_wl").as("wins_ab"))

@@ -363,14 +363,28 @@ object TextQueries {
     // Rates: high 1/1, mid 1/2, low 1/16 — the standard "keep the
     // good stuff, thin the tail" curriculum shape.
     "q7B_stratified_sample" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-        .withColumn("quality", TextStats.qualityScoreMilli(col("text")))
+      // r15 opt: the band filter used to be PUSHED below the quality
+      // projection, inlining qualityScoreMilli ~10x per row into the
+      // scan-stage Filter (each copy re-running split/array_distinct)
+      // — 1.2 s serial at sf0.1. Spread the under-split scan, score
+      // each doc ONCE, and materialize the (doc_id, quality) frame so
+      // the filter references the computed column instead of the
+      // expression (the guide §4.4 duplication hazard, built-in-
+      // expression form). Same rows: hex < rate(quality) is exactly
+      // the old band/hex keep rule (high 16/16, mid 8/16, low 1/16).
+      val scored = graft.ops.Spread.scan(
+          table(s, dir, "documents").select("doc_id", "text"),
+          Seq(col("doc_id")))
+        .select(col("doc_id"),
+          TextStats.qualityScoreMilli(col("text")).as("quality"))
+        .localCheckpoint()
+      scored
         .withColumn("band",
           when(col("quality") >= 880, lit("high"))
             .when(col("quality") >= 820, lit("mid"))
             .otherwise(lit("low")))
         .withColumn("hex", substring(md5(col("doc_id").cast("string")), 1, 1))
-      d.filter(col("band") === "high" ||
+        .filter(col("band") === "high" ||
           (col("band") === "mid" && col("hex").isin((0 to 7).map(_.toString): _*)) ||
           (col("band") === "low" && col("hex") === "0"))
         .select("doc_id", "band", "quality")
