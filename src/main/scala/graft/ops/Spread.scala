@@ -42,9 +42,15 @@ object Spread {
   def fanout(df: DataFrame, keys: Seq[Column]): DataFrame =
     df.repartition(width(df), keys: _*)
 
-  /** Spread an under-split scan (see class doc). Identity when the
-    * planned scan already has >= `target` partitions (`target` <= 0
-    * means the session default parallelism). Call it on the narrow
+  /** Spread an under-split scan (see class doc). Fires ONLY when the
+    * planned scan is a single partition — the guide §2.5 "one huge
+    * unsplittable file" case, where the whole first stage is serial
+    * no matter how many cores exist. Any multi-split source keeps its
+    * natural scan parallelism: repartitioning it would shuffle EVERY
+    * byte to upgrade partial parallelism, and at sf10 that turned a
+    * 7-row-group lineitem scan (7-way) into a serial full-gigabyte
+    * shuffle (q12A measured 6.9x slower). `target` (<= 0 = session
+    * default parallelism) sizes the spread. Call it on the narrow
     * projected frame, before the expensive per-row work. Pass a
     * high-cardinality `keys` where one exists: a keyless round-robin
     * repartition first pays a local SORT of its input
@@ -55,7 +61,7 @@ object Spread {
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
     // planned partition count only — building the RDD runs no job
-    if (df.rdd.getNumPartitions >= t) df
+    if (df.rdd.getNumPartitions > 1 || t <= 1) df
     else if (keys.nonEmpty) df.repartition(t, keys: _*)
     else df.repartition(t)
   }

@@ -24,6 +24,15 @@ class SpreadSpec extends SparkSpec {
     assert(out eq df)
   }
 
+  test("scan is the identity for ANY multi-split source, even below target") {
+    // r15 sf10 lesson: a 7-row-group file scans 7-way naturally;
+    // repartitioning it to 32 shuffles every byte for partial gain —
+    // only the truly unsplittable single-partition case may fire
+    val df = spark.range(0, 1000, 1, numPartitions = 2).toDF("id")
+    val out = Spread.scan(df, Seq(col("id")), target = 32)
+    assert(out eq df)
+  }
+
   test("scan spreads an under-split source and preserves the rows") {
     val df = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
     val out = Spread.scan(df, Seq(col("id")), target = 4)
